@@ -1,0 +1,249 @@
+"""Font loading: widths / encoding / ToUnicode resolution chain.
+
+Mirrors the reference's cached-font semantics
+(crates/pdfplumber-parse/src/interpreter.rs:639-996, font_metrics.rs,
+cid_font.rs): per-document cache, /Widths + /FirstChar, standard-14
+fallback, FontDescriptor ascent/descent (descent sign-normalized),
+CID /W + /DW, Identity-H handling, and the 5-step unicode chain.
+"""
+
+from __future__ import annotations
+
+from ..filters import decode_stream
+from ..objects import Name, Ref, Stream
+from .cmap import ToUnicodeCMap, parse_tounicode
+from .encodings import SimpleEncoding
+from .standard_fonts import lookup as lookup_standard
+
+DEFAULT_ASCENT = 750.0
+DEFAULT_DESCENT = -250.0
+DEFAULT_WIDTH = 600.0
+DEFAULT_CID_WIDTH = 1000.0
+
+
+class LoadedFont:
+    """Resolved font: everything the interpreter needs per char code."""
+
+    __slots__ = (
+        "base_name",
+        "is_cid",
+        "is_identity_encoding",
+        "cid_ordering",
+        "writing_mode",
+        "widths",            # simple: list indexed from first_char
+        "first_char",
+        "last_char",
+        "missing_width",
+        "ascent",
+        "descent",
+        "cid_widths",        # dict cid -> width
+        "cid_default_width",
+        "cmap",              # ToUnicodeCMap | None
+        "encoding",          # SimpleEncoding | None
+    )
+
+    def __init__(self) -> None:
+        self.base_name = "Unknown"
+        self.is_cid = False
+        self.is_identity_encoding = False
+        self.cid_ordering: str | None = None
+        self.writing_mode = 0
+        self.widths: list[float] = []
+        self.first_char = 0
+        self.last_char = 0
+        self.missing_width = DEFAULT_WIDTH
+        self.ascent = DEFAULT_ASCENT
+        self.descent = DEFAULT_DESCENT
+        self.cid_widths: dict[int, float] = {}
+        self.cid_default_width = DEFAULT_CID_WIDTH
+        self.cmap: ToUnicodeCMap | None = None
+        self.encoding: SimpleEncoding | None = None
+
+    # -- widths -------------------------------------------------------------
+
+    def get_width(self, code: int) -> float:
+        if self.is_cid:
+            if self.writing_mode == 1:
+                return 1000.0
+            return self.cid_widths.get(code, self.cid_default_width)
+        if self.first_char <= code <= self.last_char:
+            idx = code - self.first_char
+            if idx < len(self.widths):
+                return self.widths[idx]
+        return self.missing_width
+
+    # -- ascent/descent policy (interpreter.rs:1357-1395) -------------------
+
+    def bbox_ascent_descent(self) -> tuple[float, float]:
+        if self.is_cid and self.writing_mode == 1:
+            return 1000.0, 0.0
+        if self.ascent == 0.0 and self.descent == 0.0:
+            return 1000.0, 0.0
+        return 1000.0 + self.descent, self.descent
+
+    # -- unicode chain (interpreter.rs:1259-1339) ----------------------------
+
+    def to_unicode(self, code: int) -> str | None:
+        if self.cmap is not None:
+            hit = self.cmap.lookup(code)
+            if hit is not None:
+                return hit
+        if self.encoding is not None and code <= 255:
+            hit = self.encoding.decode(code)
+            if hit is not None:
+                return hit
+        if self.is_cid:
+            identity_fallback = (
+                (self.cmap is not None and self.cmap.is_identity())
+                or (
+                    self.is_identity_encoding
+                    and (self.cid_ordering is None or self.cid_ordering == "Identity")
+                )
+            )
+            if identity_fallback:
+                try:
+                    return chr(code)
+                except ValueError:
+                    return None
+            return f"(cid:{code})"
+        try:
+            return chr(code)
+        except ValueError:
+            return None
+
+
+def _f(v, default=0.0) -> float:
+    return float(v) if isinstance(v, (int, float)) else default
+
+
+def load_font(doc, font_obj) -> LoadedFont:
+    """Load a font from a font dictionary (lazily, per /Tf)."""
+    font = LoadedFont()
+    fd = doc.resolve(font_obj)
+    if not isinstance(fd, dict):
+        return font
+    base = doc.resolve(fd.get("BaseFont"))
+    font.base_name = str(base) if base is not None else "Unknown"
+    subtype = str(doc.resolve(fd.get("Subtype")) or "")
+
+    if subtype == "Type0":
+        _load_type0(doc, fd, font)
+    else:
+        _load_simple(doc, fd, font)
+
+    # ToUnicode applies to both
+    tu = doc.resolve(fd.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        try:
+            font.cmap = parse_tounicode(decode_stream(tu.dict, tu.raw, doc.resolve))
+        except Exception:  # lenient
+            font.cmap = None
+    return font
+
+
+def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
+    font.first_char = int(_f(doc.resolve(fd.get("FirstChar")), 0))
+    font.last_char = int(_f(doc.resolve(fd.get("LastChar")), 0))
+    widths_obj = doc.resolve(fd.get("Widths"))
+    widths: list[float] = []
+    if isinstance(widths_obj, list):
+        widths = [_f(doc.resolve(w)) for w in widths_obj]
+
+    asc, desc, missing = _descriptor_metrics(doc, fd)
+
+    if not widths:
+        std = lookup_standard(font.base_name)
+        if std is not None:
+            widths = [float(w) for w in std[0]]
+            font.first_char, font.last_char = 0, 255
+    font.widths = widths
+    if widths and font.last_char < font.first_char:
+        font.last_char = font.first_char + len(widths) - 1
+    font.ascent, font.descent, font.missing_width = asc, desc, missing
+
+    # /Encoding: name or dict with /BaseEncoding + /Differences
+    enc = doc.resolve(fd.get("Encoding"))
+    if isinstance(enc, Name):
+        font.encoding = SimpleEncoding(str(enc))
+    elif isinstance(enc, dict):
+        base_enc = enc.get("BaseEncoding")
+        diffs = doc.resolve(enc.get("Differences"))
+        font.encoding = SimpleEncoding(
+            str(base_enc) if base_enc is not None else None,
+            diffs if isinstance(diffs, list) else None,
+        )
+    # no /Encoding: leave None → fallback chr(code) path
+
+
+def _load_type0(doc, fd: dict, font: LoadedFont) -> None:
+    font.is_cid = True
+    enc = doc.resolve(fd.get("Encoding"))
+    enc_name = str(enc) if isinstance(enc, Name) else ""
+    if enc_name in ("Identity-H", "Identity-V"):
+        font.is_identity_encoding = True
+    if enc_name.endswith("-V") or enc_name == "V":
+        font.writing_mode = 1
+
+    desc_fonts = doc.resolve(fd.get("DescendantFonts"))
+    if isinstance(desc_fonts, list) and desc_fonts:
+        df = doc.resolve(desc_fonts[0])
+        if isinstance(df, dict):
+            font.cid_default_width = _f(doc.resolve(df.get("DW")), DEFAULT_CID_WIDTH)
+            w_arr = doc.resolve(df.get("W"))
+            if isinstance(w_arr, list):
+                font.cid_widths = _parse_w_array(doc, w_arr)
+            asc, desc, _missing = _descriptor_metrics(doc, df)
+            font.ascent, font.descent = asc, desc
+            sysinfo = doc.resolve(df.get("CIDSystemInfo"))
+            if isinstance(sysinfo, dict):
+                ordering = doc.resolve(sysinfo.get("Ordering"))
+                if isinstance(ordering, bytes):
+                    font.cid_ordering = ordering.decode("latin-1")
+                elif ordering is not None:
+                    font.cid_ordering = str(ordering)
+
+
+def _parse_w_array(doc, w_arr: list) -> dict[int, float]:
+    """Parse /W: [c [w1 w2 ...]] or [c_first c_last w]."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w_arr)
+    while i < n:
+        first = doc.resolve(w_arr[i])
+        if not isinstance(first, (int, float)):
+            i += 1
+            continue
+        if i + 1 < n:
+            second = doc.resolve(w_arr[i + 1])
+            if isinstance(second, list):
+                for k, w in enumerate(second):
+                    w = doc.resolve(w)
+                    if isinstance(w, (int, float)):
+                        out[int(first) + k] = float(w)
+                i += 2
+                continue
+            if isinstance(second, (int, float)) and i + 2 < n:
+                w = doc.resolve(w_arr[i + 2])
+                if isinstance(w, (int, float)):
+                    lo, hi = int(first), int(second)
+                    if 0 <= lo <= hi and hi - lo < 65536:
+                        for c in range(lo, hi + 1):
+                            out[c] = float(w)
+                i += 3
+                continue
+        i += 1
+    return out
+
+
+def _descriptor_metrics(doc, fd: dict) -> tuple[float, float, float]:
+    """(ascent, descent, missing_width) from /FontDescriptor.
+
+    Descent sign-normalized to negative (font_metrics.rs:373-382)."""
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    if not isinstance(desc, dict):
+        return DEFAULT_ASCENT, DEFAULT_DESCENT, DEFAULT_WIDTH
+    ascent = _f(doc.resolve(desc.get("Ascent")), DEFAULT_ASCENT)
+    raw_descent = _f(doc.resolve(desc.get("Descent")), DEFAULT_DESCENT)
+    descent = -raw_descent if raw_descent > 0.0 else raw_descent
+    missing = _f(doc.resolve(desc.get("MissingWidth")), DEFAULT_WIDTH)
+    return ascent, descent, missing

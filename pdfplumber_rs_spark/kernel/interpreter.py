@@ -1,0 +1,506 @@
+"""Content-stream interpreter: operators -> char/path/image events.
+
+One sequential state machine per page (inherently ordered dataflow);
+the Spark engine runs thousands of these per Arrow batch. Semantics
+follow the reference interpreter (crates/pdfplumber-parse/src/
+interpreter.rs:106-590, text_state.rs, text_renderer.rs:50-172):
+
+- Trm snapshot per glyph; advance tx = ((w0/1000)*Tfs + Tc + Tw_if_sp32)*Th
+- TJ kern: tx = -(adj/1000)*Tfs*Th
+- CID fonts consume 2-byte codes (Identity-H)
+- q/Q stack couples graphics AND text state snapshots
+- paths built with CTM applied at construction (path.rs:36-150)
+- form XObjects recurse with a depth limit; image XObjects emit events
+"""
+
+from __future__ import annotations
+
+from .filters import decode_stream
+from .objects import Name, Ref, Stream
+from .fonts.font import LoadedFont, load_font
+from .tokenizer import Operator, tokenize
+
+MAX_FORM_DEPTH = 12
+
+IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m1, m2):
+    """Row-vector convention: point p transforms as p' = p·M.
+    mat_mul(A, B) applies A first, then B."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def transform_point(m, x, y):
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+class CharEvent:
+    __slots__ = (
+        "char_code", "unicode", "font_name", "font_size", "h_scaling",
+        "rise", "text_matrix", "ctm", "displacement", "ascent", "descent",
+        "vertical_origin", "mcid", "tag", "stroking_color", "non_stroking_color",
+    )
+
+    def __init__(self, **kw) -> None:
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class PaintedPath:
+    __slots__ = ("segments", "stroke", "fill", "even_odd", "line_width",
+                 "stroke_color", "fill_color")
+
+    def __init__(self, segments, stroke, fill, even_odd, line_width,
+                 stroke_color, fill_color) -> None:
+        self.segments = segments
+        self.stroke = stroke
+        self.fill = fill
+        self.even_odd = even_odd
+        self.line_width = line_width
+        self.stroke_color = stroke_color
+        self.fill_color = fill_color
+
+
+class ImageEvent:
+    __slots__ = ("name", "ctm", "src_width", "src_height", "colorspace",
+                 "filter", "inline", "data")
+
+    def __init__(self, name, ctm, src_width, src_height, colorspace,
+                 filt, inline, data=None) -> None:
+        self.name = name
+        self.ctm = ctm
+        self.src_width = src_width
+        self.src_height = src_height
+        self.colorspace = colorspace
+        self.filter = filt
+        self.inline = inline
+        self.data = data
+
+
+class _GState:
+    __slots__ = ("ctm", "line_width", "stroke_color", "fill_color",
+                 "char_spacing", "word_spacing", "h_scaling", "leading",
+                 "font", "font_name", "font_size", "rise", "render_mode")
+
+    def __init__(self) -> None:
+        self.ctm = IDENTITY
+        self.line_width = 1.0
+        self.stroke_color = None
+        self.fill_color = None
+        # text state lives here too: q/Q snapshots both (interpreter.rs:139-145)
+        self.char_spacing = 0.0
+        self.word_spacing = 0.0
+        self.h_scaling = 1.0
+        self.leading = 0.0
+        self.font: LoadedFont | None = None
+        self.font_name = ""
+        self.font_size = 0.0
+        self.rise = 0.0
+        self.render_mode = 0
+
+    def clone(self) -> "_GState":
+        g = _GState.__new__(_GState)
+        for s in _GState.__slots__:
+            setattr(g, s, getattr(self, s))
+        return g
+
+
+class Interpreter:
+    def __init__(self, doc, warnings: list[str] | None = None,
+                 max_objects: int | None = None) -> None:
+        self.doc = doc
+        self.warnings = warnings if warnings is not None else []
+        self.max_objects = max_objects
+        self.chars: list[CharEvent] = []
+        self.paths: list[PaintedPath] = []
+        self.images: list[ImageEvent] = []
+        self._font_cache: dict[int, LoadedFont] = {}
+
+    # -- public --------------------------------------------------------------
+
+    def run_page(self, page: dict, content: bytes) -> None:
+        resources = self.doc.resolve(page.get("Resources")) or {}
+        gs = _GState()
+        self._run(content, resources, gs, depth=0)
+
+    # -- main loop -----------------------------------------------------------
+
+    def _run(self, content: bytes, resources: dict, gs: _GState, depth: int) -> None:
+        doc = self.doc
+        stack: list[_GState] = []
+        tm = IDENTITY
+        tlm = IDENTITY
+        in_text = False
+        # path construction state (device space; CTM applied at construction)
+        segments: list = []
+        cur_pt = None
+        start_pt = None
+        mc_stack: list[tuple[str, int | None]] = []
+
+        fonts_res = doc.resolve(resources.get("Font")) or {}
+        xobj_res = doc.resolve(resources.get("XObject")) or {}
+
+        ops = tokenize(content, self.warnings)
+
+        for op in ops:
+            if self.max_objects is not None and (
+                len(self.chars) + len(self.paths) > self.max_objects
+            ):
+                self.warnings.append("object budget exceeded; page truncated")
+                return
+            name = op.name
+            o = op.operands
+            try:
+                # ---- graphics state ----
+                if name == "q":
+                    stack.append(gs.clone())
+                elif name == "Q":
+                    if stack:
+                        gs = stack.pop()
+                elif name == "cm":
+                    if len(o) >= 6:
+                        m = tuple(float(v) for v in o[:6])
+                        gs.ctm = mat_mul(m, gs.ctm)
+                elif name == "w":
+                    if o:
+                        gs.line_width = float(o[0])
+                elif name == "gs":
+                    pass  # ExtGState: fonts/blend modes — parity-irrelevant here
+                # ---- color ----
+                elif name == "G":
+                    gs.stroke_color = ("gray", [float(o[0])]) if o else None
+                elif name == "g":
+                    gs.fill_color = ("gray", [float(o[0])]) if o else None
+                elif name == "RG":
+                    if len(o) >= 3:
+                        gs.stroke_color = ("rgb", [float(v) for v in o[:3]])
+                elif name == "rg":
+                    if len(o) >= 3:
+                        gs.fill_color = ("rgb", [float(v) for v in o[:3]])
+                elif name == "K":
+                    if len(o) >= 4:
+                        gs.stroke_color = ("cmyk", [float(v) for v in o[:4]])
+                elif name == "k":
+                    if len(o) >= 4:
+                        gs.fill_color = ("cmyk", [float(v) for v in o[:4]])
+                elif name in ("SC", "SCN"):
+                    vals = [float(v) for v in o if isinstance(v, (int, float))]
+                    if vals:
+                        gs.stroke_color = ("other", vals)
+                elif name in ("sc", "scn"):
+                    vals = [float(v) for v in o if isinstance(v, (int, float))]
+                    if vals:
+                        gs.fill_color = ("other", vals)
+                elif name in ("CS", "cs", "ri", "i", "j", "J", "M", "d"):
+                    pass
+                # ---- text object ----
+                elif name == "BT":
+                    in_text = True
+                    tm = IDENTITY
+                    tlm = IDENTITY
+                elif name == "ET":
+                    in_text = False
+                elif name == "Tf":
+                    if len(o) >= 2 and isinstance(o[0], Name):
+                        gs.font_name = str(o[0])
+                        gs.font_size = float(o[1])
+                        gs.font = self._load_font_cached(fonts_res, str(o[0]))
+                elif name == "Tm":
+                    if len(o) >= 6:
+                        tm = tlm = tuple(float(v) for v in o[:6])
+                elif name == "Td":
+                    if len(o) >= 2:
+                        tlm = mat_mul((1, 0, 0, 1, float(o[0]), float(o[1])), tlm)
+                        tm = tlm
+                elif name == "TD":
+                    if len(o) >= 2:
+                        gs.leading = -float(o[1])
+                        tlm = mat_mul((1, 0, 0, 1, float(o[0]), float(o[1])), tlm)
+                        tm = tlm
+                elif name == "T*":
+                    tlm = mat_mul((1, 0, 0, 1, 0.0, -gs.leading), tlm)
+                    tm = tlm
+                elif name == "Tc":
+                    if o:
+                        gs.char_spacing = float(o[0])
+                elif name == "Tw":
+                    if o:
+                        gs.word_spacing = float(o[0])
+                elif name == "Tz":
+                    if o:
+                        gs.h_scaling = float(o[0]) / 100.0
+                elif name == "TL":
+                    if o:
+                        gs.leading = float(o[0])
+                elif name == "Tr":
+                    if o:
+                        gs.render_mode = int(o[0])
+                elif name == "Ts":
+                    if o:
+                        gs.rise = float(o[0])
+                # ---- text showing ----
+                elif name == "Tj":
+                    if o and isinstance(o[-1], bytes):
+                        tm = self._show(o[-1], gs, tm, mc_stack)
+                elif name == "TJ":
+                    if o and isinstance(o[-1], list):
+                        tm = self._show_tj(o[-1], gs, tm, mc_stack)
+                elif name == "'":
+                    tlm = mat_mul((1, 0, 0, 1, 0.0, -gs.leading), tlm)
+                    tm = tlm
+                    if o and isinstance(o[-1], bytes):
+                        tm = self._show(o[-1], gs, tm, mc_stack)
+                elif name == '"':
+                    if len(o) >= 3 and isinstance(o[2], bytes):
+                        gs.word_spacing = float(o[0])
+                        gs.char_spacing = float(o[1])
+                        tlm = mat_mul((1, 0, 0, 1, 0.0, -gs.leading), tlm)
+                        tm = tlm
+                        tm = self._show(o[2], gs, tm, mc_stack)
+                # ---- path construction (CTM applied now; path.rs) ----
+                elif name == "m":
+                    if len(o) >= 2:
+                        cur_pt = transform_point(gs.ctm, float(o[0]), float(o[1]))
+                        start_pt = cur_pt
+                        segments.append(("m", cur_pt))
+                elif name == "l":
+                    if len(o) >= 2 and cur_pt is not None:
+                        cur_pt = transform_point(gs.ctm, float(o[0]), float(o[1]))
+                        segments.append(("l", cur_pt))
+                elif name == "c":
+                    if len(o) >= 6 and cur_pt is not None:
+                        p1 = transform_point(gs.ctm, float(o[0]), float(o[1]))
+                        p2 = transform_point(gs.ctm, float(o[2]), float(o[3]))
+                        p3 = transform_point(gs.ctm, float(o[4]), float(o[5]))
+                        segments.append(("c", p1, p2, p3))
+                        cur_pt = p3
+                elif name == "v":
+                    if len(o) >= 4 and cur_pt is not None:
+                        p2 = transform_point(gs.ctm, float(o[0]), float(o[1]))
+                        p3 = transform_point(gs.ctm, float(o[2]), float(o[3]))
+                        segments.append(("c", cur_pt, p2, p3))
+                        cur_pt = p3
+                elif name == "y":
+                    if len(o) >= 4 and cur_pt is not None:
+                        p1 = transform_point(gs.ctm, float(o[0]), float(o[1]))
+                        p3 = transform_point(gs.ctm, float(o[2]), float(o[3]))
+                        segments.append(("c", p1, p3, p3))
+                        cur_pt = p3
+                elif name == "re":
+                    if len(o) >= 4:
+                        x, y, w, h = (float(v) for v in o[:4])
+                        p0 = transform_point(gs.ctm, x, y)
+                        p1 = transform_point(gs.ctm, x + w, y)
+                        p2 = transform_point(gs.ctm, x + w, y + h)
+                        p3 = transform_point(gs.ctm, x, y + h)
+                        segments.extend(
+                            [("m", p0), ("l", p1), ("l", p2), ("l", p3), ("h",)]
+                        )
+                        cur_pt = p0
+                        start_pt = p0
+                elif name == "h":
+                    if segments:
+                        segments.append(("h",))
+                        cur_pt = start_pt
+                # ---- path painting ----
+                elif name in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n"):
+                    if name in ("s", "b", "b*") and segments:
+                        segments.append(("h",))
+                    stroke = name in ("S", "s", "B", "B*", "b", "b*")
+                    fill = name in ("f", "F", "f*", "B", "B*", "b", "b*")
+                    even_odd = name in ("f*", "B*", "b*")
+                    if segments and (stroke or fill):
+                        self.paths.append(
+                            PaintedPath(
+                                segments, stroke, fill, even_odd, gs.line_width,
+                                gs.stroke_color, gs.fill_color,
+                            )
+                        )
+                    segments = []
+                    cur_pt = None
+                    start_pt = None
+                elif name in ("W", "W*"):
+                    pass  # clipping: recorded by pdfplumber as no-op
+                # ---- XObjects ----
+                elif name == "Do":
+                    if o and isinstance(o[-1], Name):
+                        self._do_xobject(str(o[-1]), xobj_res, gs, depth)
+                # ---- marked content ----
+                elif name == "BDC":
+                    tag = str(o[0]) if o and isinstance(o[0], Name) else ""
+                    mcid = None
+                    if len(o) >= 2 and isinstance(o[1], dict):
+                        v = o[1].get("MCID")
+                        if isinstance(v, int):
+                            mcid = v
+                    mc_stack.append((tag, mcid))
+                elif name == "BMC":
+                    tag = str(o[0]) if o and isinstance(o[0], Name) else ""
+                    mc_stack.append((tag, None))
+                elif name == "EMC":
+                    if mc_stack:
+                        mc_stack.pop()
+                elif name in ("MP", "DP"):
+                    pass
+                # ---- inline images ----
+                elif name == "BI":
+                    if len(o) >= 2 and isinstance(o[0], dict):
+                        img, raw = o[0], o[1]
+                        self.images.append(
+                            ImageEvent(
+                                "inline", gs.ctm,
+                                int(img.get("Width", 0) or 0),
+                                int(img.get("Height", 0) or 0),
+                                str(img.get("ColorSpace", "") or ""),
+                                str(img.get("Filter", "") or ""),
+                                True, raw,
+                            )
+                        )
+                else:
+                    # unknown operator: lenient skip (interpreter.rs:579-585)
+                    pass
+            except (ValueError, TypeError, IndexError) as e:
+                self.warnings.append(f"op {name}: {e}")
+                continue
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _load_font_cached(self, fonts_res: dict, name: str) -> LoadedFont:
+        obj = fonts_res.get(name)
+        key = (obj.num if isinstance(obj, Ref) else id(obj), name)
+        cached = self._font_cache.get(key)
+        if cached is None:
+            cached = load_font(self.doc, obj)
+            self._font_cache[key] = cached
+        return cached
+
+    def _show(self, data: bytes, gs: _GState, tm, mc_stack) -> tuple:
+        font = gs.font
+        is_cid = font.is_cid if font is not None else False
+        wmode = font.writing_mode if font is not None else 0
+        tfs = gs.font_size
+        tc = gs.char_spacing
+        tw = gs.word_spacing
+        th = gs.h_scaling
+        mcid = mc_stack[-1][1] if mc_stack else None
+        tag = mc_stack[-1][0] if mc_stack else None
+        fname = font.base_name if font is not None else gs.font_name
+        if font is not None:
+            asc, desc = font.bbox_ascent_descent()
+        else:
+            asc, desc = 750.0, -250.0
+
+        codes: list[int] = []
+        if is_cid:
+            i = 0
+            n = len(data)
+            while i < n:
+                if i + 1 < n:
+                    codes.append((data[i] << 8) | data[i + 1])
+                    i += 2
+                else:
+                    codes.append(data[i])
+                    i += 1
+        else:
+            codes = list(data)
+
+        for code in codes:
+            if font is not None:
+                w0 = font.get_width(code)
+                uni = font.to_unicode(code)
+            else:
+                w0 = 600.0
+                try:
+                    uni = chr(code)
+                except ValueError:
+                    uni = None
+            if wmode == 1:
+                # vertical: advance along y by w1 (default -1000 → one em down)
+                w1 = -1000.0
+                ty = (w1 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)
+                vx, vy = w0 / 2.0, 880.0
+                self.chars.append(
+                    CharEvent(
+                        char_code=code, unicode=uni, font_name=fname,
+                        font_size=tfs, h_scaling=th, rise=gs.rise,
+                        text_matrix=tm, ctm=gs.ctm, displacement=w0,
+                        ascent=asc, descent=desc, vertical_origin=(vx, vy),
+                        mcid=mcid, tag=tag,
+                        stroking_color=gs.stroke_color,
+                        non_stroking_color=gs.fill_color,
+                    )
+                )
+                tm = mat_mul((1, 0, 0, 1, 0.0, ty), tm)
+            else:
+                tx = ((w0 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)) * th
+                self.chars.append(
+                    CharEvent(
+                        char_code=code, unicode=uni, font_name=fname,
+                        font_size=tfs, h_scaling=th, rise=gs.rise,
+                        text_matrix=tm, ctm=gs.ctm, displacement=w0,
+                        ascent=asc, descent=desc, vertical_origin=(0.0, 0.0),
+                        mcid=mcid, tag=tag,
+                        stroking_color=gs.stroke_color,
+                        non_stroking_color=gs.fill_color,
+                    )
+                )
+                tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
+        return tm
+
+    def _show_tj(self, arr: list, gs: _GState, tm, mc_stack) -> tuple:
+        tfs = gs.font_size
+        th = gs.h_scaling
+        wmode = gs.font.writing_mode if gs.font is not None else 0
+        for el in arr:
+            if isinstance(el, bytes):
+                tm = self._show(el, gs, tm, mc_stack)
+            elif isinstance(el, (int, float)):
+                adj = -(float(el) / 1000.0) * tfs
+                if wmode == 1:
+                    tm = mat_mul((1, 0, 0, 1, 0.0, adj), tm)
+                else:
+                    tm = mat_mul((1, 0, 0, 1, adj * th, 0.0), tm)
+        return tm
+
+    def _do_xobject(self, name: str, xobj_res: dict, gs: _GState, depth: int) -> None:
+        obj = self.doc.resolve(xobj_res.get(name))
+        if not isinstance(obj, Stream):
+            return
+        subtype = str(self.doc.resolve(obj.dict.get("Subtype")) or "")
+        if subtype == "Image":
+            w = self.doc.resolve(obj.dict.get("Width"))
+            h = self.doc.resolve(obj.dict.get("Height"))
+            cs = self.doc.resolve(obj.dict.get("ColorSpace"))
+            filt = self.doc.resolve(obj.dict.get("Filter"))
+            self.images.append(
+                ImageEvent(
+                    name, gs.ctm,
+                    int(w) if isinstance(w, (int, float)) else 0,
+                    int(h) if isinstance(h, (int, float)) else 0,
+                    str(cs) if cs is not None else "",
+                    str(filt) if filt is not None else "",
+                    False,
+                )
+            )
+        elif subtype == "Form":
+            if depth >= MAX_FORM_DEPTH:
+                self.warnings.append("form XObject recursion limit")
+                return
+            inner = gs.clone()
+            matrix = self.doc.resolve(obj.dict.get("Matrix"))
+            if isinstance(matrix, list) and len(matrix) == 6:
+                inner.ctm = mat_mul(tuple(float(v) for v in matrix), gs.ctm)
+            res = self.doc.resolve(obj.dict.get("Resources")) or {}
+            content = decode_stream(obj.dict, obj.raw, self.doc.resolve)
+            self._run(content, res, inner, depth + 1)

@@ -1,0 +1,136 @@
+"""Text post-processing: ligatures, unicode normalization, char dedupe,
+BiDi-lite direction marking.
+
+Reference parity:
+- ligature expansion: words.rs:376-392
+- normalize_chars: unicode_norm.rs:35-70 (default NFC)
+- dedupe_chars: dedupe.rs:50-88 (tol 1.0, extra attrs fontname+size,
+  sequential first-wins semantics)
+- apply_bidi_directions: bidi.rs:30-96 (strong-RTL chars on a visual
+  line get direction=rtl; vertical/non-upright chars untouched)
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+_LIGATURES = {
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+    "ﬅ": "ſt",
+    "ﬆ": "st",
+}
+
+
+def expand_ligatures(text: str) -> str:
+    if not any(ch in _LIGATURES for ch in text):
+        return text
+    return "".join(_LIGATURES.get(ch, ch) for ch in text)
+
+
+def normalize_chars(chars: list[dict], form: str | None) -> list[dict]:
+    if form is None:
+        return chars
+    f = form.upper()
+    for c in chars:
+        c["text"] = unicodedata.normalize(f, c["text"])
+    return chars
+
+
+def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
+                 extra_attrs: tuple[str, ...] = ("fontname", "size")) -> list[dict]:
+    """Drop a char if an earlier kept char has identical text, matching
+    extra attrs, and |dx0| <= tol and |dtop| <= tol (dedupe.rs:50-88)."""
+    kept: list[dict] = []
+    for ch in chars:
+        dup = False
+        for k in kept:
+            if k["text"] != ch["text"]:
+                continue
+            if any(k.get(a) != ch.get(a) for a in extra_attrs):
+                continue
+            if abs(k["x0"] - ch["x0"]) <= tolerance and abs(k["top"] - ch["top"]) <= tolerance:
+                dup = True
+                break
+        if not dup:
+            kept.append(ch)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# BiDi-lite
+
+def _is_strong_rtl(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        0x0590 <= o <= 0x08FF  # Hebrew..Arabic Extended-A (incl. Syriac etc.)
+        or 0xFB1D <= o <= 0xFDFF
+        or 0xFE70 <= o <= 0xFEFF
+        or 0x1EE00 <= o <= 0x1EEFF
+    )
+
+
+_ARABIC_DIACRITIC_RANGES = (
+    (0x0610, 0x061A),
+    (0x064B, 0x065F),
+    (0x0670, 0x0670),
+    (0x06D6, 0x06DC),
+    (0x06DF, 0x06E4),
+    (0x06E7, 0x06E8),
+    (0x06EA, 0x06ED),
+    (0x08D3, 0x08FF),
+)
+
+
+def is_arabic_diacritic(ch: str) -> bool:
+    o = ord(ch)
+    return any(lo <= o <= hi for lo, hi in _ARABIC_DIACRITIC_RANGES)
+
+
+def is_arabic_diacritic_text(text: str) -> bool:
+    return bool(text) and all(is_arabic_diacritic(c) for c in text)
+
+
+def apply_bidi_directions(chars: list[dict], y_tolerance: float = 3.0) -> list[dict]:
+    if not chars:
+        return chars
+    if not any(any(_is_strong_rtl(c) for c in ch["text"]) for ch in chars):
+        return chars
+
+    # group into lines by vertical center (bidi.rs:159-191)
+    order = sorted(range(len(chars)),
+                   key=lambda i: (chars[i]["top"] + chars[i]["bottom"]) / 2.0)
+    groups: list[list[int]] = []
+    cur: list[int] = [order[0]]
+    cur_center = (chars[order[0]]["top"] + chars[order[0]]["bottom"]) / 2.0
+    for idx in order[1:]:
+        center = (chars[idx]["top"] + chars[idx]["bottom"]) / 2.0
+        if abs(center - cur_center) <= y_tolerance:
+            cur.append(idx)
+        else:
+            groups.append(cur)
+            cur = [idx]
+            cur_center = center
+    groups.append(cur)
+
+    for group in groups:
+        group.sort(key=lambda i: chars[i]["x0"])
+        # simplified UAX#9: strong-RTL chars and diacritics between them → rtl
+        strong = [
+            any(_is_strong_rtl(c) for c in chars[i]["text"]) for i in group
+        ]
+        if not any(strong):
+            continue
+        for gpos, i in enumerate(group):
+            ch = chars[i]
+            if not ch["upright"] or ch["direction"] in ("ttb", "btt"):
+                continue
+            if strong[gpos] or (
+                is_arabic_diacritic_text(ch["text"])
+                and any(strong)
+            ):
+                ch["direction"] = "rtl"
+    return chars

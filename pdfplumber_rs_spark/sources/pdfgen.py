@@ -1,0 +1,223 @@
+"""Deterministic programmatic PDF builders (classic xref, uncompressed).
+
+Fixture shapes mirror the reference's bench corpus
+(crates/pdfplumber/benches/extraction.rs:97-229): text pages
+(`BT /F1 10 Tf 72 720 Td (...) Tj 0 -14 Td ... ET`), lattice grids
+(m/l/S strokes + 8pt labels), stream grids (text-only), complex pages,
+and multi-page variants. MediaBox 612x792, Helvetica/Courier.
+
+These builders are the only 'data generator' in the engine: tests and
+benches synthesize the Common-Crawl-shaped input table
+(url, warc_ts, html=pdf bytes, text, lang) from /root/testdata documents.
+"""
+
+from __future__ import annotations
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+TOP_Y = 720.0
+LEADING = 14.0
+
+
+def escape_pdf_text(s: str) -> str:
+    """Escape for a PDF literal string; latin-1-encodable input only."""
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def sanitize_for_pdf(s: str) -> str:
+    """Map text to the WinAnsi-safe subset our builder can embed:
+    printable latin-1, newline kept as line separator."""
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch == "\n" or 0x20 <= o <= 0x7E or 0xA1 <= o <= 0xFF:
+            out.append(ch)
+        elif ch == "\t":
+            out.append(" ")
+        # other chars dropped (cannot round-trip through WinAnsi builder)
+    return "".join(out)
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None) -> bytes:
+    """Assemble a classic-xref PDF. `fonts` maps resource name -> BaseFont
+    (standard-14). Default: F1=Helvetica, F2=Courier."""
+    if fonts is None:
+        fonts = {"F1": "Helvetica", "F2": "Courier"}
+
+    objects: list[bytes] = []
+    n_pages = len(page_contents)
+    # object numbering: 1=Catalog, 2=Pages, then per page: page obj + content
+    # obj, then font objects.
+    catalog_num = 1
+    pages_num = 2
+    first_page = 3
+    font_start = first_page + 2 * n_pages
+    font_nums = {name: font_start + i for i, name in enumerate(fonts)}
+
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(_obj(catalog_num, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    objects.append(
+        _obj(
+            pages_num,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        )
+    )
+    font_res = " ".join(f"/{n} {font_nums[n]} 0 R" for n in fonts)
+    for i, content in enumerate(page_contents):
+        pnum = first_page + 2 * i
+        cnum = pnum + 1
+        objects.append(
+            _obj(
+                pnum,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
+                    f"/Resources << /Font << {font_res} >> >> /Contents {cnum} 0 R >>"
+                ).encode(),
+            )
+        )
+        objects.append(
+            _obj(
+                cnum,
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream",
+            )
+        )
+    for name, base in fonts.items():
+        objects.append(
+            _obj(
+                font_nums[name],
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>".encode(),
+            )
+        )
+
+    header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+    out = bytearray(header)
+    offsets = [0]  # object 0 is the free head
+    for num, objbytes in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out.extend(objbytes)
+    xref_pos = len(out)
+    n_objs = len(objects) + 1
+    out.extend(f"xref\n0 {n_objs}\n".encode())
+    out.extend(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.extend(f"{off:010d} 00000 n \n".encode())
+    out.extend(
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\nstartxref\n{xref_pos}\n".encode()
+    )
+    out.extend(b"%%EOF\n")
+    return bytes(out)
+
+
+# -- content-stream builders ---------------------------------------------------
+
+def text_page_content(lines: list[str], font: str = "F2", size: float = 10.0,
+                      x: float = 72.0, y: float = TOP_Y,
+                      leading: float = LEADING) -> bytes:
+    """`BT /F 10 Tf x y Td (line) Tj 0 -14 Td ... ET` like the bench fixture."""
+    parts = [f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode()]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append(f"0 {-leading:g} Td".encode())
+        parts.append(b"(" + escape_pdf_text(line).encode("latin-1", "replace") + b") Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def lattice_table_content(rows: int, cols: int, x0: float = 72.0,
+                          top_y: float = TOP_Y, cell_w: float = 80.0,
+                          cell_h: float = 20.0, label: str = "R{r}C{c}") -> bytes:
+    """Bordered grid: m/l/S strokes + 8pt Helvetica cell labels."""
+    parts = [b"0.5 w"]
+    y1 = top_y
+    y0 = top_y - rows * cell_h
+    x1 = x0 + cols * cell_w
+    for r in range(rows + 1):
+        y = top_y - r * cell_h
+        parts.append(f"{x0:g} {y:g} m {x1:g} {y:g} l S".encode())
+    for c in range(cols + 1):
+        x = x0 + c * cell_w
+        parts.append(f"{x:g} {y0:g} m {x:g} {y1:g} l S".encode())
+    for r in range(rows):
+        for c in range(cols):
+            tx = x0 + c * cell_w + 4
+            ty = top_y - r * cell_h - 12
+            txt = escape_pdf_text(label.format(r=r, c=c))
+            parts.append(
+                f"BT /F1 8 Tf {tx:g} {ty:g} Td ({txt}) Tj ET".encode()
+            )
+    return b"\n".join(parts)
+
+
+def stream_table_content(rows: int, cols: int, x0: float = 72.0,
+                         top_y: float = TOP_Y, col_pitch: float = 100.0,
+                         row_pitch: float = 16.0,
+                         label: str = "Data-{r}-{c}") -> bytes:
+    """Text-only aligned grid (stream-strategy fixture)."""
+    parts = []
+    for r in range(rows):
+        for c in range(cols):
+            tx = x0 + c * col_pitch
+            ty = top_y - r * row_pitch
+            txt = escape_pdf_text(label.format(r=r, c=c))
+            parts.append(f"BT /F2 9 Tf {tx:g} {ty:g} Td ({txt}) Tj ET".encode())
+    return b"\n".join(parts)
+
+
+def complex_page_content() -> bytes:
+    """Courier header + 15 Helvetica lines + 5x4 lattice table."""
+    parts = [
+        text_page_content(["Q3 FINANCIAL REPORT"], font="F2", size=14.0, y=750.0),
+        text_page_content(
+            [f"Paragraph line {i} with some filler words here." for i in range(15)],
+            font="F1", size=10.0, y=710.0,
+        ),
+        lattice_table_content(5, 4, top_y=470.0),
+    ]
+    return b"\n".join(parts)
+
+
+# -- document-level fixtures -----------------------------------------------------
+
+def pdf_from_text(text: str, lines_per_page: int = 48, font: str = "F2",
+                  size: float = 10.0) -> bytes:
+    """Render arbitrary text (sanitized to WinAnsi) as a multi-page PDF,
+    one source line per rendered line."""
+    lines = sanitize_for_pdf(text).split("\n")
+    pages = [
+        text_page_content(lines[i : i + lines_per_page], font=font, size=size)
+        for i in range(0, max(len(lines), 1), lines_per_page)
+    ]
+    return build_pdf(pages)
+
+
+def fixture_text(n_lines: int = 10) -> bytes:
+    return build_pdf([
+        text_page_content([f"Line {i} of synthetic benchmark text" for i in range(n_lines)])
+    ])
+
+
+def fixture_lattice(rows: int = 20, cols: int = 5) -> bytes:
+    return build_pdf([lattice_table_content(rows, cols, cell_w=90.0, cell_h=25.0)])
+
+
+def fixture_stream(rows: int = 20, cols: int = 5) -> bytes:
+    return build_pdf([stream_table_content(rows, cols)])
+
+
+def fixture_complex(n_pages: int = 10) -> bytes:
+    return build_pdf([complex_page_content() for _ in range(n_pages)])
+
+
+def fixture_multipage(n_pages: int = 10, lines_per_page: int = 30) -> bytes:
+    return build_pdf([
+        text_page_content(
+            [f"Page {p} line {i} lorem ipsum dolor" for i in range(lines_per_page)]
+        )
+        for p in range(n_pages)
+    ])
