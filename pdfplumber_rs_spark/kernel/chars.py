@@ -78,6 +78,12 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     # 0=ltr 1=rtl 2=ttb 3=btt
     dir_names = ("ltr", "rtl", "ttb", "btt")
 
+    # size = device-space bbox height for horizontal-mode fonts, width for
+    # vertical-mode fonts (pdfminer LTChar semantics — the golden oracle);
+    # equals Tfs on unrotated, unscaled text.
+    is_vert = (vx != 0.0) | (vy != 0.0)
+    size = np.where(is_vert, max_x - min_x, max_y - min_y)
+
     out: list[dict] = []
     for i, ev in enumerate(events):
         uni = ev.unicode
@@ -91,7 +97,8 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
                 "x1": float(max_x[i]),
                 "bottom": float(bottom[i]),
                 "fontname": ev.font_name,
-                "size": float(tfs[i]),
+                "size": float(size[i]),
+                "_wmode": 1 if is_vert[i] else 0,
                 "doctop": float(top[i]),
                 "upright": bool(upright[i]),
                 "direction": dir_names[int(direction[i])],

@@ -14,6 +14,7 @@ from ..objects import Name, Ref, Stream
 from .cmap import ToUnicodeCMap, parse_tounicode
 from .encodings import SimpleEncoding
 from .standard_fonts import lookup as lookup_standard
+from .standard_fonts import lookup_metrics as lookup_afm_metrics
 
 DEFAULT_ASCENT = 750.0
 DEFAULT_DESCENT = -250.0
@@ -149,13 +150,20 @@ def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
     if isinstance(widths_obj, list):
         widths = [_f(doc.resolve(w)) for w in widths_obj]
 
-    asc, desc, missing = _descriptor_metrics(doc, fd)
+    asc, desc, missing, had_descriptor = _descriptor_metrics(doc, fd)
 
     if not widths:
         std = lookup_standard(font.base_name)
         if std is not None:
             widths = [float(w) for w in std[0]]
             font.first_char, font.last_char = 0, 255
+    if not had_descriptor:
+        # No /FontDescriptor: pdfplumber falls back to the built-in AFM
+        # ascent/descent for standard-14 fonts (golden parity), then the
+        # 750/-250 defaults.
+        afm = lookup_afm_metrics(font.base_name)
+        if afm is not None:
+            asc, desc = afm
     font.widths = widths
     if widths and font.last_char < font.first_char:
         font.last_char = font.first_char + len(widths) - 1
@@ -192,7 +200,7 @@ def _load_type0(doc, fd: dict, font: LoadedFont) -> None:
             w_arr = doc.resolve(df.get("W"))
             if isinstance(w_arr, list):
                 font.cid_widths = _parse_w_array(doc, w_arr)
-            asc, desc, _missing = _descriptor_metrics(doc, df)
+            asc, desc, _missing, _had = _descriptor_metrics(doc, df)
             font.ascent, font.descent = asc, desc
             sysinfo = doc.resolve(df.get("CIDSystemInfo"))
             if isinstance(sysinfo, dict):
@@ -235,15 +243,15 @@ def _parse_w_array(doc, w_arr: list) -> dict[int, float]:
     return out
 
 
-def _descriptor_metrics(doc, fd: dict) -> tuple[float, float, float]:
-    """(ascent, descent, missing_width) from /FontDescriptor.
+def _descriptor_metrics(doc, fd: dict) -> tuple[float, float, float, bool]:
+    """(ascent, descent, missing_width, had_descriptor) from /FontDescriptor.
 
     Descent sign-normalized to negative (font_metrics.rs:373-382)."""
     desc = doc.resolve(fd.get("FontDescriptor"))
     if not isinstance(desc, dict):
-        return DEFAULT_ASCENT, DEFAULT_DESCENT, DEFAULT_WIDTH
+        return DEFAULT_ASCENT, DEFAULT_DESCENT, DEFAULT_WIDTH, False
     ascent = _f(doc.resolve(desc.get("Ascent")), DEFAULT_ASCENT)
     raw_descent = _f(doc.resolve(desc.get("Descent")), DEFAULT_DESCENT)
     descent = -raw_descent if raw_descent > 0.0 else raw_descent
     missing = _f(doc.resolve(desc.get("MissingWidth")), DEFAULT_WIDTH)
-    return ascent, descent, missing
+    return ascent, descent, missing, True

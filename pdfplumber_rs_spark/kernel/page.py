@@ -202,6 +202,12 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
             ch["direction"] = _ROT_DIR[rot].get(ch["direction"], ch["direction"])
             if rot in (90, 270):
                 ch["upright"] = not ch["upright"]
+            # size tracks the device-space bbox (rotation included)
+            ch["size"] = (
+                ch["x1"] - ch["x0"] if ch["_wmode"] else ch["bottom"] - ch["top"]
+            )
+    for ch in chars:
+        del ch["_wmode"]
 
     chars = apply_bidi_directions(chars, 3.0)
     if options.unicode_norm is not None:
