@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)          — flagship: PDF render→extract roundtrip at sf0.001.
+queries()             — operator battery from SURVEY.md §2 (+ training-
+                        data ops: dedup, similarity, text analysis).
+oracle_sql()          — DuckDB-equivalent ANSI SQL for every query.
+
+Every query's Spark plan is DataFrame-native (windows/aggs/joins) or a
+vectorized mapInArrow kernel; column aliases match the oracle exactly
+(the driver sorts columns by name and hashes values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_tokens_sql(col: str) -> str:
+    """DuckDB: distinct lowercase alnum tokens of a text column."""
+    return (
+        f"list_distinct(list_filter("
+        f"regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> ''))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PDF pipeline queries (the engine itself)
+
+
+def q_pdf_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → deterministic PDF bytes → full extraction kernel
+    → per-url extract_text. The oracle is the closed-form render
+    transform (SURVEY.md §3.1 flagship lifecycle)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    doc = P.document_text(pages)
+    ids = corpus.select("doc_id", "url")
+    return (
+        doc.join(ids, "url")
+        .select("doc_id", F.col("text").alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    counts = pages.groupBy("url").agg(F.sum("n_chars").alias("n_chars_extracted"))
+    return (
+        counts.join(corpus.select("doc_id", "url"), "url")
+        .select("doc_id", F.col("n_chars_extracted").cast("long").alias("n_chars_extracted"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    counts = pages.groupBy("url").agg(F.sum("n_words").alias("n_words_extracted"))
+    return (
+        counts.join(corpus.select("doc_id", "url"), "url")
+        .select("doc_id", F.col("n_words_extracted").cast("long").alias("n_words_extracted"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lattice tables rendered from lineitem rows, recovered through the
+    full edge→intersection→cell pipeline (SURVEY.md §2.8)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import lineitem_table_corpus
+
+    corpus = lineitem_table_corpus(spark, sf_dir, max_orderkey=100)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    cells = P.cells_table(pages)
+    ids = corpus.select("l_orderkey", "url")
+    return (
+        cells.join(ids, "url")
+        .select(
+            "l_orderkey",
+            F.col("row").cast("int").alias("row"),
+            F.col("col").cast("int").alias("col"),
+            F.col("text").alias("cell_text"),
+        )
+        .orderBy("l_orderkey", "row", "col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational analogs of the reference dataflow (SURVEY.md §2.10)
+
+
+def q_doctop_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: doctop = Σ previous page heights ≙ running quantity per order."""
+    li = _read(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.coalesce(F.sum("l_quantity").over(w), F.lit(0.0)), 4).alias("doctop"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sessionization: lag + gap flag + cumulative sum = session id."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp("ts")
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "brk", F.when(gap > 1800, 1).otherwise(0)
+    )
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_session_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 words_to_text ≙ ordered concat of event types per user."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("event_text")
+        )
+    )
+
+
+def q_largest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 extract_table top-1 ≙ largest order per customer."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_crop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 crop: center-in-bbox predicate + rebased projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        & (F.col("l_extendedprice") >= 10000) & (F.col("l_extendedprice") <= 20000)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") - 10, 4).alias("qty_rebased"),
+        F.round(F.col("l_extendedprice") - 10000, 4).alias("price_rebased"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/T1 edge unions ≙ (click ∪ view) \\ error user sets."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    errors = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.union(views).distinct().exceptAll(errors)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter pushdown + partial hash agg; decimal sums
+    so both engines are exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join (dimension side broadcastable) + top-N."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-chain join over the small dims."""
+    r = _read(spark, sf_dir, "region")
+    n = _read(spark, sf_dir, "nation")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).orderBy("fp")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, window=10, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=4).orderBy("doc_id")
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import minhash_lsh_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, num_hashes=4, band_size=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import simhash64
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash64(docs).orderBy("doc_id")
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.text import lang_guess
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.text import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].cast("long").alias("n_chars_text"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["alnum_ratio"].alias("alnum_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.text import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank", "cos_sim"
+    ).orderBy("query_id", "rank")
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.similarity import lsh_buckets
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_buckets(emb, dim=64, n_planes=8).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PDF extraction roundtrip on sf0.001."""
+    return q_pdf_text_roundtrip(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pdf_text_roundtrip": q_pdf_text_roundtrip,
+        "pdf_char_count": q_pdf_char_count,
+        "pdf_word_count": q_pdf_word_count,
+        "pdf_table_cells": q_pdf_table_cells,
+        "doctop_cumsum": q_doctop_cumsum,
+        "sessionize": q_sessionize,
+        "session_text": q_session_text,
+        "largest_order": q_largest_order,
+        "crop_filter": q_crop_filter,
+        "set_ops": q_set_ops,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topn": q_revenue_topn,
+        "region_customers": q_region_customers,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "lang_guess": q_lang_guess,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "lsh_buckets": q_lsh_buckets,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same aliases as the Spark queries)
+
+_EXPECTED_TEXT = r"""
+array_to_string(
+  list_filter(
+    list_transform(
+      string_split(
+        regexp_replace(replace(coalesce(text, ''), chr(9), ' '),
+                       '[^\n\x{0020}-\x{007E}\x{00A1}-\x{00FF}]', '', 'g'),
+        chr(10)),
+      l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+    l -> l <> ''),
+  chr(10))
+""".strip()
+
+_SANITIZED = r"""
+regexp_replace(replace(coalesce(text, ''), chr(9), ' '),
+               '[^\n\x{0020}-\x{007E}\x{00A1}-\x{00FF}]', '', 'g')
+""".strip()
+
+
+def _tok_hash_sql(tok_expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {tok_expr}), 1, 8))::bigint"
+
+
+def _lang_markers_sql() -> str:
+    """CASE-expression mirror of functions.text.lang_guess."""
+    from pdfplumber_rs_spark.functions.text import LANG_MARKERS
+
+    def hits(w: str) -> str:
+        pad = "(' ' || lower(text) || ' ')"
+        needle = f"' {w} '"
+        return (
+            f"cast((length({pad}) - length(replace({pad}, {needle}, '')))"
+            f" / {len(w) + 2} as int)"
+        )
+
+    scores = {
+        lang: " + ".join(hits(w) for w in ws)
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # same fold as the Spark side: iterate langs sorted, strict >
+    expr_best = "'und'"
+    expr_score = "0"
+    for lang in sorted(scores):
+        s = f"({scores[lang]})"
+        expr_best = f"case when {s} > {expr_score} then '{lang}' else {expr_best} end"
+        expr_score = f"case when {s} > {expr_score} then {s} else {expr_score} end"
+    return expr_best
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for bit in range(16):
+        bits.append(
+            f"case when sum(case when (h >> {bit}) & 1 = 1 then 1 else -1 end) > 0 "
+            f"then {2 ** bit} else 0 end"
+        )
+    total = " + ".join(bits)
+    return f"""
+with toks as (
+  select doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) as tok
+  from documents
+), h as (
+  select doc_id,
+         ('0x' || substr(md5(tok), 9, 8))::bigint as h
+  from toks
+)
+select doc_id, cast({total} as bigint) as simhash
+from h group by doc_id order by doc_id
+"""
+
+
+def _lsh_bucket_sql() -> str:
+    """Mirror of similarity.lsh_buckets: 8 md5-parity hyperplanes over
+    the 64-dim embedding."""
+    planes = []
+    for p in range(8):
+        terms = []
+        for d in range(64):
+            w = (
+                f"(case when ('0x' || substr(md5('p:{p}:{d}'), 1, 8))::bigint % 2 = 0 "
+                f"then 1.0 else -1.0 end)"
+            )
+            terms.append(f"embedding[{d + 1}] * {w}")
+        dotsum = " + ".join(terms)
+        planes.append(f"(case when ({dotsum}) >= 0 then 1 else 0 end)")
+    bucket = "0"
+    for p in planes:
+        bucket = f"({bucket}) * 2 + {p}"
+    return f"select vec_id, cast({bucket} as int) as bucket from embeddings order by vec_id"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _norm_tokens_sql("text")
+    minhash_cols = ", ".join(
+        f"min({_tok_hash_sql('tok', k)}) as h{k}" for k in range(4)
+    )
+    minhash_base = f"""
+with toks as (
+  select doc_id, unnest({toks}) as tok from documents
+), sig as (
+  select doc_id, {minhash_cols} from toks group by doc_id
+)"""
+    return {
+        "pdf_text_roundtrip": f"""
+            select doc_id, {_EXPECTED_TEXT} as extracted_text
+            from documents order by doc_id""",
+        "pdf_char_count": f"""
+            select doc_id,
+                   cast(length(replace({_SANITIZED}, chr(10), '')) as bigint)
+                     as n_chars_extracted
+            from documents order by doc_id""",
+        "pdf_word_count": f"""
+            select doc_id,
+                   cast(len(list_filter(
+                     regexp_split_to_array({_SANITIZED}, '[ \n]+'),
+                     x -> x <> '')) as bigint) as n_words_extracted
+            from documents order by doc_id""",
+        "pdf_table_cells": """
+            with li as (
+              select l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                     row_number() over (partition by l_orderkey
+                                        order by l_linenumber, l_quantity,
+                                                 l_returnflag) as rn
+              from lineitem where l_orderkey <= 100
+            ), data as (
+              select l_orderkey, rn as row, c.col, c.cell_text
+              from li,
+                   lateral (values
+                     (0, cast(l_linenumber as varchar)),
+                     (1, cast(cast(l_quantity as int) as varchar)),
+                     (2, l_returnflag)) as c(col, cell_text)
+            ), hdr as (
+              select distinct l_orderkey, 0 as row, c.col, c.cell_text
+              from lineitem,
+                   lateral (values (0, 'line'), (1, 'qty'), (2, 'flag'))
+                     as c(col, cell_text)
+              where l_orderkey <= 100
+            )
+            select l_orderkey, cast(row as int) as row, cast(col as int) as col,
+                   cell_text
+            from (select * from hdr union all select * from data)
+            order by l_orderkey, row, col""",
+        "doctop_cumsum": """
+            select l_orderkey, l_linenumber,
+                   round(coalesce(sum(l_quantity) over (
+                     partition by l_orderkey order by l_linenumber
+                     rows between unbounded preceding and 1 preceding), 0), 4)
+                     as doctop
+            from lineitem""",
+        "sessionize": """
+            with g as (
+              select user_id, event_id, ts,
+                     case when epoch(ts) - lag(epoch(ts)) over
+                       (partition by user_id order by ts, event_id) > 1800
+                       then 1 else 0 end as brk
+              from events
+            ), s as (
+              select user_id,
+                     sum(brk) over (partition by user_id order by ts, event_id
+                                    rows unbounded preceding) as session_id
+              from g
+            )
+            select user_id, cast(session_id as bigint) as session_id,
+                   count(*) as n_events
+            from s group by user_id, session_id""",
+        "session_text": """
+            select user_id,
+                   string_agg(event_type, ' ' order by ts, event_id)
+                     as event_text
+            from events group by user_id""",
+        "largest_order": """
+            select o_custkey, o_orderkey, o_totalprice from (
+              select o_custkey, o_orderkey, o_totalprice,
+                     row_number() over (partition by o_custkey
+                       order by o_totalprice desc, o_orderkey asc) as rn
+              from orders) where rn = 1""",
+        "crop_filter": """
+            select l_orderkey, l_linenumber,
+                   round(l_quantity - 10, 4) as qty_rebased,
+                   round(l_extendedprice - 10000, 4) as price_rebased
+            from lineitem
+            where l_quantity between 10 and 20
+              and l_extendedprice between 10000 and 20000""",
+        "set_ops": """
+            select user_id from (
+              select distinct user_id from events where event_type = 'click'
+              union
+              select distinct user_id from events where event_type = 'view'
+            )
+            except all
+            select distinct user_id from events where event_type = 'error'""",
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '2024-09-01'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus""",
+        "revenue_topn": """
+            select o_orderkey,
+                   cast(sum(cast(l_extendedprice * (1 - l_discount)
+                     as decimal(18,4))) as double) as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+            group by o_orderkey
+            order by revenue desc, o_orderkey asc
+            limit 10""",
+        "region_customers": """
+            select r_name, count(*) as n_customers,
+                   cast(sum(cast(c_acctbal as decimal(18,2))) as double) as sum_acctbal
+            from customer
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name order by r_name""",
+        "dedup_exact": """
+            select fp, min(doc_id) as keep_id, count(*) as n_docs
+            from (select doc_id,
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+                  from documents)
+            group by fp having count(*) > 1 order by fp""",
+        "ngram_jaccard": f"""
+            with t as (
+              select doc_id as id, lang as k, {toks} as tok from documents
+            )
+            select a.id as id_a, b.id as id_b,
+                   round(len(list_intersect(a.tok, b.tok)) * 1.0 /
+                     greatest(len(a.tok) + len(b.tok)
+                              - len(list_intersect(a.tok, b.tok)), 1), 6)
+                     as jaccard_sim
+            from t a join t b
+              on a.k = b.k and b.id > a.id and b.id <= a.id + 10
+            where round(len(list_intersect(a.tok, b.tok)) * 1.0 /
+                    greatest(len(a.tok) + len(b.tok)
+                             - len(list_intersect(a.tok, b.tok)), 1), 6) >= 0.2
+            order by id_a, id_b""",
+        "minhash_signatures": minhash_base
+        + " select doc_id, h0, h1, h2, h3 from sig order by doc_id",
+        "minhash_candidates": minhash_base
+        + """
+        , bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) as key
+            from sig
+            union all
+            select doc_id, 1 as band,
+                   cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig
+        )
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from bands a join bands b
+          on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id
+        order by id_a, id_b""",
+        "simhash": _simhash_sql(),
+        "lang_guess": f"""
+            select doc_id, {_lang_markers_sql()} as lang_guess
+            from documents""",
+        "quality": """
+            select doc_id,
+              cast(length(text) as bigint) as n_chars_text,
+              cast(case when trim(text) = '' then 0
+                   else len(regexp_split_to_array(trim(text), '\\s+')) end
+                   as bigint) as n_tokens,
+              round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0
+                    / greatest(length(text), 1), 6) as alnum_ratio,
+              round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                    / greatest(length(text), 1), 6) as punct_ratio,
+              round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0
+                    / greatest(case when trim(text) = '' then 0
+                      else len(regexp_split_to_array(trim(text), '\\s+')) end, 1),
+                    6) as mean_token_len
+            from documents""",
+        "fingerprint": """
+            select doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+            from documents""",
+        "cosine_topk": """
+            with scored as (
+              select q.vec_id as query_id, c.vec_id as neighbor_id,
+                     round(list_dot_product(c.embedding, q.embedding) /
+                       greatest(sqrt(list_dot_product(c.embedding, c.embedding))
+                         * sqrt(list_dot_product(q.embedding, q.embedding)),
+                         1e-12), 4) as cos_sim
+              from embeddings c, embeddings q
+              where q.vec_id < 10 and c.vec_id <> q.vec_id
+            ), ranked as (
+              select *, row_number() over (partition by query_id
+                order by cos_sim desc, neighbor_id asc) as rank
+              from scored
+            )
+            select query_id, neighbor_id, cast(rank as int) as rank, cos_sim
+            from ranked where rank <= 5 order by query_id, rank""",
+        "lsh_buckets": _lsh_bucket_sql(),
+    }

@@ -1,0 +1,84 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Every query materializes via the noop sink (full computation, no
+driver collect). The flagship is the PDF render→extract roundtrip —
+the north-rule metric is documents extracted per second.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "pdf_text_roundtrip",
+    "pdf_table_cells",
+    "pricing_summary",
+    "revenue_topn",
+    "sessionize",
+    "doctop_cumsum",
+    "dedup_exact",
+    "minhash_candidates",
+    "simhash",
+    "cosine_topk",
+    "quality",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .appName("pdfplumber_rs_spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    docs_per_sec = round(n_docs / times["pdf_text_roundtrip"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (PDF extraction roundtrip "
+                          "+ operator battery)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

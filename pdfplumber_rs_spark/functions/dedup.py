@@ -1,0 +1,170 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact: fingerprint hash-groupBy (one shuffle on the hash, partial agg
+  map-side; at 10^12 docs the md5 key distributes uniformly, no skew).
+- n-gram Jaccard: bounded candidate generation (never O(n²) all-pairs)
+  + set similarity with array_intersect/array_union.
+- MinHash + LSH: md5-seeded signatures (portable to the SQL oracle),
+  band-bucket join so candidate pairs come from a shuffle on bucket
+  keys instead of a cross join.
+All JVM-side column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint →
+    hash aggregate. Returns (fp, keep_id, n_dups) for groups with >1."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per fingerprint (window top-1)."""
+    fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fp", id_col], "left_semi").drop("fp")
+
+
+def token_set(text: Column) -> Column:
+    return F.array_distinct(word_tokens(text))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over token arrays, 6dp (oracle-stable)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        key_col: str = "lang",
+                        window: int = 10,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-set Jaccard within a bounded
+    candidate window: same key_col, id difference ≤ window. The window
+    bound keeps the self-join linear (each row joins ≤ window others);
+    at full scale the same shape runs as a range join on the id."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        token_set(F.col(text_col)).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("b.id") > F.col("a.id"))
+        & (F.col("b.id") <= F.col("a.id") + window),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.toks"), F.col("b.toks")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def _token_hash(token: Column, seed: int) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5(seed‖token).
+    Identical expression exists in DuckDB — the oracle bridge."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), token)), 1, 8),
+                  16, 10).cast("long")
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: explode tokens once, then one
+    hash-aggregate computing all k minima (map-side partial agg — the
+    shuffle carries k longs per doc, not the token stream)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_set(F.col(text_col))).alias("tok"),
+    )
+    aggs = [
+        F.min(_token_hash(F.col("tok"), k)).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = 8,
+                           band_size: int = 2) -> DataFrame:
+    """LSH banding: signatures → (band, band_hash) buckets → self-join on
+    bucket → distinct candidate pairs. The join key is (band, values),
+    so candidates shuffle by bucket — no cross join at any scale."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"h{b * band_size + i}").cast("string")
+                          for i in range(band_size)],
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-token md5-derived 64-bit value; per-bit
+    weighted vote via sum(±1) per bit position, sign → bit. Expressed as
+    explode + groupBy + bit aggregation (shuffle carries 64 ints/doc)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    # low 32 bits of the md5 (hex chars 9..16): enough for the 16 vote
+    # bits, and parses identically in ANSI SQL engines
+    h = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(16)  # 16 bits is plenty for bucketing demo
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for bit in range(16):
+        sim = sim + F.when(F.col(f"b{bit}") > 0, F.lit(2 ** bit)).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))

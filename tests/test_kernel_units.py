@@ -1,0 +1,287 @@
+"""Kernel unit tests mirroring the reference's inline suites
+(SURVEY.md §5.1): tokenizer edge cases, char bbox math, word
+clustering tolerances, table pipeline stages, filters, budgets."""
+
+from __future__ import annotations
+
+from pdfplumber_rs_spark.config import (
+    DedupeOptions,
+    ExtractOptions,
+    TableSettings,
+    WordOptions,
+)
+from pdfplumber_rs_spark.kernel.document import extract_document, open_pdf
+from pdfplumber_rs_spark.kernel.objects import Lexer, Name, Ref
+from pdfplumber_rs_spark.kernel.tables import (
+    cells_to_tables,
+    edges_to_intersections,
+    intersections_to_cells,
+    join_edge_group,
+    merge_edges,
+    snap_edges,
+    table_rows,
+)
+from pdfplumber_rs_spark.kernel.words import extract_words
+from pdfplumber_rs_spark.sources import pdfgen
+
+
+def make_char(text, x0, top=100.0, size=10.0, width=6.0):
+    return {
+        "text": text, "x0": x0, "top": top, "x1": x0 + width,
+        "bottom": top + size, "fontname": "Courier", "size": size,
+        "doctop": top, "upright": True, "direction": "ltr",
+        "char_code": ord(text[0]) if text else 0, "mcid": None, "tag": None,
+    }
+
+
+# -- lexer ---------------------------------------------------------------------
+
+def test_lexer_basic_objects():
+    lx = Lexer(b"/Name (str) <41> [1 2] << /K 3 >> 4 0 R 5 true null")
+    assert lx.next_object() == Name("Name")
+    assert lx.next_object() == b"str"
+    assert lx.next_object() == b"A"
+    assert lx.next_object() == [1, 2]
+    assert lx.next_object() == {"K": 3}
+    assert lx.next_object() == Ref(4, 0)
+    assert lx.next_object() == 5
+    assert lx.next_object() is True
+    assert lx.next_object() is None
+
+
+def test_lexer_string_escapes():
+    lx = Lexer(rb"(a\(b\)c \\ \n \101)")
+    assert lx.next_object() == b"a(b)c \\ \n A"
+
+
+def test_lexer_integer_run_is_linear():
+    """Regression: `num gen R` lookahead must not recurse through integer
+    runs (was O(n²) on objstm offset tables)."""
+    import time
+
+    data = b"[" + b" ".join(str(i).encode() for i in range(40000)) + b"]"
+    t0 = time.time()
+    out = Lexer(data).next_object()
+    assert len(out) > 0
+    assert time.time() - t0 < 2.0
+
+
+def test_lexer_nested_dict():
+    lx = Lexer(b"<< /A << /B [1 [2]] >> /C /D >>")
+    assert lx.next_object() == {"A": {"B": [1, [2]]}, "C": Name("D")}
+
+
+# -- char bbox math (char_extraction.rs:170-279) --------------------------------
+
+def test_char_bbox_helvetica_12pt():
+    """12pt A at (72,720) on 792-high page → bbox (72, 63.516, 80.004, 75.516)
+    with Helvetica AFM descent -207 (golden oracle convention)."""
+    pdf = pdfgen.build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (A) Tj ET"], fonts={"F1": "Helvetica"}
+    )
+    res = extract_document(pdf)
+    ch = res["pages"][0]["chars"][0]
+    assert ch["text"] == "A"
+    assert abs(ch["x0"] - 72.0) < 1e-9
+    assert abs(ch["x1"] - 72.0 - 12 * 667 / 1000) < 1e-9
+    # baseline at y=720; descent -207/1000*12 = -2.484; top = H - (720+9.516)
+    assert abs(ch["bottom"] - ch["top"] - 12.0) < 1e-9
+    assert abs((792 - ch["bottom"]) - (720 - 2.484)) < 1e-9
+    assert ch["size"] == 12.0
+    assert ch["upright"] is True
+
+
+def test_char_rise_shifts_bbox():
+    pdf = pdfgen.build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td 5 Ts (A) Tj ET"], fonts={"F1": "Helvetica"}
+    )
+    base = pdfgen.build_pdf(
+        [b"BT /F1 12 Tf 72 720 Td (A) Tj ET"], fonts={"F1": "Helvetica"}
+    )
+    c1 = extract_document(pdf)["pages"][0]["chars"][0]
+    c0 = extract_document(base)["pages"][0]["chars"][0]
+    assert abs((c0["top"] - c1["top"]) - 5.0) < 1e-9
+
+
+def test_tj_array_kerning():
+    """TJ numeric adjustment: tx = -(adj/1000)·Tfs·Th."""
+    pdf = pdfgen.build_pdf(
+        [b"BT /F2 10 Tf 72 720 Td [(A) -500 (B)] TJ ET"]
+    )
+    chars = extract_document(pdf)["pages"][0]["chars"]
+    a, b = chars
+    gap = b["x0"] - a["x1"]
+    assert abs(gap - 5.0) < 1e-9  # 500/1000*10
+
+
+# -- word clustering (words.rs:394-1588 patterns) --------------------------------
+
+def test_words_split_on_gap():
+    chars = [make_char("a", 10), make_char("b", 16),  # touching
+             make_char("c", 30)]  # gap 8 > 3
+    words = extract_words(chars, WordOptions())
+    assert [w["text"] for w in words] == ["ab", "c"]
+
+
+def test_words_tolerance_boundary():
+    # gap exactly x_tolerance keeps the word together (> tol splits)
+    chars = [make_char("a", 10), make_char("b", 19.0)]  # gap 3.0
+    assert len(extract_words(chars, WordOptions())) == 1
+    chars = [make_char("a", 10), make_char("b", 19.1)]  # gap 3.1
+    assert len(extract_words(chars, WordOptions())) == 2
+
+
+def test_words_blank_split():
+    chars = [make_char("a", 10), make_char(" ", 16), make_char("b", 22)]
+    words = extract_words(chars, WordOptions())
+    assert [w["text"] for w in words] == ["a", "b"]
+    words = extract_words(chars, WordOptions(keep_blank_chars=True))
+    assert [w["text"] for w in words] == ["a b"]
+
+
+def test_words_multiline():
+    chars = [make_char("a", 10, top=100), make_char("b", 10, top=120)]
+    words = extract_words(chars, WordOptions())
+    assert len(words) == 2
+
+
+def test_words_reversed_input_order():
+    chars = [make_char("b", 16), make_char("a", 10)]
+    words = extract_words(chars, WordOptions())
+    assert [w["text"] for w in words] == ["ab"]
+
+
+def test_ligature_expansion():
+    chars = [make_char("ﬁ", 10)]
+    words = extract_words(chars, WordOptions())
+    assert words[0]["text"] == "fi"
+
+
+# -- table stages (table.rs snap/join/intersection tests) ------------------------
+
+def _edge(x0, top, x1, bottom, o):
+    return {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
+            "orientation": o, "source": "line"}
+
+
+def test_snap_edges_to_cluster_mean():
+    edges = [_edge(0, 10, 100, 10, "h"), _edge(0, 12, 100, 12, "h")]
+    out = snap_edges(edges, 3.0, 3.0)
+    assert all(abs(e["top"] - 11.0) < 1e-9 for e in out)
+
+
+def test_snap_edges_outside_tolerance():
+    edges = [_edge(0, 10, 100, 10, "h"), _edge(0, 20, 100, 20, "h")]
+    out = snap_edges(edges, 3.0, 3.0)
+    assert sorted(e["top"] for e in out) == [10.0, 20.0]
+
+
+def test_join_collinear_edges():
+    edges = [_edge(0, 10, 50, 10, "h"), _edge(52, 10, 100, 10, "h")]
+    out = join_edge_group(edges, "h", 3.0)
+    assert len(out) == 1 and out[0]["x0"] == 0 and out[0]["x1"] == 100
+
+
+def test_join_gap_too_large():
+    edges = [_edge(0, 10, 50, 10, "h"), _edge(60, 10, 100, 10, "h")]
+    out = join_edge_group(edges, "h", 3.0)
+    assert len(out) == 2
+
+
+def test_grid_3x3_gives_4_cells():
+    edges = []
+    for y in (0, 10, 20):
+        edges.append(_edge(0, y, 20, y, "h"))
+    for x in (0, 10, 20):
+        edges.append(_edge(x, 0, x, 20, "v"))
+    merged = merge_edges(edges, 3, 3, 3, 3)
+    inter = edges_to_intersections(merged, 3, 3)
+    assert len(inter) == 9
+    cells = intersections_to_cells(inter)
+    assert len(cells) == 4
+    tables = cells_to_tables(cells)
+    assert len(tables) == 1 and len(tables[0]) == 4
+
+
+def test_merged_cell_stays_merged_and_rows_pad():
+    """Vertical merge: left column has no middle rule — smallest-rect
+    search yields a tall cell; rows pad the missing slot with None."""
+    edges = [
+        _edge(0, 0, 20, 0, "h"),
+        _edge(10, 10, 20, 10, "h"),  # middle rule only on the right half
+        _edge(0, 20, 20, 20, "h"),
+        _edge(0, 0, 0, 20, "v"),
+        _edge(10, 0, 10, 20, "v"),
+        _edge(20, 0, 20, 20, "v"),
+    ]
+    merged = merge_edges(edges, 3, 3, 3, 3)
+    inter = edges_to_intersections(merged, 3, 3)
+    cells = intersections_to_cells(inter)
+    assert (0.0, 0.0, 10.0, 20.0) in cells  # tall merged cell
+    rows = table_rows(cells)
+    assert len(rows) == 2
+    assert rows[1][0] is None  # padded slot under the merged cell
+
+
+def test_lattice_end_to_end():
+    res = extract_document(pdfgen.fixture_lattice(3, 3))
+    tables = res["pages"][0]["tables"]
+    assert len(tables) == 1
+    texts = [[c["text"] for c in row] for row in tables[0]["rows"]]
+    assert texts[0] == ["R0C0", "R0C1", "R0C2"]
+    assert texts[2] == ["R2C0", "R2C1", "R2C2"]
+
+
+def test_stream_strategy_detects_borderless():
+    res = extract_document(pdfgen.fixture_stream(6, 3))
+    page_chars = res["pages"][0]["chars"]
+    words = res["pages"][0]["words"]
+    assert page_chars and words
+    doc = open_pdf(pdfgen.fixture_stream(6, 3))
+    page = doc.page(0)
+    tables = page.find_tables(TableSettings(strategy="stream"))
+    assert tables, "stream strategy must find the aligned grid"
+    assert tables[0]["rows"][0][0]["text"] == "Data-0-0"
+    # default lattice finds nothing on a borderless page
+    assert page.find_tables(TableSettings()) == []
+
+
+# -- filters / options ------------------------------------------------------------
+
+def test_dedupe_chars_default_tolerance():
+    pdf = pdfgen.build_pdf(
+        [b"BT /F2 10 Tf 72 720 Td (A) Tj ET BT /F2 10 Tf 72.5 720.2 Td (A) Tj ET"]
+    )
+    res = extract_document(pdf, ExtractOptions(dedupe=DedupeOptions()))
+    assert len(res["pages"][0]["chars"]) == 1
+    res2 = extract_document(pdf, ExtractOptions(dedupe=None))
+    assert len(res2["pages"][0]["chars"]) == 2
+
+
+def test_crop_and_within_bbox():
+    doc = open_pdf(pdfgen.fixture_text(10))
+    page = doc.page(0)
+    n_all = len(page.chars)
+    cropped = page.crop((0, 0, 612, 80))  # first line only (top≈64)
+    assert 0 < len(cropped.chars) < n_all
+    assert all(c["top"] >= 0 for c in cropped.chars)
+
+
+def test_budget_rejects_oversized_input():
+    res = extract_document(b"x" * 100, ExtractOptions(max_input_bytes=10))
+    assert res["error"]
+
+
+def test_garbage_inputs_never_raise():
+    for bad in (b"", b"garbage", b"%PDF-1.4\nbroken",
+                b"%PDF-1.7\n" + b"\x00" * 500):
+        res = extract_document(bad)
+        assert res["n_pages"] == 0 or res["error"] is None
+
+
+def test_multipage_doctop():
+    res = extract_document(pdfgen.fixture_multipage(3, 5))
+    p1, p2 = res["pages"][0], res["pages"][1]
+    c1, c2 = p1["chars"][0], p2["chars"][0]
+    assert abs((c2["doctop"] - c2["top"]) - 792.0) < 1e-9
+    assert abs(c1["doctop"] - c1["top"]) < 1e-9

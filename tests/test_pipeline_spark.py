@@ -1,0 +1,94 @@
+"""Spark pipeline integration: extraction kernel, doctop window,
+exploded views, skew splitting, lineage, resume."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfplumber_rs_spark import pipeline as P
+from pdfplumber_rs_spark.sources import pdfgen
+
+
+def _corpus(spark, n=12):
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            pdf = pdfgen.fixture_complex(2)
+        elif i % 4 == 1:
+            pdf = pdfgen.fixture_multipage(3, 5)
+        elif i % 4 == 2:
+            pdf = pdfgen.pdf_from_text(f"alpha {i}\nbeta gamma {i}")
+        else:
+            pdf = b"not a pdf at all"
+        rows.append((f"https://t.example/{i:04d}.pdf", pdf))
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_extract_pages_and_views(spark):
+    pages = P.extract_pages(_corpus(spark), handle_skew=False).cache()
+    assert pages.count() > 12  # multi-page docs explode
+    # broken PDFs become error rows, not failures
+    assert pages.filter(F.col("error").isNotNull()).count() == 3
+    chars = P.chars_table(pages)
+    assert chars.count() > 0
+    assert set(chars.columns) >= {"url", "page_number", "seq", "text", "x0",
+                                  "doctop"}
+    tables = P.tables_table(pages)
+    assert tables.count() == 3 * 2  # complex fixture: 1 table × 2 pages × 3 docs
+    cells = P.cells_table(pages)
+    assert cells.count() == 3 * 2 * 5 * 4
+
+
+def test_doctop_window(spark):
+    df = spark.createDataFrame(
+        [("u", pdfgen.fixture_multipage(3, 4))], "url string, html binary"
+    )
+    pages = P.extract_pages(df, handle_skew=False)
+    chars = P.chars_table(pages)
+    r = (
+        chars.groupBy("page_number")
+        .agg(F.min((F.col("doctop") - F.col("top"))).alias("off"))
+        .orderBy("page_number")
+        .collect()
+    )
+    assert [row.off for row in r] == [0.0, 792.0, 1584.0]
+
+
+def test_document_text_order(spark):
+    df = spark.createDataFrame(
+        [("u", pdfgen.fixture_multipage(3, 2))], "url string, html binary"
+    )
+    doc = P.document_text(P.extract_pages(df, handle_skew=False)).collect()[0]
+    lines = doc.text.split("\n")
+    assert lines[0].startswith("Page 0") and lines[2].startswith("Page 1")
+    assert doc.n_pages == 3
+
+
+def test_split_giant_documents(spark):
+    big = pdfgen.fixture_multipage(7, 2)
+    df = spark.createDataFrame(
+        [("big", big), ("small", pdfgen.fixture_text(2))],
+        "url string, html binary",
+    )
+    ranged = P.split_giant_documents(df, max_bytes=len(big) - 1,
+                                     pages_per_split=3)
+    rows = {(r.url, r.page_start, r.page_end) for r in ranged.collect()}
+    assert ("small", None, None) in rows
+    assert ("big", 0, 3) in rows and ("big", 3, 6) in rows and ("big", 6, 7) in rows
+    # ranged extraction reassembles the full document
+    pages = P.extract_pages(df, handle_skew=True)
+    counts = {r.url: r.n_pages for r in P.document_text(pages).collect()}
+    assert counts["big"] == 7 and counts["small"] == 1
+
+
+def test_lineage_and_resume(spark):
+    df = _corpus(spark, 8)
+    pages = P.extract_pages(df, handle_skew=False)
+    lin = P.lineage(pages)
+    agg = lin.agg(F.sum("n_urls"), F.sum("n_errors")).collect()[0]
+    assert agg[0] == 8 and agg[1] == 2
+    committed = spark.createDataFrame(
+        [("https://t.example/0000.pdf",)], "url string"
+    )
+    remaining = P.resume_filter(df, committed)
+    assert remaining.count() == 7
