@@ -116,7 +116,7 @@ def q_doctop_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return li.select(
@@ -526,7 +526,8 @@ with toks as (
         "doctop_cumsum": """
             select l_orderkey, l_linenumber,
                    round(coalesce(sum(l_quantity) over (
-                     partition by l_orderkey order by l_linenumber
+                     partition by l_orderkey
+                     order by l_linenumber, l_quantity, l_extendedprice
                      rows between unbounded preceding and 1 preceding), 0), 4)
                      as doctop
             from lineitem""",

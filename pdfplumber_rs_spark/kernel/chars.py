@@ -71,7 +71,15 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     top = page_height - max_y
     bottom = page_height - min_y
 
-    upright = (np.abs(b) < 1e-6) & (np.abs(c) < 1e-6)
+    # pdfminer upright semantics: evaluated on Tm×CTM (no font-size
+    # prematrix), with the horizontal-scaling sign folded in:
+    # upright = 0 < a·d·scaling and b·c <= 0. Negative Tz / mirrored
+    # matrices make text non-upright (drives word grouping).
+    am = a2 * a3 + b2 * c3
+    bm = a2 * b3 + b2 * d3
+    cm = c2 * a3 + d2 * c3
+    dm = c2 * b3 + d2 * d3
+    upright = (am * dm * th > 0) & (bm * cm <= 0)
     # direction from dominant Trm axis (char_extraction.rs:94-104)
     horiz = np.abs(a) >= np.abs(b)
     direction = np.where(horiz, np.where(a >= 0, 0, 1), np.where(b > 0, 3, 2))

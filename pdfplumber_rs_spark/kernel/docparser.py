@@ -32,7 +32,42 @@ class PdfDocument:
         self._xref: dict[int, tuple] = {}
         self._cache: dict[int, object] = {}
         self.trailer: dict = {}
+        self._decryptor = None
+        self._encrypt_num: int | None = None
         self._parse_structure()
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Empty-password auto-decrypt for the standard security handler
+        (pdf.rs:167-206). Must run after the trailer is known and before
+        any non-xref object is served."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        doc_id = b""
+        ids = self.trailer.get("ID")
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            doc_id = ids[0]
+        try:
+            from .crypt import Decryptor
+
+            dec = Decryptor(enc, doc_id, self.resolve)
+        except Exception as e:  # noqa: BLE001 — lenient
+            self.warnings.append(f"encryption setup failed: {e}")
+            return
+        if dec.ok:
+            self._decryptor = dec
+            # objects fetched while building xref/trailer were undecrypted
+            self._cache = {
+                k: v for k, v in self._cache.items() if k == self._encrypt_num
+            }
+        else:
+            self.warnings.append("unsupported encryption; data left encrypted")
 
     # -- structure ---------------------------------------------------------
 
@@ -244,15 +279,24 @@ class PdfDocument:
             return None
         self._cache[num] = None  # cycle guard
         if entry[0] == "objstm":
+            # objects inside an object stream are covered by the container
+            # stream's decryption — no per-object pass needed
             obj = self._get_from_objstm(entry[1], entry[2], num)
         else:
+            gen = entry[1]
             try:
-                onum, _, obj = self._parse_indirect_at(entry[0])
+                onum, pgen, obj = self._parse_indirect_at(entry[0])
+                gen = pgen
                 if onum != num:
                     # xref off-by-a-bit: scan nearby for the right object
                     obj = self._find_object_by_scan(num) or obj
             except (PdfError, LexError, StopIteration):
                 obj = self._find_object_by_scan(num)
+            if self._decryptor is not None and num != self._encrypt_num:
+                try:
+                    obj = self._decryptor.decrypt_object(obj, num, gen)
+                except Exception as e:  # noqa: BLE001
+                    self.warnings.append(f"decrypt failed for obj {num}: {e}")
         self._cache[num] = obj
         return obj
 

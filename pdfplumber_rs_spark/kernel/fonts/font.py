@@ -13,6 +13,7 @@ from ..filters import decode_stream
 from ..objects import Name, Ref, Stream
 from .cmap import ToUnicodeCMap, parse_tounicode
 from .encodings import SimpleEncoding
+from .cjk import codec_for_cmap
 from .standard_fonts import lookup as lookup_standard
 from .standard_fonts import lookup_metrics as lookup_afm_metrics
 
@@ -27,6 +28,9 @@ class LoadedFont:
 
     __slots__ = (
         "base_name",
+        "display_name",
+        "cjk_codec",
+        "cjk_lead_rule",
         "is_cid",
         "is_identity_encoding",
         "cid_ordering",
@@ -45,6 +49,9 @@ class LoadedFont:
 
     def __init__(self) -> None:
         self.base_name = "Unknown"
+        self.display_name = "Unknown"
+        self.cjk_codec: str | None = None
+        self.cjk_lead_rule: str | None = None
         self.is_cid = False
         self.is_identity_encoding = False
         self.cid_ordering: str | None = None
@@ -125,6 +132,7 @@ def load_font(doc, font_obj) -> LoadedFont:
         return font
     base = doc.resolve(fd.get("BaseFont"))
     font.base_name = str(base) if base is not None else "Unknown"
+    font.display_name = font.base_name
     subtype = str(doc.resolve(fd.get("Subtype")) or "")
 
     if subtype == "Type0":
@@ -142,7 +150,19 @@ def load_font(doc, font_obj) -> LoadedFont:
     return font
 
 
+def _descriptor_font_name(doc, fd: dict) -> str | None:
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    if isinstance(desc, dict):
+        fn = doc.resolve(desc.get("FontName"))
+        if fn is not None:
+            return str(fn)
+    return None
+
+
 def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
+    dn = _descriptor_font_name(doc, fd)
+    if dn:
+        font.display_name = dn
     font.first_char = int(_f(doc.resolve(fd.get("FirstChar")), 0))
     font.last_char = int(_f(doc.resolve(fd.get("LastChar")), 0))
     widths_obj = doc.resolve(fd.get("Widths"))
@@ -191,11 +211,18 @@ def _load_type0(doc, fd: dict, font: LoadedFont) -> None:
         font.is_identity_encoding = True
     if enc_name.endswith("-V") or enc_name == "V":
         font.writing_mode = 1
+    if enc_name and not font.is_identity_encoding:
+        hit = codec_for_cmap(enc_name)
+        if hit is not None:
+            font.cjk_codec, font.cjk_lead_rule = hit
 
     desc_fonts = doc.resolve(fd.get("DescendantFonts"))
     if isinstance(desc_fonts, list) and desc_fonts:
         df = doc.resolve(desc_fonts[0])
         if isinstance(df, dict):
+            dn = _descriptor_font_name(doc, df)
+            if dn:
+                font.display_name = dn
             font.cid_default_width = _f(doc.resolve(df.get("DW")), DEFAULT_CID_WIDTH)
             w_arr = doc.resolve(df.get("W"))
             if isinstance(w_arr, list):

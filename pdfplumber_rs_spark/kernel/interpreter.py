@@ -395,30 +395,43 @@ class Interpreter:
         th = gs.h_scaling
         mcid = mc_stack[-1][1] if mc_stack else None
         tag = mc_stack[-1][0] if mc_stack else None
-        fname = font.base_name if font is not None else gs.font_name
+        fname = font.display_name if font is not None else gs.font_name
         if font is not None:
             asc, desc = font.bbox_ascent_descent()
         else:
             asc, desc = 750.0, -250.0
 
-        codes: list[int] = []
+        # (code, raw_bytes) pairs; raw bytes feed the CJK charset decode
+        pairs: list[tuple[int, bytes | None]]
         if is_cid:
-            i = 0
-            n = len(data)
-            while i < n:
-                if i + 1 < n:
-                    codes.append((data[i] << 8) | data[i + 1])
-                    i += 2
-                else:
-                    codes.append(data[i])
-                    i += 1
-        else:
-            codes = list(data)
+            if font.cjk_codec is not None:
+                from .fonts.cjk import split_codes
 
-        for code in codes:
+                pairs = split_codes(data, font.cjk_lead_rule)
+            else:
+                pairs = []
+                i = 0
+                n = len(data)
+                while i < n:
+                    if i + 1 < n:
+                        pairs.append((((data[i] << 8) | data[i + 1]), None))
+                        i += 2
+                    else:
+                        pairs.append((data[i], None))
+                        i += 1
+        else:
+            pairs = [(b, None) for b in data]
+
+        for code, raw in pairs:
             if font is not None:
                 w0 = font.get_width(code)
                 uni = font.to_unicode(code)
+                if raw is not None and (uni is None or uni.startswith("(cid:")):
+                    from .fonts.cjk import decode_cjk
+
+                    dec = decode_cjk(raw, font.cjk_codec)
+                    if dec:
+                        uni = dec
             else:
                 w0 = 600.0
                 try:

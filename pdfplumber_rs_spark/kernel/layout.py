@@ -220,8 +220,13 @@ def blocks_to_text(blocks: list[dict]) -> str:
 
 
 def words_to_text(words: list[dict], y_tolerance: float) -> str:
-    lines = cluster_words_into_lines(words, y_tolerance)
-    return "\n".join(" ".join(w["text"] for w in line["words"]) for line in lines)
+    """Default extract_text: pdfplumber textmap semantics — words
+    stable-clustered by doctop (chained, y_tolerance), extraction order
+    kept within a line; ' ' within lines, '\n' between."""
+    from .words import cluster_objects
+
+    lines = cluster_objects(words, lambda w: w["doctop"], y_tolerance)
+    return "\n".join(" ".join(w["text"] for w in line) for line in lines)
 
 
 def extract_text_from_words(words: list[dict], options: TextOptions | None = None) -> str:

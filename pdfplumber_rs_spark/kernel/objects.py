@@ -81,7 +81,7 @@ class Lexer:
     def __init__(self, data: bytes, pos: int = 0, end: int | None = None) -> None:
         self.data = data
         self.pos = pos
-        self.end = len(data) if end is None else end
+        self.end = len(data) if end is None else min(end, len(data))
 
     # -- low-level helpers -------------------------------------------------
 

@@ -1,22 +1,93 @@
-"""Word extraction: chars -> words via cluster-sort + gap-split.
+"""Word extraction with Python-pdfplumber 0.11.x semantics (the golden
+oracle; the Rust reference's cluster-sort in words.rs:71-392 is an
+approximation of the same behavior, validated at ≥95% — we match the
+oracle exactly):
 
-Port of crates/pdfplumber-core/src/words.rs:71-392 semantics:
-- horizontal (ltr+rtl) chars merged, sorted spatially; vertical (ttb+btt)
-  chars handled as a separate ttb-sorted group
-- cluster_sort: sort by cross axis, cluster within tolerance, sort within
-  cluster by reading axis (with the RTL physical-direction vote)
-- split when interval gap > x_tolerance or |dtop| > y_tolerance; blanks
-  split words unless keep_blank_chars; Arabic diacritics never split
-- make_word: concat text (ligature expansion), union bbox, min doctop,
-  first char's direction
+- chars are pre-ordered by `iter_sort_chars` unless use_text_flow:
+  upright chars cluster by doctop (stable chained clustering with
+  y_tolerance) then sort within line by x0; non-upright chars cluster
+  by x0 and sort within column by doctop (stable → stream order for
+  ties, which is what preserves mirrored/negative-scaling text runs).
+- a char starts a new word when it falls outside the current word's
+  bbox grown by x_tolerance along the reading axis and y_tolerance
+  across it (tolerances swap for non-upright text).
+- blank chars split words unless keep_blank_chars; ligatures expand.
 """
 
 from __future__ import annotations
 
 from ..config import WordOptions
-from .textnorm import expand_ligatures, is_arabic_diacritic_text
+from .textnorm import expand_ligatures
 
 _VERTICAL = ("ttb", "btt")
+
+
+def cluster_objects(objs: list, keyf, tolerance: float) -> list[list]:
+    """pdfplumber's clustering: chain the UNIQUE key values (sorted,
+    within tolerance of the previous value) into cluster ids, then
+    stable-group the objects by cluster id — stream order is preserved
+    WITHIN each cluster (this is load-bearing for mirrored text)."""
+    if not objs:
+        return []
+    values = sorted(set(keyf(o) for o in objs))
+    cluster_of: dict = {}
+    cid = 0
+    last = values[0]
+    cluster_of[values[0]] = 0
+    for v in values[1:]:
+        if v > last + tolerance:
+            cid += 1
+        cluster_of[v] = cid
+        last = v
+    groups: list[list] = [[] for _ in range(cid + 1)]
+    for o in objs:
+        groups[cluster_of[keyf(o)]].append(o)
+    return groups
+
+
+def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
+                    horizontal_ltr: bool = True,
+                    vertical_ttb: bool = True) -> list[dict]:
+    out: list[dict] = []
+    for upright_cluster in cluster_objects(
+        chars, lambda c: -int(bool(c["upright"])), 0
+    ):
+        upright = bool(upright_cluster[0]["upright"])
+        cluster_key = (lambda c: c["doctop"]) if upright else (lambda c: c["x0"])
+        for line in cluster_objects(upright_cluster, cluster_key, y_tol):
+            sort_key = (lambda c: c["x0"]) if upright else (lambda c: c["doctop"])
+            ordered = sorted(line, key=sort_key)
+            if (upright and not horizontal_ltr) or (not upright and not vertical_ttb):
+                ordered = list(reversed(ordered))
+            out.extend(ordered)
+    return out
+
+
+def char_begins_new_word(current: list[dict], next_char: dict,
+                         x_tol: float, y_tol: float) -> bool:
+    upright = bool(current[-1]["upright"])
+    intraline = x_tol if upright else y_tol
+    interline = y_tol if upright else x_tol
+    wx0 = min(c["x0"] for c in current)
+    wx1 = max(c["x1"] for c in current)
+    wtop = min(c["top"] for c in current)
+    wbot = max(c["bottom"] for c in current)
+    if upright:
+        return (
+            next_char["x0"] > wx1 + intraline
+            or next_char["x0"] < wx0 - intraline
+            or next_char["top"] > wbot + interline
+            or next_char["bottom"] < wtop - interline
+        )
+    # non-upright (rotated/mirrored) text reads along the y-axis: the
+    # next char must stay in the same x0 COLUMN (window around the
+    # word's x0) and within the word's vertical extent ± tolerance
+    return (
+        next_char["x0"] > wx0 + interline
+        or next_char["x0"] < wx0 - interline
+        or next_char["top"] > wbot + intraline
+        or next_char["bottom"] < wtop - intraline
+    )
 
 
 def extract_words(chars: list[dict], options: WordOptions | None = None) -> list[dict]:
@@ -24,117 +95,34 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
         options = WordOptions()
     if not chars:
         return []
-
-    has_vertical = any(c["direction"] in _VERTICAL for c in chars)
-    if not has_vertical:
-        return _extract_group(chars, options, None)
-
-    horizontal = [c for c in chars if c["direction"] not in _VERTICAL]
-    vertical = [c for c in chars if c["direction"] in _VERTICAL]
-    words: list[dict] = []
-    if horizontal:
-        words.extend(_extract_group(horizontal, options, None))
-    if vertical:
-        words.extend(_extract_group(vertical, options, "ttb"))
-    return words
-
-
-def _extract_group(chars: list[dict], options: WordOptions,
-                   force_direction: str | None) -> list[dict]:
-    if not chars:
-        return []
-    direction = force_direction or options.text_direction
-    sorted_chars = list(chars)
-    if not options.use_text_flow:
-        _cluster_sort(sorted_chars, options, direction)
-
-    is_vertical = direction in _VERTICAL
+    ordered = (
+        list(chars)
+        if options.use_text_flow
+        else iter_sort_chars(
+            chars, options.x_tolerance, options.y_tolerance,
+            horizontal_ltr=options.text_direction != "rtl",
+            vertical_ttb=options.text_direction != "btt",
+        )
+    )
     words: list[dict] = []
     current: list[dict] = []
-
-    for ch in sorted_chars:
-        is_blank = bool(ch["text"]) and all(c.isspace() for c in ch["text"])
-        if not ch["text"]:
-            is_blank = True
+    for ch in ordered:
+        text = ch["text"]
+        is_blank = not text or text.isspace()
         if is_blank and not options.keep_blank_chars:
             if current:
                 words.append(_make_word(current, options.expand_ligatures))
                 current = []
-            continue
-        if not current:
-            current.append(ch)
-            continue
-        last = current[-1]
-        if is_vertical:
-            split = _should_split_vertical(last, ch, options)
-        else:
-            split = _should_split_horizontal(last, ch, options)
-        if split:
+        elif current and char_begins_new_word(
+            current, ch, options.x_tolerance, options.y_tolerance
+        ):
             words.append(_make_word(current, options.expand_ligatures))
-            current = []
-        current.append(ch)
-
+            current = [ch]
+        else:
+            current.append(ch)
     if current:
         words.append(_make_word(current, options.expand_ligatures))
     return words
-
-
-def _cluster_sort(chars: list[dict], options: WordOptions, direction: str) -> None:
-    is_vertical = direction in _VERTICAL
-
-    if is_vertical:
-        chars.sort(key=lambda c: -c["x0"])
-        cross_tol = options.x_tolerance
-    else:
-        chars.sort(key=lambda c: c["top"])
-        cross_tol = options.y_tolerance
-
-    # cluster boundaries on consecutive cross-axis diffs
-    starts = [0]
-    for i in range(1, len(chars)):
-        if is_vertical:
-            diff = abs(chars[i - 1]["x0"] - chars[i]["x0"])
-        else:
-            diff = abs(chars[i]["top"] - chars[i - 1]["top"])
-        if diff > cross_tol:
-            starts.append(i)
-    starts.append(len(chars))
-
-    for s, e in zip(starts, starts[1:]):
-        cluster = chars[s:e]
-        if direction == "ttb":
-            cluster.sort(key=lambda c: c["top"])
-        elif direction == "btt":
-            cluster.sort(key=lambda c: -c["bottom"])
-        elif direction == "rtl":
-            # physical-direction vote (words.rs:267-298)
-            if len(cluster) >= 2:
-                asc_pairs = sum(
-                    1
-                    for a, b in zip(cluster, cluster[1:])
-                    if b["x0"] >= a["x0"]
-                )
-                physically_ltr = asc_pairs >= len(cluster) // 2
-            else:
-                physically_ltr = True
-            cluster.sort(key=lambda c: c["x0"] if physically_ltr else -c["x0"])
-        else:
-            cluster.sort(key=lambda c: c["x0"])
-        chars[s:e] = cluster
-
-
-def _should_split_horizontal(last: dict, cur: dict, options: WordOptions) -> bool:
-    if is_arabic_diacritic_text(cur["text"]) or is_arabic_diacritic_text(last["text"]):
-        return False
-    x_gap = max(0.0, max(last["x0"], cur["x0"]) - min(last["x1"], cur["x1"]))
-    y_diff = abs(cur["top"] - last["top"])
-    return x_gap > options.x_tolerance or y_diff > options.y_tolerance
-
-
-def _should_split_vertical(last: dict, cur: dict, options: WordOptions) -> bool:
-    y_gap = max(0.0, max(last["top"], cur["top"]) - min(last["bottom"], cur["bottom"]))
-    x_diff = abs(cur["x0"] - last["x0"])
-    return y_gap > options.y_tolerance or x_diff > options.x_tolerance
 
 
 def _make_word(chars: list[dict], do_ligatures: bool) -> dict:
