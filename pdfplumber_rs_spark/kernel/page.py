@@ -107,10 +107,9 @@ class Page:
 
     def find_tables(self, settings: TableSettings | None = None,
                     word_options: WordOptions | None = None) -> list[dict]:
-        # rotation-aware text direction for cell text (page.rs:517-527)
+        # cell text uses the default word options (oracle semantics —
+        # rotation is already baked into the char coordinates)
         wopt = word_options or WordOptions()
-        if self.rotation in (90, 270) and wopt.text_direction == "ltr":
-            wopt = WordOptions(**{**wopt.__dict__, "text_direction": "ttb"})
         words = self.extract_words(word_options)
         return find_tables(self.edges(), words, self.chars, settings, wopt)
 

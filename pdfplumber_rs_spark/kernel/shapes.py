@@ -71,133 +71,85 @@ def _try_rect(verts: list, page_height: float):
 
 
 def extract_shapes(painted, page_height: float):
-    """PaintedPath -> (lines, rects, curves) dicts in top-left coords."""
+    """PaintedPath -> (lines, rects, curves) in top-left coords.
+
+    Classification follows the pdfminer/pdfplumber object model (the
+    golden oracle): a 2-point straight subpath is a Line, a closed
+    axis-aligned 4/5-vertex polygon is a Rect, and EVERYTHING else —
+    polylines, filled polygons, bezier paths — is a Curve carrying its
+    on-curve points (control points dropped). Edges derive per
+    consecutive point pair (see derive_edges)."""
     lines: list[dict] = []
     rects: list[dict] = []
     curves: list[dict] = []
 
-    def push_line(p0, p1):
-        fy0 = _flip(p0[1], page_height)
-        fy1 = _flip(p1[1], page_height)
-        lines.append(
-            {
-                "x0": min(p0[0], p1[0]),
-                "top": min(fy0, fy1),
-                "x1": max(p0[0], p1[0]),
-                "bottom": max(fy0, fy1),
-                "linewidth": painted.line_width,
-                "stroking_color": painted.stroke_color,
-                "orientation": _orientation(p0[0], fy0, p1[0], fy1),
-            }
-        )
+    common = {
+        "linewidth": painted.line_width,
+        "stroke": painted.stroke,
+        "fill": painted.fill,
+        "stroking_color": painted.stroke_color,
+        "non_stroking_color": painted.fill_color,
+    }
 
     for sub in _subpaths(painted.segments):
-        if any(seg[0] == "c" for seg in sub):
-            # mixed/curve subpath: each CurveTo becomes a Curve; LineTos
-            # become Lines (if stroked); ClosePath back to start
-            prev = None
-            start = None
-            for seg in sub:
-                k = seg[0]
-                if k == "m":
-                    prev = seg[1]
-                    start = seg[1]
-                elif k == "l":
-                    if painted.stroke and prev is not None:
-                        push_line(prev, seg[1])
-                    prev = seg[1]
-                elif k == "c":
-                    if prev is not None:
-                        cp1, cp2, end = seg[1], seg[2], seg[3]
-                        pts = [
-                            (prev[0], _flip(prev[1], page_height)),
-                            (cp1[0], _flip(cp1[1], page_height)),
-                            (cp2[0], _flip(cp2[1], page_height)),
-                            (end[0], _flip(end[1], page_height)),
-                        ]
-                        xs = [p[0] for p in pts]
-                        ys = [p[1] for p in pts]
-                        curves.append(
-                            {
-                                "x0": min(xs),
-                                "top": min(ys),
-                                "x1": max(xs),
-                                "bottom": max(ys),
-                                "pts": pts,
-                                "linewidth": painted.line_width,
-                                "stroke": painted.stroke,
-                                "fill": painted.fill,
-                                "stroking_color": painted.stroke_color,
-                                "non_stroking_color": painted.fill_color,
-                            }
-                        )
-                        prev = end
-                elif k == "h":
-                    if painted.stroke and prev is not None and start is not None:
-                        if (
-                            abs(prev[0] - start[0]) > AXIS_TOL
-                            or abs(prev[1] - start[1]) > AXIS_TOL
-                        ):
-                            push_line(prev, start)
-                    prev = start
-            continue
-
-        verts = _vertices(sub)
-        if not verts:
-            continue
-        closed = _is_closed(sub, verts)
-
-        if closed and len(verts) == 4:
-            r = _try_rect(verts, page_height)
-            if r is not None:
-                rects.append(
-                    {
-                        "x0": r[0], "top": r[1], "x1": r[2], "bottom": r[3],
-                        "linewidth": painted.line_width,
-                        "stroke": painted.stroke,
-                        "fill": painted.fill,
-                        "stroking_color": painted.stroke_color,
-                        "non_stroking_color": painted.fill_color,
-                    }
-                )
-                continue
-        if closed and len(verts) == 5:
-            f0, l0 = verts[0], verts[4]
-            if abs(f0[0] - l0[0]) < AXIS_TOL and abs(f0[1] - l0[1]) < AXIS_TOL:
-                r = _try_rect(verts[:4], page_height)
-                if r is not None:
-                    rects.append(
-                        {
-                            "x0": r[0], "top": r[1], "x1": r[2], "bottom": r[3],
-                            "linewidth": painted.line_width,
-                            "stroke": painted.stroke,
-                            "fill": painted.fill,
-                            "stroking_color": painted.stroke_color,
-                            "non_stroking_color": painted.fill_color,
-                        }
-                    )
-                    continue
-
-        if not painted.stroke:
-            continue
-        prev = None
+        has_curve = any(seg[0] == "c" for seg in sub)
+        # on-curve points in draw order (top-left coords)
+        pts: list[tuple] = []
+        start = None
+        closed = False
         for seg in sub:
             k = seg[0]
             if k == "m":
-                prev = seg[1]
+                start = seg[1]
+                pts.append(seg[1])
             elif k == "l":
-                if prev is not None:
-                    push_line(prev, seg[1])
-                prev = seg[1]
+                pts.append(seg[1])
+            elif k == "c":
+                pts.append(seg[3])
             elif k == "h":
-                if prev is not None and verts:
-                    s = verts[0]
-                    if (
-                        abs(prev[0] - s[0]) > AXIS_TOL
-                        or abs(prev[1] - s[1]) > AXIS_TOL
-                    ):
-                        push_line(prev, s)
-                prev = verts[0] if verts else None
+                closed = True
+        if len(pts) >= 2:
+            fx, fy = pts[0]
+            lx, ly = pts[-1]
+            if abs(fx - lx) < AXIS_TOL and abs(fy - ly) < AXIS_TOL:
+                closed = True
+        if not pts:
+            continue
+
+        if not has_curve:
+            verts = pts
+            if closed and len(verts) in (4, 5):
+                vv = verts[:4] if len(verts) == 5 else verts
+                r = _try_rect(vv, page_height)
+                if r is not None:
+                    rects.append({"x0": r[0], "top": r[1], "x1": r[2],
+                                  "bottom": r[3], **common})
+                    continue
+            if len(verts) == 2 and not closed:
+                p0, p1 = verts
+                fy0, fy1 = _flip(p0[1], page_height), _flip(p1[1], page_height)
+                lines.append(
+                    {
+                        "x0": min(p0[0], p1[0]), "top": min(fy0, fy1),
+                        "x1": max(p0[0], p1[0]), "bottom": max(fy0, fy1),
+                        "orientation": _orientation(p0[0], fy0, p1[0], fy1),
+                        **common,
+                    }
+                )
+                continue
+
+        # curve: flip points; closed paths return to the start point
+        fpts = [(x, _flip(y, page_height)) for (x, y) in pts]
+        if closed and len(fpts) >= 2 and fpts[0] != fpts[-1]:
+            fpts.append(fpts[0])
+        xs = [p[0] for p in fpts]
+        ys = [p[1] for p in fpts]
+        curves.append(
+            {
+                "x0": min(xs), "top": min(ys), "x1": max(xs),
+                "bottom": max(ys), "pts": fpts, **common,
+            }
+        )
 
     return lines, rects, curves
 
@@ -223,14 +175,14 @@ def derive_edges(lines: list[dict], rects: list[dict], curves: list[dict]) -> li
         edges.append({"x0": r["x1"], "top": r["top"], "x1": r["x1"],
                       "bottom": r["bottom"], "orientation": "v", "source": "rect_right"})
     for cv in curves:
-        sx, sy = cv["pts"][0]
-        ex, ey = cv["pts"][-1]
-        edges.append(
-            {
-                "x0": min(sx, ex), "top": min(sy, ey), "x1": max(sx, ex),
-                "bottom": max(sy, ey),
-                "orientation": _orientation(sx, sy, ex, ey),
-                "source": "curve",
-            }
-        )
+        pts = cv["pts"]
+        for (sx, sy), (ex, ey) in zip(pts, pts[1:]):
+            edges.append(
+                {
+                    "x0": min(sx, ex), "top": min(sy, ey), "x1": max(sx, ex),
+                    "bottom": max(sy, ey),
+                    "orientation": _orientation(sx, sy, ex, ey),
+                    "source": "curve",
+                }
+            )
     return edges

@@ -321,22 +321,14 @@ def _cells_bbox(cells) -> tuple:
 
 
 def _extract_cell_text(cell_chars: list[dict], options: WordOptions) -> str:
+    """Default extract_text over the cell's chars (oracle semantics):
+    words, then doctop-clustered lines joined by newline."""
+    from .words import cluster_objects
+
     words = extract_words(cell_chars, options)
     if not words:
         return ""
-    is_vertical = options.text_direction in ("ttb", "btt")
-    if is_vertical:
-        words.sort(key=lambda w: (w["x0"], w["top"]))
-        keyf, tol = (lambda w: w["x0"]), options.x_tolerance
-    else:
-        words.sort(key=lambda w: (w["top"], w["x0"]))
-        keyf, tol = (lambda w: w["top"]), options.y_tolerance
-    lines: list[list[dict]] = []
-    for w in words:
-        if lines and abs(keyf(w) - keyf(lines[-1][0])) <= tol:
-            lines[-1].append(w)
-        else:
-            lines.append([w])
+    lines = cluster_objects(words, lambda w: w["doctop"], options.y_tolerance)
     return "\n".join(" ".join(w["text"] for w in line) for line in lines)
 
 

@@ -76,15 +76,15 @@ def char_begins_new_word(current: list[dict], next_char: dict,
         return (
             next_char["x0"] > wx1 + intraline
             or next_char["x0"] < wx0 - intraline
-            or next_char["top"] > wbot + interline
-            or next_char["bottom"] < wtop - interline
+            or next_char["top"] > current[-1]["top"] + interline
+            or next_char["top"] < current[-1]["top"] - interline
         )
     # non-upright (rotated/mirrored) text reads along the y-axis: the
-    # next char must stay in the same x0 COLUMN (window around the
-    # word's x0) and within the word's vertical extent ± tolerance
+    # next char must stay in the same x0 COLUMN (aligned with the last
+    # char) and within the word's vertical extent ± tolerance
     return (
-        next_char["x0"] > wx0 + interline
-        or next_char["x0"] < wx0 - interline
+        next_char["x0"] > current[-1]["x0"] + interline
+        or next_char["x0"] < current[-1]["x0"] - interline
         or next_char["top"] > wbot + intraline
         or next_char["bottom"] < wtop - intraline
     )
