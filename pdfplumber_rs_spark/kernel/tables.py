@@ -186,7 +186,8 @@ def cells_to_tables(cells: list[tuple]) -> list[list[tuple]]:
         x0, top, x1, bottom = bbox
         return [(x0, top), (x0, bottom), (x1, top), (x1, bottom)]
 
-    remaining = list(cells)
+    # seed top-down/left-right so tables come out in reading order
+    remaining = sorted(cells, key=lambda c: (c[1], c[0]))
     current_corners: set[tuple] = set()
     current_cells: list[tuple] = []
     tables: list[list[tuple]] = []

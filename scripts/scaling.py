@@ -1,0 +1,86 @@
+"""Two-cluster-size scaling evidence (north rule): run the SAME PDF
+extraction job at local[N] and local[4N] on the same input and report
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Each measurement runs in its own subprocess (one JVM per master
+setting). Writes BENCH_SCALING.json and prints a summary.
+
+Usage: python scripts/scaling.py [sf_dir] [N]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import SparkSession
+
+cpus = int(sys.argv[1])
+sf_dir = sys.argv[2]
+spark = (
+    SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "24g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from pdfplumber_rs_spark import pipeline as P
+from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+corpus = corpus_table(spark, sf_dir)
+n_docs = corpus.count()
+# warm-up: JVM + python workers + codegen (small slice)
+P.document_text(
+    P.extract_pages(corpus.limit(32), handle_skew=False)
+).write.format("noop").mode("overwrite").save()
+t0 = time.time()
+pages = P.extract_pages(corpus, handle_skew=False, num_partitions=cpus * 4)
+P.document_text(pages).write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "sec": round(dt, 2), "n_docs": n_docs,
+                  "docs_per_sec": round(n_docs / dt, 2)}))
+"""
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(REPO)],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lo = run(n, sf_dir)
+    hi = run(4 * n, sf_dir)
+    efficiency = round((lo["sec"] / hi["sec"]) / 4, 3)
+    result = {
+        "sf_dir": sf_dir,
+        "low": lo,
+        "high": hi,
+        "speedup": round(lo["sec"] / hi["sec"], 2),
+        "scaling_efficiency": efficiency,
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    (REPO / "BENCH_SCALING.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
