@@ -220,13 +220,25 @@ def blocks_to_text(blocks: list[dict]) -> str:
 
 
 def words_to_text(words: list[dict], y_tolerance: float) -> str:
-    """Default extract_text: pdfplumber textmap semantics — words
-    stable-clustered by doctop (chained, y_tolerance), extraction order
-    kept within a line; ' ' within lines, '\n' between."""
+    """Default extract_text (oracle textmap semantics): upright words
+    first, then non-upright, each group clustered into lines by doctop
+    (chained clustering, y_tolerance); extraction order within a line;
+    ' ' within lines, '\n' between lines and between the groups."""
     from .words import cluster_objects
 
-    lines = cluster_objects(words, lambda w: w["doctop"], y_tolerance)
-    return "\n".join(" ".join(w["text"] for w in line) for line in lines)
+    groups = [
+        [w for w in words if w.get("upright", True)],
+        [w for w in words if not w.get("upright", True)],
+    ]
+    out: list[str] = []
+    for group in groups:
+        if not group:
+            continue
+        lines = cluster_objects(group, lambda w: w["doctop"], y_tolerance)
+        out.append(
+            "\n".join(" ".join(w["text"] for w in line) for line in lines)
+        )
+    return "\n".join(out)
 
 
 def extract_text_from_words(words: list[dict], options: TextOptions | None = None) -> str:

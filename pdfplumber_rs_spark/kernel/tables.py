@@ -323,14 +323,13 @@ def _cells_bbox(cells) -> tuple:
 
 def _extract_cell_text(cell_chars: list[dict], options: WordOptions) -> str:
     """Default extract_text over the cell's chars (oracle semantics):
-    words, then doctop-clustered lines joined by newline."""
-    from .words import cluster_objects
+    sequential doctop line breaking, same as page-level text."""
+    from .layout import words_to_text
 
     words = extract_words(cell_chars, options)
     if not words:
         return ""
-    lines = cluster_objects(words, lambda w: w["doctop"], options.y_tolerance)
-    return "\n".join(" ".join(w["text"] for w in line) for line in lines)
+    return words_to_text(words, options.y_tolerance)
 
 
 def extract_table(cells: list[tuple], chars: list[dict],

@@ -33,14 +33,24 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
 from pdfplumber_rs_spark import pipeline as P
 from pdfplumber_rs_spark.sources.corpus import corpus_table
 
-corpus = corpus_table(spark, sf_dir)
-n_docs = corpus.count()
-# warm-up: JVM + python workers + codegen (small slice)
+REPLICATE = 8  # make the job large enough that fixed costs amortize
+base = corpus_table(spark, sf_dir)
+corpus = (
+    base.crossJoin(spark.range(REPLICATE).withColumnRenamed("id", "rep"))
+    .withColumn("url", F.concat_ws("/", F.col("url"), F.col("rep")))
+    .select("url", "html")
+    .repartition(cpus * 4, "url")
+    .persist()
+)
+n_docs = corpus.count()  # materialize: PDF bytes generated BEFORE timing
+# warm-up across all partitions: python workers + Arrow + codegen
 P.document_text(
-    P.extract_pages(corpus.limit(32), handle_skew=False)
+    P.extract_pages(corpus.sample(0.02, seed=1), handle_skew=False,
+                    num_partitions=cpus * 4)
 ).write.format("noop").mode("overwrite").save()
 t0 = time.time()
 pages = P.extract_pages(corpus, handle_skew=False, num_partitions=cpus * 4)
