@@ -44,19 +44,33 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
                  extra_attrs: tuple[str, ...] = ("fontname", "size")) -> list[dict]:
     """Drop a char if an earlier kept char has identical text, matching
     extra attrs, and |dx0| <= tol and |dtop| <= tol (dedupe.rs:50-88)."""
+    # spatial hash on (text, attrs, x0//tol, top//tol): a match within
+    # tolerance always lives in one of the 3×3 neighbor buckets, so this
+    # is O(n) with semantics identical to the full scan
+    t = tolerance if tolerance > 0 else 1e-9
     kept: list[dict] = []
+    buckets: dict[tuple, list[dict]] = {}
     for ch in chars:
+        base = (ch["text"],) + tuple(ch.get(a) for a in extra_attrs)
+        bx = int(ch["x0"] // t)
+        by = int(ch["top"] // t)
         dup = False
-        for k in kept:
-            if k["text"] != ch["text"]:
-                continue
-            if any(k.get(a) != ch.get(a) for a in extra_attrs):
-                continue
-            if abs(k["x0"] - ch["x0"]) <= tolerance and abs(k["top"] - ch["top"]) <= tolerance:
-                dup = True
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for k in buckets.get(base + (bx + dx, by + dy), ()):
+                    if (
+                        abs(k["x0"] - ch["x0"]) <= tolerance
+                        and abs(k["top"] - ch["top"]) <= tolerance
+                    ):
+                        dup = True
+                        break
+                if dup:
+                    break
+            if dup:
                 break
         if not dup:
             kept.append(ch)
+            buckets.setdefault(base + (bx, by), []).append(ch)
     return kept
 
 

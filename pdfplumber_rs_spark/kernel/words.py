@@ -64,14 +64,18 @@ def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
 
 
 def char_begins_new_word(current: list[dict], next_char: dict,
-                         x_tol: float, y_tol: float) -> bool:
+                         x_tol: float, y_tol: float,
+                         bbox: list | None = None) -> bool:
     upright = bool(current[-1]["upright"])
     intraline = x_tol if upright else y_tol
     interline = y_tol if upright else x_tol
-    wx0 = min(c["x0"] for c in current)
-    wx1 = max(c["x1"] for c in current)
-    wtop = min(c["top"] for c in current)
-    wbot = max(c["bottom"] for c in current)
+    if bbox is not None:  # incremental word bbox (avoids O(n²) rescans)
+        wx0, wtop, wx1, wbot = bbox
+    else:
+        wx0 = min(c["x0"] for c in current)
+        wx1 = max(c["x1"] for c in current)
+        wtop = min(c["top"] for c in current)
+        wbot = max(c["bottom"] for c in current)
     if upright:
         return (
             next_char["x0"] > wx1 + intraline
@@ -106,6 +110,19 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
     )
     words: list[dict] = []
     current: list[dict] = []
+    bbox: list = [0.0, 0.0, 0.0, 0.0]
+
+    def grow(c: dict) -> None:
+        bbox[0] = min(bbox[0], c["x0"])
+        bbox[1] = min(bbox[1], c["top"])
+        bbox[2] = max(bbox[2], c["x1"])
+        bbox[3] = max(bbox[3], c["bottom"])
+
+    def reset(c: dict) -> None:
+        bbox[0], bbox[1], bbox[2], bbox[3] = (
+            c["x0"], c["top"], c["x1"], c["bottom"]
+        )
+
     for ch in ordered:
         text = ch["text"]
         is_blank = not text or text.isspace()
@@ -114,11 +131,16 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
                 words.append(_make_word(current, options.expand_ligatures))
                 current = []
         elif current and char_begins_new_word(
-            current, ch, options.x_tolerance, options.y_tolerance
+            current, ch, options.x_tolerance, options.y_tolerance, bbox
         ):
             words.append(_make_word(current, options.expand_ligatures))
             current = [ch]
+            reset(ch)
         else:
+            if not current:
+                reset(ch)
+            else:
+                grow(ch)
             current.append(ch)
     if current:
         words.append(_make_word(current, options.expand_ligatures))
