@@ -35,14 +35,29 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from pdfplumber_rs_spark import pipeline as P
-from pdfplumber_rs_spark.sources.corpus import corpus_table
+from pdfplumber_rs_spark.sources.corpus import CORPUS_SCHEMA, _gen_kernel
 
-REPLICATE = 8  # make the job large enough that fixed costs amortize
-base = corpus_table(spark, sf_dir)
+# realistic multi-page documents: replicate each text 10x (one
+# Common-Crawl-ish PDF of several pages) and each doc 2x
+REPLICATE = 2
+TEXT_REP = 10
+docs = (
+    spark.read.parquet(f"{sf_dir}/documents.parquet")
+    .select("doc_id", "text", "lang")
+    .crossJoin(spark.range(REPLICATE).withColumnRenamed("id", "rep"))
+    .select(
+        (F.col("doc_id") * REPLICATE + F.col("rep")).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(TEXT_REP)),
+                        lambda _: F.col("text")),
+            "\n",
+        ).alias("text"),
+        "lang",
+    )
+)
+base = docs.mapInArrow(_gen_kernel, CORPUS_SCHEMA)
 corpus = (
-    base.crossJoin(spark.range(REPLICATE).withColumnRenamed("id", "rep"))
-    .withColumn("url", F.concat_ws("/", F.col("url"), F.col("rep")))
-    .select("url", "html")
+    base.select("url", "html")
     .repartition(cpus * 4, "url")
     .persist()
 )
