@@ -107,6 +107,42 @@ def q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_hyperlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: Link annotations resolved to URIs through the parser
+    (annotation.rs:70-84, hyperlink.rs:15-26)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    links = P.hyperlinks_table(pages)
+    ids = corpus.select("doc_id", "url")
+    return (
+        links.join(ids, "url")
+        .select("doc_id", "uri",
+                F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: regex search over each document's char stream — number of
+    digit-run matches per doc (search.rs:59-145)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    matches = P.search_pages(corpus, r"[0-9]+")
+    counts = matches.groupBy("url").agg(F.count("*").alias("n_matches"))
+    ids = corpus.select("doc_id", "url")
+    return (
+        ids.join(counts, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -355,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_char_count": q_pdf_char_count,
         "pdf_word_count": q_pdf_word_count,
         "pdf_table_cells": q_pdf_table_cells,
+        "pdf_hyperlinks": q_pdf_hyperlinks,
+        "pdf_search": q_pdf_search,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -523,6 +561,16 @@ with toks as (
                    cell_text
             from (select * from hdr union all select * from data)
             order by l_orderkey, row, col""",
+        "pdf_hyperlinks": """
+            select doc_id,
+                   'https://ref.example/' || cast(doc_id as varchar) as uri,
+                   cast(72.0 as double) as x0, cast(77.0 as double) as top
+            from documents order by doc_id""",
+        "pdf_search": f"""
+            select doc_id,
+                   cast(len(regexp_extract_all({_SANITIZED}, '[0-9]+'))
+                        as bigint) as n_matches
+            from documents order by doc_id""",
         "doctop_cumsum": """
             select l_orderkey, l_linenumber,
                    round(coalesce(sum(l_quantity) over (

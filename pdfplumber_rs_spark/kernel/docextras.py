@@ -1,0 +1,227 @@
+"""Document-level extractors: annotations, hyperlinks, bookmarks,
+and regex search over chars.
+
+Reference parity: crates/pdfplumber-core/src/annotation.rs:70-84
+(annot_type/bbox/contents/author/date/raw_subtype),
+hyperlink.rs:15-26 (bbox + resolved /A /URI or /Dest), bookmark.rs:13-27
+(title/level/page_number/dest_top), search.rs:59-145 (concat char texts,
+regex over full text, match → union bbox of constituent chars).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .objects import Name, Ref, Stream
+
+_KNOWN_SUBTYPES = {
+    "Text", "Link", "FreeText", "Line", "Square", "Circle", "Polygon",
+    "PolyLine", "Highlight", "Underline", "Squiggly", "StrikeOut",
+    "Stamp", "Caret", "Ink", "Popup", "FileAttachment", "Sound",
+    "Movie", "Widget", "Screen", "PrinterMark", "TrapNet", "Watermark",
+}
+
+
+def _pdf_string(v) -> str | None:
+    if isinstance(v, bytes):
+        if v.startswith(b"\xfe\xff"):
+            return v[2:].decode("utf-16-be", "replace")
+        return v.decode("latin-1", "replace")
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _rect_to_bbox(doc, rect, geom) -> tuple | None:
+    if not isinstance(rect, list) or len(rect) != 4:
+        return None
+    try:
+        x0, y0, x1, y1 = (float(doc.resolve(v)) for v in rect)
+    except (TypeError, ValueError):
+        return None
+    lo_x, hi_x = min(x0, x1), max(x0, x1)
+    lo_y, hi_y = min(y0, y1), max(y0, y1)
+    return geom.normalize_bbox(lo_x, lo_y, hi_x, hi_y)
+
+
+def page_annotations(doc, page: dict, geom) -> list[dict]:
+    """/Annots → [{annot_type, raw_subtype, x0, top, x1, bottom,
+    contents, author, date, uri}]."""
+    out: list[dict] = []
+    annots = doc.resolve(page.get("Annots"))
+    if not isinstance(annots, list):
+        return out
+    for a in annots:
+        ad = doc.resolve(a)
+        if isinstance(ad, Stream):
+            ad = ad.dict
+        if not isinstance(ad, dict):
+            continue
+        subtype = doc.resolve(ad.get("Subtype"))
+        raw = str(subtype) if subtype is not None else "Unknown"
+        bbox = _rect_to_bbox(doc, doc.resolve(ad.get("Rect")), geom)
+        if bbox is None:
+            continue
+        uri = None
+        action = doc.resolve(ad.get("A"))
+        if isinstance(action, dict):
+            uri = _pdf_string(doc.resolve(action.get("URI")))
+        out.append(
+            {
+                "annot_type": raw if raw in _KNOWN_SUBTYPES else "Other",
+                "raw_subtype": raw,
+                "x0": bbox[0], "top": bbox[1],
+                "x1": bbox[2], "bottom": bbox[3],
+                "contents": _pdf_string(doc.resolve(ad.get("Contents"))),
+                "author": _pdf_string(doc.resolve(ad.get("T"))),
+                "date": _pdf_string(doc.resolve(ad.get("M"))),
+                "uri": uri,
+            }
+        )
+    return out
+
+
+def page_hyperlinks(doc, page: dict, geom) -> list[dict]:
+    """Link annotations with a resolvable target → [{x0, top, x1,
+    bottom, uri}]."""
+    out: list[dict] = []
+    for a in page_annotations(doc, page, geom):
+        if a["raw_subtype"] != "Link":
+            continue
+        uri = a["uri"]
+        if uri is None:
+            continue
+        out.append({"x0": a["x0"], "top": a["top"], "x1": a["x1"],
+                    "bottom": a["bottom"], "uri": uri})
+    return out
+
+
+def bookmarks(doc) -> list[dict]:
+    """Flattened /Outlines walk → [{title, level, page_number,
+    dest_top}] (page_number 0-indexed)."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        return []
+    outlines = doc.resolve(root.get("Outlines"))
+    if not isinstance(outlines, dict):
+        return []
+
+    # page ref → index map
+    page_index: dict[tuple, int] = {}
+    tree = doc.resolve(root.get("Pages"))
+
+    def walk_pages(node, seen: set) -> None:
+        kids = doc.resolve(node.get("Kids")) if isinstance(node, dict) else None
+        if not isinstance(kids, list):
+            return
+        for kid in kids:
+            if isinstance(kid, Ref):
+                key = (kid.num, kid.gen)
+                if key in seen:
+                    continue
+                seen.add(key)
+                knode = doc.resolve(kid)
+                if isinstance(knode, dict):
+                    if str(knode.get("Type", "")) == "Page":
+                        page_index[key] = len(page_index)
+                    else:
+                        walk_pages(knode, seen)
+
+    if isinstance(tree, dict):
+        walk_pages(tree, set())
+
+    out: list[dict] = []
+    seen_items: set = set()
+
+    def resolve_dest(item: dict):
+        dest = doc.resolve(item.get("Dest"))
+        if dest is None:
+            action = doc.resolve(item.get("A"))
+            if isinstance(action, dict) and str(doc.resolve(action.get("S")) or "") == "GoTo":
+                dest = doc.resolve(action.get("D"))
+        if isinstance(dest, (Name, bytes, str)):
+            return None, None  # named destination: not resolved (lenient)
+        if isinstance(dest, list) and dest:
+            target = dest[0]
+            pn = None
+            if isinstance(target, Ref):
+                pn = page_index.get((target.num, target.gen))
+            elif isinstance(target, int):
+                pn = target
+            top = None
+            if len(dest) >= 3 and str(dest[1]) == "XYZ":
+                t = doc.resolve(dest[3]) if len(dest) > 3 else None
+                if isinstance(t, (int, float)):
+                    top = float(t)
+            return pn, top
+        return None, None
+
+    def walk(item_ref, level: int, depth: int) -> None:
+        if depth > 64:
+            return
+        item = doc.resolve(item_ref)
+        while isinstance(item, dict):
+            key = id(item)
+            if isinstance(item_ref, Ref):
+                key = (item_ref.num, item_ref.gen)
+            if key in seen_items:
+                return
+            seen_items.add(key)
+            title = _pdf_string(doc.resolve(item.get("Title")))
+            if title is not None:
+                pn, top = resolve_dest(item)
+                out.append({"title": title, "level": level,
+                            "page_number": pn, "dest_top": top})
+            first = item.get("First")
+            if first is not None:
+                walk(first, level + 1 if title is not None else level, depth + 1)
+            item_ref = item.get("Next")
+            item = doc.resolve(item_ref) if item_ref is not None else None
+
+    walk(outlines.get("First"), 0, 0)
+    return out
+
+
+def search_chars(chars: list[dict], pattern: str, regex: bool = True,
+                 case: bool = True) -> list[dict]:
+    """Concat char texts → regex/literal match over the page text →
+    [{text, start, end, x0, top, x1, bottom}] with the union bbox of
+    the constituent chars (search.rs:59-145)."""
+    if not chars:
+        return []
+    # char i covers text offsets [starts[i], starts[i+1])
+    texts = [c["text"] or "" for c in chars]
+    full = "".join(texts)
+    starts: list[int] = []
+    pos = 0
+    for t in texts:
+        starts.append(pos)
+        pos += len(t)
+    flags = 0 if case else re.IGNORECASE
+    pat = pattern if regex else re.escape(pattern)
+    out: list[dict] = []
+    try:
+        compiled = re.compile(pat, flags)
+    except re.error:
+        return []
+    import bisect
+
+    for m in compiled.finditer(full):
+        s, e = m.start(), m.end()
+        if e <= s:
+            continue
+        first = bisect.bisect_right(starts, s) - 1
+        last = bisect.bisect_right(starts, e - 1) - 1
+        span = chars[first : last + 1]
+        out.append(
+            {
+                "text": m.group(0),
+                "start": s,
+                "end": e,
+                "x0": min(c["x0"] for c in span),
+                "top": min(c["top"] for c in span),
+                "x1": max(c["x1"] for c in span),
+                "bottom": max(c["bottom"] for c in span),
+            }
+        )
+    return out

@@ -88,6 +88,10 @@ class Document:
             interp.chars, interp.paths, interp.images,
             self.options, self.warnings,
         )
+        from .docextras import page_annotations, page_hyperlinks
+
+        page.annotations = page_annotations(self.doc, pd, geom)
+        page.hyperlinks = page_hyperlinks(self.doc, pd, geom)
         doctop_offset = sum(self.page_heights[:index])
         if doctop_offset:
             for ch in page.chars:
@@ -100,6 +104,11 @@ class Document:
 
     def metadata(self) -> dict:
         return self.doc.metadata()
+
+    def bookmarks(self) -> list[dict]:
+        from .docextras import bookmarks
+
+        return bookmarks(self.doc)
 
 
 def open_pdf(data: bytes, options: ExtractOptions | None = None) -> Document:

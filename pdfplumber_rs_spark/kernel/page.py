@@ -93,12 +93,21 @@ class Page:
         self.curves = curves
         self.images = images
         self.warnings = warnings
+        self.annotations: list[dict] = []
+        self.hyperlinks: list[dict] = []
 
     def edges(self) -> list[dict]:
         return derive_edges(self.lines, self.rects, self.curves)
 
     def extract_words(self, options: WordOptions | None = None) -> list[dict]:
         return extract_words(self.chars, options)
+
+    def search(self, pattern: str, regex: bool = True, case: bool = True) -> list[dict]:
+        """P6: regex/literal search over the page's char stream
+        (search.rs:59-145)."""
+        from .docextras import search_chars
+
+        return search_chars(self.chars, pattern, regex, case)
 
     def extract_text(self, options: TextOptions | None = None,
                      word_options: WordOptions | None = None) -> str:

@@ -87,6 +87,25 @@ SHAPE_FIELDS = [
     ("stroke", BooleanType()),
     ("fill", BooleanType()),
 ]
+ANNOT_FIELDS = [
+    ("annot_type", StringType()),
+    ("raw_subtype", StringType()),
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("contents", StringType()),
+    ("author", StringType()),
+    ("date", StringType()),
+    ("uri", StringType()),
+]
+LINK_FIELDS = [
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("uri", StringType()),
+]
 TABLE_TYPE = StructType(
     [
         StructField("x0", DoubleType()),
@@ -115,6 +134,8 @@ PAGE_SCHEMA = StructType(
         StructField("edges", ArrayType(_struct(EDGE_FIELDS))),
         StructField("shapes", ArrayType(_struct(SHAPE_FIELDS))),
         StructField("tables", ArrayType(TABLE_TYPE)),
+        StructField("annotations", ArrayType(_struct(ANNOT_FIELDS))),
+        StructField("hyperlinks", ArrayType(_struct(LINK_FIELDS))),
         StructField("n_chars", IntegerType()),
         StructField("n_words", IntegerType()),
         StructField("n_tables", IntegerType()),
@@ -149,7 +170,8 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
             {
                 "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
                 "rotation": 0, "text": "", "chars": [], "words": [],
-                "edges": [], "shapes": [], "tables": [], "n_chars": 0,
+                "edges": [], "shapes": [], "tables": [],
+                "annotations": [], "hyperlinks": [], "n_chars": 0,
                 "n_words": 0, "n_tables": 0, "warnings": [],
                 "error": f"open failed: {e}",
                 "kernel_ms": (time.time() - t0) * 1000.0,
@@ -229,6 +251,8 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                     }
                     for t in tables
                 ],
+                "annotations": list(page.annotations) if page else [],
+                "hyperlinks": list(page.hyperlinks) if page else [],
                 "n_chars": len(chars),
                 "n_words": len(words),
                 "n_tables": len(tables),
@@ -242,7 +266,8 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
             {
                 "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
                 "rotation": 0, "text": "", "chars": [], "words": [],
-                "edges": [], "shapes": [], "tables": [], "n_chars": 0,
+                "edges": [], "shapes": [], "tables": [],
+                "annotations": [], "hyperlinks": [], "n_chars": 0,
                 "n_words": 0, "n_tables": 0,
                 "warnings": list(doc.warnings),
                 # a document that yields no pages at all is an error for
@@ -497,6 +522,72 @@ def cells_table(pages: DataFrame) -> DataFrame:
                  F.posexplode("t.rows").alias("row", "cells"))
     return r.select("url", "page_number", "table_idx", "row",
                     F.posexplode("cells").alias("col", "text"))
+
+
+def annotations_table(pages: DataFrame) -> DataFrame:
+    a = pages.select("url", "page_number",
+                     F.posexplode("annotations").alias("seq", "a"))
+    return a.select("url", "page_number", "seq", "a.annot_type",
+                    "a.raw_subtype", "a.x0", "a.top", "a.x1", "a.bottom",
+                    "a.contents", "a.author", "a.date", "a.uri")
+
+
+def hyperlinks_table(pages: DataFrame) -> DataFrame:
+    h = pages.select("url", "page_number",
+                     F.posexplode("hyperlinks").alias("seq", "h"))
+    return h.select("url", "page_number", "seq", "h.x0", "h.top", "h.x1",
+                    "h.bottom", "h.uri")
+
+
+SEARCH_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("match_text", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("top", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("bottom", DoubleType()),
+    ]
+)
+
+
+def search_pages(df: DataFrame, pattern: str, regex: bool = True,
+                 case: bool = True,
+                 options: ExtractOptions | None = None) -> DataFrame:
+    """P6 regex search as a pipeline op: (url, html) → one row per match
+    with the union bbox of the matched chars (search.rs:59-145)."""
+    arrow_schema = _arrow_schema_for(SEARCH_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.docextras import search_chars
+        from .kernel.document import Document
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    doc = Document(html, options)
+                    for i in range(doc.page_count):
+                        page = doc.page(i)
+                        for m in search_chars(page.chars, pattern, regex, case):
+                            out.append(
+                                {
+                                    "url": url, "page_number": i + 1,
+                                    "match_text": m["text"],
+                                    "start": m["start"], "end": m["end"],
+                                    "x0": m["x0"], "top": m["top"],
+                                    "x1": m["x1"], "bottom": m["bottom"],
+                                }
+                            )
+                except Exception:  # noqa: BLE001 — lenient
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, SEARCH_SCHEMA)
 
 
 def lineage(pages: DataFrame) -> DataFrame:

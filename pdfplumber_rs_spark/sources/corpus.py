@@ -50,12 +50,21 @@ def _gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         d = batch.to_pydict()
         out = []
         for doc_id, text, lang in zip(d["doc_id"], d["text"], d["lang"]):
+            doc_id = int(doc_id)
+            # deterministic Link + Text annotations per document
+            # (D4 surface; verified by the pdf_hyperlinks oracle)
+            annots = (
+                f"<< /Type /Annot /Subtype /Link /Rect [72 700 272 715] "
+                f"/A << /S /URI /URI (https://ref.example/{doc_id}) >> >> "
+                f"<< /Type /Annot /Subtype /Text /Rect [40 600 60 620] "
+                f"/Contents (note {doc_id}) /T ({lang}) >>"
+            )
             out.append(
                 {
-                    "doc_id": int(doc_id),
+                    "doc_id": doc_id,
                     "url": f"https://corpus.example/{doc_id:08d}.pdf",
-                    "warc_ts": epoch + datetime.timedelta(seconds=137 * int(doc_id)),
-                    "html": pdf_from_text(text or ""),
+                    "warc_ts": epoch + datetime.timedelta(seconds=137 * doc_id),
+                    "html": pdf_from_text(text or "", annots=annots),
                     "text": text,
                     "lang": lang,
                 }

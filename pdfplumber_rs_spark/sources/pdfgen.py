@@ -42,9 +42,13 @@ def _obj(num: int, body: bytes) -> bytes:
     return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
 
-def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None) -> bytes:
+def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
+              page_annots: list[str] | None = None,
+              outline: str | None = None) -> bytes:
     """Assemble a classic-xref PDF. `fonts` maps resource name -> BaseFont
-    (standard-14). Default: F1=Helvetica, F2=Courier."""
+    (standard-14). Default: F1=Helvetica, F2=Courier. `page_annots` is an
+    optional per-page raw /Annots array body (inline annotation dicts);
+    `outline` an optional raw /Outlines dict body (inline items)."""
     if fonts is None:
         fonts = {"F1": "Helvetica", "F2": "Courier"}
 
@@ -59,7 +63,11 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None) -
     font_nums = {name: font_start + i for i, name in enumerate(fonts)}
 
     kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
-    objects.append(_obj(catalog_num, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    catalog = "<< /Type /Catalog /Pages 2 0 R"
+    if outline:
+        catalog += f" /Outlines {outline}"
+    catalog += " >>"
+    objects.append(_obj(catalog_num, catalog.encode()))
     objects.append(
         _obj(
             pages_num,
@@ -75,7 +83,13 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None) -
                 pnum,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
-                    f"/Resources << /Font << {font_res} >> >> /Contents {cnum} 0 R >>"
+                    f"/Resources << /Font << {font_res} >> >> /Contents {cnum} 0 R"
+                    + (
+                        f" /Annots [{page_annots[i]}]"
+                        if page_annots and i < len(page_annots) and page_annots[i]
+                        else ""
+                    )
+                    + " >>"
                 ).encode(),
             )
         )
@@ -188,15 +202,15 @@ def complex_page_content() -> bytes:
 # -- document-level fixtures -----------------------------------------------------
 
 def pdf_from_text(text: str, lines_per_page: int = 48, font: str = "F2",
-                  size: float = 10.0) -> bytes:
+                  size: float = 10.0, annots: str | None = None) -> bytes:
     """Render arbitrary text (sanitized to WinAnsi) as a multi-page PDF,
-    one source line per rendered line."""
+    one source line per rendered line. `annots` goes on page 1."""
     lines = sanitize_for_pdf(text).split("\n")
     pages = [
         text_page_content(lines[i : i + lines_per_page], font=font, size=size)
         for i in range(0, max(len(lines), 1), lines_per_page)
     ]
-    return build_pdf(pages)
+    return build_pdf(pages, page_annots=[annots] if annots else None)
 
 
 def fixture_text(n_lines: int = 10) -> bytes:
