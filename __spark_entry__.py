@@ -143,6 +143,101 @@ def q_pdf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: /Info metadata through the structure-only document_meta pass
+    (pdf.rs:333, metadata.rs)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    meta = P.document_meta(corpus)
+    ids = corpus.select("doc_id", "url")
+    return (
+        meta.join(ids, "url")
+        .select("doc_id", "title", "author", "producer")
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_bookmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: flattened /Outlines with XYZ dests (pdf.rs:342, bookmark.rs)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    bms = P.bookmarks_table(P.document_meta(corpus))
+    ids = corpus.select("doc_id", "url")
+    return (
+        bms.join(ids, "url")
+        .select("doc_id", "title",
+                F.col("level").cast("int").alias("level"),
+                F.col("page_number").cast("int").alias("page_number"))
+        .orderBy("doc_id", "page_number")
+    )
+
+
+def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: AcroForm tree walk → terminal Tx widgets (form_field.rs,
+    pdf.rs:354)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    fields = P.form_fields_table(P.document_meta(corpus))
+    ids = corpus.select("doc_id", "url")
+    return (
+        fields.join(ids, "url")
+        .select("doc_id", "name", "field_type", "value",
+                F.col("page_number").cast("int").alias("page_number"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: inline image placement via CTM unit-square transform
+    (images.rs:71, tokenizer.rs:681-790)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    imgs = P.images_table(pages)
+    ids = corpus.select("doc_id", "url")
+    return (
+        imgs.join(ids, "url")
+        .select("doc_id",
+                F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"),
+                F.round("x1", 4).alias("x1"),
+                F.round("bottom", 4).alias("bottom"),
+                F.col("src_width").cast("int").alias("src_width"),
+                F.col("src_height").cast("int").alias("src_height"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: marked-content ids on chars (interpreter.rs:559-571,1427-1428)
+    — distinct (page, mcid) groups per doc, computed RELATIONALLY over
+    the exploded chars table (native distinct-agg, not in the kernel)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    chars = P.chars_table(P.extract_pages(corpus, handle_skew=False))
+    counts = (
+        chars.filter(F.col("mcid").isNotNull())
+        .groupBy("url")
+        .agg(F.countDistinct("page_number", "mcid").alias("n_mcid_groups"))
+    )
+    ids = corpus.select("doc_id", "url")
+    return (
+        ids.join(counts, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("n_mcid_groups"), F.lit(0)).alias("n_mcid_groups"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -393,6 +488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_cells": q_pdf_table_cells,
         "pdf_hyperlinks": q_pdf_hyperlinks,
         "pdf_search": q_pdf_search,
+        "pdf_metadata": q_pdf_metadata,
+        "pdf_bookmarks": q_pdf_bookmarks,
+        "pdf_form_fields": q_pdf_form_fields,
+        "pdf_images": q_pdf_images,
+        "pdf_mcid": q_pdf_mcid,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -570,6 +670,40 @@ with toks as (
             select doc_id,
                    cast(len(regexp_extract_all({_SANITIZED}, '[0-9]+'))
                         as bigint) as n_matches
+            from documents order by doc_id""",
+        "pdf_metadata": """
+            select doc_id, 'Document ' || cast(doc_id as varchar) as title,
+                   lang as author, 'spark-pdfplumber' as producer
+            from documents order by doc_id""",
+        "pdf_bookmarks": f"""
+            with d as (
+              select doc_id,
+                     cast(ceil(greatest(len(string_split({_SANITIZED},
+                       chr(10))), 1) / 48.0) as int) as n_pages
+              from documents
+            ), p as (
+              select doc_id,
+                     cast(unnest(generate_series(1, n_pages)) as int) as pg
+              from d
+            )
+            select doc_id, 'Section ' || cast(pg as varchar) as title,
+                   0 as level, pg - 1 as page_number
+            from p order by doc_id, page_number""",
+        "pdf_form_fields": """
+            select doc_id, 'field_' || cast(doc_id as varchar) as name,
+                   'Tx' as field_type, lang as value, 0 as page_number
+            from documents order by doc_id""",
+        "pdf_images": """
+            select doc_id, cast(300.0 as double) as x0,
+                   cast(712.0 as double) as top,
+                   cast(340.0 as double) as x1,
+                   cast(742.0 as double) as bottom,
+                   2 as src_width, 2 as src_height
+            from documents order by doc_id""",
+        "pdf_mcid": f"""
+            select doc_id,
+                   cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
+                        l -> l <> '')) as bigint) as n_mcid_groups
             from documents order by doc_id""",
         "doctop_cumsum": """
             select l_orderkey, l_linenumber,

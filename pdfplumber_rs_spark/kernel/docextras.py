@@ -96,18 +96,12 @@ def page_hyperlinks(doc, page: dict, geom) -> list[dict]:
     return out
 
 
-def bookmarks(doc) -> list[dict]:
-    """Flattened /Outlines walk → [{title, level, page_number,
-    dest_top}] (page_number 0-indexed)."""
+def build_page_index(doc) -> dict[tuple, int]:
+    """Page (num, gen) ref → 0-based page index, via the /Pages tree."""
+    page_index: dict[tuple, int] = {}
     root = doc.resolve(doc.trailer.get("Root"))
     if not isinstance(root, dict):
-        return []
-    outlines = doc.resolve(root.get("Outlines"))
-    if not isinstance(outlines, dict):
-        return []
-
-    # page ref → index map
-    page_index: dict[tuple, int] = {}
+        return page_index
     tree = doc.resolve(root.get("Pages"))
 
     def walk_pages(node, seen: set) -> None:
@@ -129,6 +123,97 @@ def bookmarks(doc) -> list[dict]:
 
     if isinstance(tree, dict):
         walk_pages(tree, set())
+    return page_index
+
+
+def acroform_fields(doc) -> list[dict]:
+    """AcroForm tree walk (form_field.rs; pdf.rs:354): → [{name,
+    field_type, value, page_number, x0, top, x1, bottom}]. Names are
+    dotted through parent /T entries; FT and V inherit from parents;
+    page resolution via /P against the page tree (0-indexed)."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        return []
+    acro = doc.resolve(root.get("AcroForm"))
+    if not isinstance(acro, dict):
+        return []
+    fields = doc.resolve(acro.get("Fields"))
+    if not isinstance(fields, list):
+        return []
+    page_index = build_page_index(doc)
+    out: list[dict] = []
+    seen: set = set()
+
+    def field_value(fd: dict):
+        v = doc.resolve(fd.get("V"))
+        if isinstance(v, Name):
+            return str(v)
+        return _pdf_string(v)
+
+    def walk(ref, prefix: str, ftype: str | None, value, depth: int) -> None:
+        if depth > 32:
+            return
+        if isinstance(ref, Ref):
+            key = (ref.num, ref.gen)
+            if key in seen:
+                return
+            seen.add(key)
+        fd = doc.resolve(ref)
+        if isinstance(fd, Stream):
+            fd = fd.dict
+        if not isinstance(fd, dict):
+            return
+        t = _pdf_string(doc.resolve(fd.get("T")))
+        name = f"{prefix}.{t}" if prefix and t else (t or prefix)
+        ft = doc.resolve(fd.get("FT"))
+        ftype = str(ft) if ft is not None else ftype
+        if "V" in fd:
+            value = field_value(fd)
+        kids = doc.resolve(fd.get("Kids"))
+        if isinstance(kids, list) and kids:
+            for k in kids:
+                walk(k, name, ftype, value, depth + 1)
+            return
+        # terminal field (usually merged with its widget annotation)
+        row = {"name": name, "field_type": ftype, "value": value,
+               "page_number": None, "x0": None, "top": None,
+               "x1": None, "bottom": None}
+        p = fd.get("P")
+        if isinstance(p, Ref):
+            pn = page_index.get((p.num, p.gen))
+            if pn is not None:
+                row["page_number"] = pn
+                pd = doc.resolve(p)
+                if isinstance(pd, dict):
+                    from .page import PageGeometry
+
+                    mb = doc.resolve(pd.get("MediaBox"))
+                    if isinstance(mb, list) and len(mb) == 4:
+                        geom = PageGeometry(
+                            tuple(float(doc.resolve(v)) for v in mb),
+                            int(doc.resolve(pd.get("Rotate")) or 0),
+                        )
+                        bbox = _rect_to_bbox(doc, doc.resolve(fd.get("Rect")), geom)
+                        if bbox is not None:
+                            row["x0"], row["top"], row["x1"], row["bottom"] = bbox
+        out.append(row)
+
+    for f in fields:
+        walk(f, "", None, None, 0)
+    return out
+
+
+def bookmarks(doc) -> list[dict]:
+    """Flattened /Outlines walk → [{title, level, page_number,
+    dest_top}] (page_number 0-indexed)."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        return []
+    outlines = doc.resolve(root.get("Outlines"))
+    if not isinstance(outlines, dict):
+        return []
+
+    page_index = build_page_index(doc)
 
     out: list[dict] = []
     seen_items: set = set()

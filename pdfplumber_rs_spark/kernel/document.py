@@ -110,6 +110,11 @@ class Document:
 
         return bookmarks(self.doc)
 
+    def form_fields(self) -> list[dict]:
+        from .docextras import acroform_fields
+
+        return acroform_fields(self.doc)
+
 
 def open_pdf(data: bytes, options: ExtractOptions | None = None) -> Document:
     return Document(data, options)

@@ -106,6 +106,17 @@ LINK_FIELDS = [
     ("bottom", DoubleType()),
     ("uri", StringType()),
 ]
+IMAGE_FIELDS = [
+    ("x0", DoubleType()),
+    ("top", DoubleType()),
+    ("x1", DoubleType()),
+    ("bottom", DoubleType()),
+    ("src_width", IntegerType()),
+    ("src_height", IntegerType()),
+    ("colorspace", StringType()),
+    ("filter", StringType()),
+    ("inline", BooleanType()),
+]
 TABLE_TYPE = StructType(
     [
         StructField("x0", DoubleType()),
@@ -136,6 +147,7 @@ PAGE_SCHEMA = StructType(
         StructField("tables", ArrayType(TABLE_TYPE)),
         StructField("annotations", ArrayType(_struct(ANNOT_FIELDS))),
         StructField("hyperlinks", ArrayType(_struct(LINK_FIELDS))),
+        StructField("images", ArrayType(_struct(IMAGE_FIELDS))),
         StructField("n_chars", IntegerType()),
         StructField("n_words", IntegerType()),
         StructField("n_tables", IntegerType()),
@@ -171,7 +183,7 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                 "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
                 "rotation": 0, "text": "", "chars": [], "words": [],
                 "edges": [], "shapes": [], "tables": [],
-                "annotations": [], "hyperlinks": [], "n_chars": 0,
+                "annotations": [], "hyperlinks": [], "images": [], "n_chars": 0,
                 "n_words": 0, "n_tables": 0, "warnings": [],
                 "error": f"open failed: {e}",
                 "kernel_ms": (time.time() - t0) * 1000.0,
@@ -253,6 +265,7 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                 ],
                 "annotations": list(page.annotations) if page else [],
                 "hyperlinks": list(page.hyperlinks) if page else [],
+                "images": list(page.images) if page else [],
                 "n_chars": len(chars),
                 "n_words": len(words),
                 "n_tables": len(tables),
@@ -267,7 +280,7 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                 "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
                 "rotation": 0, "text": "", "chars": [], "words": [],
                 "edges": [], "shapes": [], "tables": [],
-                "annotations": [], "hyperlinks": [], "n_chars": 0,
+                "annotations": [], "hyperlinks": [], "images": [], "n_chars": 0,
                 "n_words": 0, "n_tables": 0,
                 "warnings": list(doc.warnings),
                 # a document that yields no pages at all is an error for
@@ -537,6 +550,114 @@ def hyperlinks_table(pages: DataFrame) -> DataFrame:
                      F.posexplode("hyperlinks").alias("seq", "h"))
     return h.select("url", "page_number", "seq", "h.x0", "h.top", "h.x1",
                     "h.bottom", "h.uri")
+
+
+def images_table(pages: DataFrame) -> DataFrame:
+    i = pages.select("url", "page_number",
+                     F.posexplode("images").alias("seq", "i"))
+    return i.select("url", "page_number", "seq", "i.x0", "i.top", "i.x1",
+                    "i.bottom", "i.src_width", "i.src_height",
+                    "i.colorspace", "i.filter", "i.inline")
+
+
+BOOKMARK_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("level", IntegerType()),
+        StructField("page_number", IntegerType()),
+        StructField("dest_top", DoubleType()),
+    ]
+)
+FIELD_TYPE = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("field_type", StringType()),
+        StructField("value", StringType()),
+        StructField("page_number", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("top", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("bottom", DoubleType()),
+    ]
+)
+DOC_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("subject", StringType()),
+        StructField("creator", StringType()),
+        StructField("producer", StringType()),
+        StructField("creation_date", StringType()),
+        StructField("mod_date", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("bookmarks", ArrayType(BOOKMARK_TYPE)),
+        StructField("form_fields", ArrayType(FIELD_TYPE)),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def document_meta(df: DataFrame,
+                  options: ExtractOptions | None = None) -> DataFrame:
+    """Document-level extractors as one light mapInArrow pass: /Info
+    metadata (D1), flattened bookmarks (D2), AcroForm fields (D3).
+    Does NOT interpret content streams — structure-only, so it is far
+    cheaper than extract_pages (pdf.rs:306-354)."""
+    arrow_schema = _arrow_schema_for(DOC_META_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.document import Document
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                row = {
+                    "url": url, "title": None, "author": None,
+                    "subject": None, "creator": None, "producer": None,
+                    "creation_date": None, "mod_date": None, "n_pages": 0,
+                    "bookmarks": [], "form_fields": [], "error": None,
+                }
+                try:
+                    doc = Document(html, options)
+                    meta = doc.metadata()
+                    row.update(
+                        {
+                            "title": meta.get("Title"),
+                            "author": meta.get("Author"),
+                            "subject": meta.get("Subject"),
+                            "creator": meta.get("Creator"),
+                            "producer": meta.get("Producer"),
+                            "creation_date": meta.get("CreationDate"),
+                            "mod_date": meta.get("ModDate"),
+                            "n_pages": doc.page_count,
+                            "bookmarks": doc.bookmarks(),
+                            "form_fields": doc.form_fields(),
+                        }
+                    )
+                    if doc.page_count == 0:
+                        row["error"] = "no pages: " + (
+                            doc.warnings[0] if doc.warnings else "empty document"
+                        )
+                except Exception as e:  # noqa: BLE001 — lenient
+                    row["error"] = f"open failed: {e}"
+                out.append(row)
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, DOC_META_SCHEMA)
+
+
+def bookmarks_table(meta: DataFrame) -> DataFrame:
+    b = meta.select("url", F.posexplode("bookmarks").alias("seq", "b"))
+    return b.select("url", "seq", "b.title", "b.level", "b.page_number",
+                    "b.dest_top")
+
+
+def form_fields_table(meta: DataFrame) -> DataFrame:
+    f = meta.select("url", F.posexplode("form_fields").alias("seq", "f"))
+    return f.select("url", "seq", "f.name", "f.field_type", "f.value",
+                    "f.page_number", "f.x0", "f.top", "f.x1", "f.bottom")
 
 
 SEARCH_SCHEMA = StructType(

@@ -42,10 +42,11 @@ def _gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from .pdfgen import pdf_from_text
+    from .pdfgen import inline_image_content, pdf_from_text
 
     schema = to_arrow_schema(CORPUS_SCHEMA)
     epoch = datetime.datetime(2024, 1, 1)
+    img = inline_image_content(300.0, 50.0, 40.0, 30.0)  # bbox 300,712..340,742
     for batch in batches:
         d = batch.to_pydict()
         out = []
@@ -64,7 +65,23 @@ def _gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                     "doc_id": doc_id,
                     "url": f"https://corpus.example/{doc_id:08d}.pdf",
                     "warc_ts": epoch + datetime.timedelta(seconds=137 * doc_id),
-                    "html": pdf_from_text(text or "", annots=annots),
+                    # deterministic document-level surface so each extractor
+                    # has a closed-form oracle: /Info (D1), one bookmark per
+                    # page (D2), a Tx widget field (D3), marked-content MCIDs
+                    # per line (D5), and an inline image on page 1 (S9)
+                    "html": pdf_from_text(
+                        text or "", annots=annots, mcid=True, page1_extra=img,
+                        info={
+                            "Title": f"Document {doc_id}",
+                            "Author": lang,
+                            "Producer": "spark-pdfplumber",
+                            "CreationDate": "D:20240101000000Z",
+                        },
+                        bookmarks_per_page="Section {p}",
+                        form_fields=[
+                            {"name": f"field_{doc_id}", "value": lang, "page": 0}
+                        ],
+                    ),
                     "text": text,
                     "lang": lang,
                 }

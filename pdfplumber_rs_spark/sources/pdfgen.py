@@ -44,28 +44,49 @@ def _obj(num: int, body: bytes) -> bytes:
 
 def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
               page_annots: list[str] | None = None,
-              outline: str | None = None) -> bytes:
+              info: dict[str, str] | None = None,
+              bookmarks: list[tuple[str, int]] | None = None,
+              form_fields: list[dict] | None = None) -> bytes:
     """Assemble a classic-xref PDF. `fonts` maps resource name -> BaseFont
     (standard-14). Default: F1=Helvetica, F2=Courier. `page_annots` is an
-    optional per-page raw /Annots array body (inline annotation dicts);
-    `outline` an optional raw /Outlines dict body (inline items)."""
+    optional per-page raw /Annots array body (inline annotation dicts).
+    `info` -> /Info dictionary in the trailer. `bookmarks` is a flat list
+    of (title, page_idx) -> a real /Outlines chain with XYZ destinations.
+    `form_fields` is a list of {name, value, page, rect?} -> indirect
+    /Widget field objects referenced from both the page /Annots and the
+    catalog /AcroForm /Fields (text fields, FT=Tx)."""
     if fonts is None:
         fonts = {"F1": "Helvetica", "F2": "Courier"}
+    bookmarks = bookmarks or []
+    form_fields = form_fields or []
 
     objects: list[bytes] = []
     n_pages = len(page_contents)
     # object numbering: 1=Catalog, 2=Pages, then per page: page obj + content
-    # obj, then font objects.
+    # obj, then font objects, then outline root + items, form fields, /Info.
     catalog_num = 1
     pages_num = 2
     first_page = 3
     font_start = first_page + 2 * n_pages
     font_nums = {name: font_start + i for i, name in enumerate(fonts)}
+    extra = font_start + len(fonts)
+    outline_root = extra if bookmarks else 0
+    item_start = extra + 1
+    field_start = item_start + len(bookmarks) if bookmarks else extra
+    info_num = field_start + len(form_fields) if info else 0
 
-    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
+    def page_ref(idx: int) -> str:
+        return f"{first_page + 2 * idx} 0 R"
+
+    kids = " ".join(page_ref(i) for i in range(n_pages))
     catalog = "<< /Type /Catalog /Pages 2 0 R"
-    if outline:
-        catalog += f" /Outlines {outline}"
+    if bookmarks:
+        catalog += f" /Outlines {outline_root} 0 R"
+    if form_fields:
+        field_refs = " ".join(
+            f"{field_start + i} 0 R" for i in range(len(form_fields))
+        )
+        catalog += f" /AcroForm << /Fields [{field_refs}] >>"
     catalog += " >>"
     objects.append(_obj(catalog_num, catalog.encode()))
     objects.append(
@@ -74,21 +95,27 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
             f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
         )
     )
+    # widget refs per page (merged into /Annots alongside inline annots)
+    widgets_by_page: dict[int, list[str]] = {}
+    for i, fld in enumerate(form_fields):
+        widgets_by_page.setdefault(int(fld.get("page", 0)), []).append(
+            f"{field_start + i} 0 R"
+        )
     font_res = " ".join(f"/{n} {font_nums[n]} 0 R" for n in fonts)
     for i, content in enumerate(page_contents):
         pnum = first_page + 2 * i
         cnum = pnum + 1
+        annot_parts = []
+        if page_annots and i < len(page_annots) and page_annots[i]:
+            annot_parts.append(page_annots[i])
+        annot_parts.extend(widgets_by_page.get(i, []))
         objects.append(
             _obj(
                 pnum,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
                     f"/Resources << /Font << {font_res} >> >> /Contents {cnum} 0 R"
-                    + (
-                        f" /Annots [{page_annots[i]}]"
-                        if page_annots and i < len(page_annots) and page_annots[i]
-                        else ""
-                    )
+                    + (f" /Annots [{' '.join(annot_parts)}]" if annot_parts else "")
                     + " >>"
                 ).encode(),
             )
@@ -111,6 +138,48 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
                 ).encode(),
             )
         )
+    if bookmarks:
+        objects.append(
+            _obj(
+                outline_root,
+                (
+                    f"<< /Type /Outlines /First {item_start} 0 R "
+                    f"/Last {item_start + len(bookmarks) - 1} 0 R "
+                    f"/Count {len(bookmarks)} >>"
+                ).encode(),
+            )
+        )
+        for i, (title, page_idx) in enumerate(bookmarks):
+            body = (
+                f"<< /Title ({escape_pdf_text(title)}) /Parent {outline_root} 0 R "
+                f"/Dest [{page_ref(page_idx)} /XYZ 0 {PAGE_H:g} 0]"
+            )
+            if i > 0:
+                body += f" /Prev {item_start + i - 1} 0 R"
+            if i < len(bookmarks) - 1:
+                body += f" /Next {item_start + i + 1} 0 R"
+            body += " >>"
+            objects.append(_obj(item_start + i, body.encode()))
+    for i, fld in enumerate(form_fields):
+        rect = fld.get("rect", (400.0, 50.0, 500.0, 70.0))
+        page_idx = int(fld.get("page", 0))
+        objects.append(
+            _obj(
+                field_start + i,
+                (
+                    f"<< /Type /Annot /Subtype /Widget /FT /Tx "
+                    f"/T ({escape_pdf_text(fld['name'])}) "
+                    f"/V ({escape_pdf_text(fld.get('value', ''))}) "
+                    f"/Rect [{rect[0]:g} {rect[1]:g} {rect[2]:g} {rect[3]:g}] "
+                    f"/P {page_ref(page_idx)} >>"
+                ).encode(),
+            )
+        )
+    if info:
+        body = " ".join(
+            f"/{k} ({escape_pdf_text(str(v))})" for k, v in info.items()
+        )
+        objects.append(_obj(info_num, f"<< {body} >>".encode()))
 
     header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     out = bytearray(header)
@@ -124,9 +193,11 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     out.extend(b"0000000000 65535 f \n")
     for off in offsets[1:]:
         out.extend(f"{off:010d} 00000 n \n".encode())
-    out.extend(
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\nstartxref\n{xref_pos}\n".encode()
-    )
+    trailer = f"<< /Size {n_objs} /Root 1 0 R"
+    if info:
+        trailer += f" /Info {info_num} 0 R"
+    trailer += " >>"
+    out.extend(f"trailer\n{trailer}\nstartxref\n{xref_pos}\n".encode())
     out.extend(b"%%EOF\n")
     return bytes(out)
 
@@ -135,15 +206,32 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
 
 def text_page_content(lines: list[str], font: str = "F2", size: float = 10.0,
                       x: float = 72.0, y: float = TOP_Y,
-                      leading: float = LEADING) -> bytes:
-    """`BT /F 10 Tf x y Td (line) Tj 0 -14 Td ... ET` like the bench fixture."""
+                      leading: float = LEADING, mcid: bool = False) -> bytes:
+    """`BT /F 10 Tf x y Td (line) Tj 0 -14 Td ... ET` like the bench fixture.
+    With mcid=True every line is wrapped in `/P << /MCID i >> BDC ... EMC`
+    (marked content; chars get mcid/tag set — interpreter.rs:559-571)."""
     parts = [f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode()]
     for i, line in enumerate(lines):
         if i > 0:
             parts.append(f"0 {-leading:g} Td".encode())
-        parts.append(b"(" + escape_pdf_text(line).encode("latin-1", "replace") + b") Tj")
+        tj = b"(" + escape_pdf_text(line).encode("latin-1", "replace") + b") Tj"
+        if mcid:
+            tj = f"/P << /MCID {i} >> BDC\n".encode() + tj + b"\nEMC"
+        parts.append(tj)
     parts.append(b"ET")
     return b"\n".join(parts)
+
+
+def inline_image_content(x: float, y: float, w: float, h: float,
+                         src_w: int = 2, src_h: int = 2) -> bytes:
+    """`q w 0 0 h x y cm BI ... ID <gray bytes> EI Q` inline image
+    (tokenizer.rs:681-790); bbox = CTM unit-square transform."""
+    data = bytes((17 * (i + 1)) % 256 for i in range(src_w * src_h))
+    return (
+        f"q {w:g} 0 0 {h:g} {x:g} {y:g} cm\n"
+        f"BI /W {src_w} /H {src_h} /CS /G /BPC 8 /F /AHx ID\n".encode()
+        + data.hex().encode() + b">\nEI Q"
+    )
 
 
 def lattice_table_content(rows: int, cols: int, x0: float = 72.0,
@@ -202,15 +290,28 @@ def complex_page_content() -> bytes:
 # -- document-level fixtures -----------------------------------------------------
 
 def pdf_from_text(text: str, lines_per_page: int = 48, font: str = "F2",
-                  size: float = 10.0, annots: str | None = None) -> bytes:
+                  size: float = 10.0, annots: str | None = None,
+                  mcid: bool = False, page1_extra: bytes | None = None,
+                  info: dict[str, str] | None = None,
+                  bookmarks_per_page: str | None = None,
+                  form_fields: list[dict] | None = None) -> bytes:
     """Render arbitrary text (sanitized to WinAnsi) as a multi-page PDF,
-    one source line per rendered line. `annots` goes on page 1."""
+    one source line per rendered line. `annots` and `page1_extra`
+    (extra raw content, e.g. an inline image) go on page 1;
+    `bookmarks_per_page` is a title template with {p} (1-based)."""
     lines = sanitize_for_pdf(text).split("\n")
     pages = [
-        text_page_content(lines[i : i + lines_per_page], font=font, size=size)
+        text_page_content(lines[i : i + lines_per_page], font=font, size=size,
+                          mcid=mcid)
         for i in range(0, max(len(lines), 1), lines_per_page)
     ]
-    return build_pdf(pages, page_annots=[annots] if annots else None)
+    if page1_extra:
+        pages[0] = page1_extra + b"\n" + pages[0]
+    bms = None
+    if bookmarks_per_page:
+        bms = [(bookmarks_per_page.format(p=p + 1), p) for p in range(len(pages))]
+    return build_pdf(pages, page_annots=[annots] if annots else None,
+                     info=info, bookmarks=bms, form_fields=form_fields)
 
 
 def fixture_text(n_lines: int = 10) -> bytes:

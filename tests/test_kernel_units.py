@@ -285,3 +285,58 @@ def test_multipage_doctop():
     c1, c2 = p1["chars"][0], p2["chars"][0]
     assert abs((c2["doctop"] - c2["top"]) - 792.0) < 1e-9
     assert abs(c1["doctop"] - c1["top"]) < 1e-9
+
+
+# -- document-level extractors (D1-D5, S9) ---------------------------------------
+
+def test_metadata_bookmarks_fields_multipage():
+    from pdfplumber_rs_spark.kernel.document import Document
+
+    text = "\n".join(f"line {i}" for i in range(100))  # 3 pages @48/page
+    pdf = pdfgen.pdf_from_text(
+        text, info={"Title": "T", "Author": "A"},
+        bookmarks_per_page="Section {p}",
+        form_fields=[{"name": "f1", "value": "v1", "page": 1}],
+    )
+    doc = Document(pdf)
+    assert doc.page_count == 3
+    assert doc.metadata()["Title"] == "T"
+    bms = doc.bookmarks()
+    assert [b["title"] for b in bms] == ["Section 1", "Section 2", "Section 3"]
+    assert [b["page_number"] for b in bms] == [0, 1, 2]
+    fields = doc.form_fields()
+    assert fields == [{
+        "name": "f1", "field_type": "Tx", "value": "v1", "page_number": 1,
+        "x0": 400.0, "top": 722.0, "x1": 500.0, "bottom": 742.0,
+    }]
+
+
+def test_inline_image_bbox_and_mcid():
+    from pdfplumber_rs_spark.kernel.document import Document
+    from pdfplumber_rs_spark.sources.pdfgen import inline_image_content
+
+    pdf = pdfgen.pdf_from_text(
+        "abc\n\nxy 9", mcid=True,
+        page1_extra=inline_image_content(100.0, 200.0, 50.0, 25.0),
+    )
+    page = Document(pdf).page(0)
+    assert page.images == [{
+        "x0": 100.0, "top": 792.0 - 225.0, "x1": 150.0, "bottom": 792.0 - 200.0,
+        "src_width": 2, "src_height": 2, "colorspace": "DeviceGray",
+        "filter": "ASCIIHexDecode", "inline": True,
+    }]
+    # mcid 0 on 'abc' chars, mcid 2 on 'xy 9'; the empty line emits none
+    mcids = {c["mcid"] for c in page.chars}
+    assert mcids == {0, 2}
+    assert {c["tag"] for c in page.chars} == {"P"}
+
+
+def test_search_chars_union_bbox():
+    from pdfplumber_rs_spark.kernel.document import Document
+
+    page = Document(pdfgen.pdf_from_text("foo 123 bar\nno digits")).page(0)
+    hits = page.search(r"[0-9]+")
+    assert len(hits) == 1 and hits[0]["text"] == "123"
+    span = [c for c in page.chars if c["text"] in "123"]
+    assert hits[0]["x0"] == min(c["x0"] for c in span)
+    assert hits[0]["x1"] == max(c["x1"] for c in span)

@@ -92,3 +92,26 @@ def test_lineage_and_resume(spark):
     )
     remaining = P.resume_filter(df, committed)
     assert remaining.count() == 7
+
+
+def test_document_meta_and_images(spark):
+    rows = [
+        ("https://m.example/0.pdf",
+         pdfgen.pdf_from_text(
+             "hello\nworld", info={"Title": "Doc0", "Author": "en"},
+             bookmarks_per_page="Part {p}",
+             form_fields=[{"name": "f", "value": "v", "page": 0}],
+             page1_extra=pdfgen.inline_image_content(10.0, 20.0, 30.0, 40.0),
+         )),
+        ("https://m.example/1.pdf", b"broken"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    meta = P.document_meta(df).orderBy("url").collect()
+    assert meta[0].title == "Doc0" and meta[0].n_pages == 1
+    assert meta[0].bookmarks[0].title == "Part 1"
+    assert meta[0].form_fields[0].name == "f"
+    assert meta[1].error and meta[1].n_pages == 0
+
+    pages = P.extract_pages(df, handle_skew=False)
+    imgs = P.images_table(pages).collect()
+    assert len(imgs) == 1 and imgs[0].x0 == 10.0 and imgs[0].src_width == 2
