@@ -238,6 +238,65 @@ def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: header/footer chrome detection + extract_text_body
+    (page_regions.rs, pdf.rs:805-832) over multi-page docs with a
+    repeating 'Corpus Report Page N' header and 'N / total' footer.
+    Detection is pure relational Spark (masked-signature groupBy across
+    pages); text re-assembly is the windowed W2/W6 plan."""
+    from pyspark import StorageLevel
+
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import chrome_corpus_table
+
+    corpus = chrome_corpus_table(spark, sf_dir)
+    # materialize the parse ONCE: chrome detection + body re-assembly
+    # reference the pages DF from several subtrees; without this the
+    # extraction kernel re-runs per reference (at scale: the Iceberg
+    # object-table write that SURVEY.md §7 commits between stages)
+    pages = P.extract_pages(corpus, handle_skew=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    body = P.document_body_text(pages)
+    # ids re-derived natively (no second PDF-synthesis pass)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://chrome.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(body, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("body_text"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_header_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: the detected chrome signatures themselves (digit runs masked
+    to '#'), one row per page of the chrome corpus."""
+    from pyspark import StorageLevel
+
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import chrome_corpus_table
+
+    corpus = chrome_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bounds = P.header_footer_bounds(pages)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://chrome.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        bounds.join(ids, "url")
+        .select("doc_id",
+                F.col("page_number").cast("int").alias("page_number"),
+                "header_sig", "footer_sig")
+        .orderBy("doc_id", "page_number")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -493,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_form_fields": q_pdf_form_fields,
         "pdf_images": q_pdf_images,
         "pdf_mcid": q_pdf_mcid,
+        "pdf_body_text": q_pdf_body_text,
+        "pdf_header_detect": q_pdf_header_detect,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -705,6 +766,33 @@ with toks as (
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
             from documents order by doc_id""",
+        "pdf_body_text": f"""
+            with lines as (
+              select doc_id,
+                     list_filter(
+                       list_transform(string_split({_SANITIZED}, chr(10)),
+                                      l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+                       l -> l <> '') as ls
+              from documents
+            )
+            select doc_id,
+                   array_to_string(flatten([ls, ls, ls]), chr(10)) as body_text
+            from lines order by doc_id""",
+        "pdf_header_detect": f"""
+            with d as (
+              select doc_id,
+                     cast(3 * len(string_split({_SANITIZED}, chr(10))) as int)
+                       as n_pages
+              from documents
+            ), p as (
+              select doc_id, n_pages,
+                     cast(unnest(generate_series(1, n_pages)) as int) as pg
+              from d
+            )
+            select doc_id, pg as page_number,
+                   'Corpus Report Page #' as header_sig,
+                   '# / #' as footer_sig
+            from p order by doc_id, page_number""",
         "doctop_cumsum": """
             select l_orderkey, l_linenumber,
                    round(coalesce(sum(l_quantity) over (

@@ -648,6 +648,162 @@ def document_meta(df: DataFrame,
     return df.select("url", "html").mapInArrow(kernel, DOC_META_SCHEMA)
 
 
+def assemble_text_from_words(words: DataFrame,
+                             y_tolerance: float = 3.0) -> DataFrame:
+    """W2/W6 expressed RELATIONALLY (SURVEY.md §2.6): line ids via
+    lag-gap-cumsum sessionization over word tops, ordered concat within
+    lines (x0) and across lines (top), pages joined by page_number →
+    one (url, text) row. Equivalent to the kernel's words_to_text for
+    well-separated lines; whole plan is native windows + hash aggs, no
+    Python. Scale note: both windows and all three aggs share the
+    (url[, page_number]) partitioning, so Catalyst plans ONE shuffle."""
+    w = Window.partitionBy("url", "page_number").orderBy(
+        "top", "x0", "seq"
+    )
+    gap = F.col("top") - F.lag("top").over(w)
+    flagged = words.withColumn(
+        "brk", F.when(gap > y_tolerance, 1).otherwise(0)
+    )
+    line_id = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    lines = (
+        flagged.withColumn("line_id", line_id)
+        .groupBy("url", "page_number", "line_id")
+        .agg(
+            F.min("top").alias("line_top"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("x0", "seq", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("line_text"),
+        )
+    )
+    pages = (
+        lines.groupBy("url", "page_number")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_top", "line_id", "line_text"))
+                    ),
+                    lambda s: s["line_text"],
+                ),
+                "\n",
+            ).alias("page_text")
+        )
+    )
+    return (
+        pages.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("page_number", "page_text"))),
+                    lambda s: s["page_text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
+def header_footer_bounds(pages: DataFrame, margin_frac: float = 0.12,
+                         min_pages: int = 2,
+                         min_frac: float = 0.5) -> DataFrame:
+    """D8 header/footer region detection (page_regions.rs, pdf.rs:805-832)
+    as a genuinely relational plan: per-page margin-strip word text with
+    digits masked → groupBy(url, signature) page counts → a signature
+    repeated on ≥ max(min_pages, min_frac·n_pages) pages is page chrome.
+    Returns one row per (url, page_number) with body_top/body_bottom —
+    the vertical bounds that exclude detected chrome.
+
+    Pass a MATERIALIZED pages DF (persist() locally; an Iceberg object
+    table at production scale): this plan references it from several
+    subtrees, and an unmaterialized input re-runs the extraction kernel
+    per reference."""
+    words = words_table(pages)
+    pg = pages.filter(F.col("page_number") > 0).select(
+        "url", "page_number", "height"
+    )
+    w = words.join(pg, ["url", "page_number"])
+    masked = F.regexp_replace("text", "[0-9]+", "#")  # mask_variable_elements
+
+    def strip_sig(df: DataFrame, extent_col, extent_name: str,
+                  sig_name: str) -> DataFrame:
+        return df.groupBy("url", "page_number").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("top", "x0", masked.alias("m")))
+                    ),
+                    lambda s: s["m"],
+                ),
+                " ",
+            ).alias(sig_name),
+            extent_col.alias(extent_name),
+        )
+
+    hdr = strip_sig(
+        w.filter(F.col("bottom") <= F.col("height") * margin_frac),
+        F.max("bottom"), "hdr_extent", "hdr_sig",
+    )
+    ftr = strip_sig(
+        w.filter(F.col("top") >= F.col("height") * (1.0 - margin_frac)),
+        F.min("top"), "ftr_extent", "ftr_sig",
+    )
+    n_pages = pg.groupBy("url").agg(F.count("*").alias("n_pages"))
+    threshold = F.greatest(
+        F.lit(min_pages), F.ceil(F.col("n_pages") * min_frac)
+    )
+
+    def chrome_sigs(sig_df: DataFrame, sig_name: str) -> DataFrame:
+        counts = sig_df.groupBy("url", sig_name).agg(
+            F.count("*").alias("n_sig_pages")
+        )
+        return (
+            counts.join(n_pages, "url")
+            .filter(F.col("n_sig_pages") >= threshold)
+            .select("url", sig_name, F.lit(True).alias(f"{sig_name}_is_chrome"))
+        )
+
+    hdr_m = hdr.join(chrome_sigs(hdr, "hdr_sig"), ["url", "hdr_sig"], "left")
+    ftr_m = ftr.join(chrome_sigs(ftr, "ftr_sig"), ["url", "ftr_sig"], "left")
+    return (
+        pg.join(hdr_m.select("url", "page_number", "hdr_extent",
+                             "hdr_sig", "hdr_sig_is_chrome"),
+                ["url", "page_number"], "left")
+        .join(ftr_m.select("url", "page_number", "ftr_extent",
+                           "ftr_sig", "ftr_sig_is_chrome"),
+              ["url", "page_number"], "left")
+        .select(
+            "url", "page_number",
+            F.when(F.col("hdr_sig_is_chrome"), F.col("hdr_extent"))
+            .otherwise(F.lit(0.0)).alias("body_top"),
+            F.when(F.col("ftr_sig_is_chrome"), F.col("ftr_extent"))
+            .otherwise(F.col("height")).alias("body_bottom"),
+            F.when(F.col("hdr_sig_is_chrome"), F.col("hdr_sig")).alias("header_sig"),
+            F.when(F.col("ftr_sig_is_chrome"), F.col("ftr_sig")).alias("footer_sig"),
+        )
+    )
+
+
+def document_body_text(pages: DataFrame, margin_frac: float = 0.12,
+                       min_pages: int = 2,
+                       min_frac: float = 0.5) -> DataFrame:
+    """D8 extract_text_body (page.rs:480-483): per-url text with
+    detected header/footer chrome removed. Native joins + windows."""
+    bounds = header_footer_bounds(pages, margin_frac, min_pages, min_frac)
+    words = words_table(pages).join(
+        bounds.select("url", "page_number", "body_top", "body_bottom"),
+        ["url", "page_number"],
+    )
+    body = words.filter(
+        (F.col("top") >= F.col("body_top"))
+        & (F.col("bottom") <= F.col("body_bottom"))
+    )
+    return assemble_text_from_words(body)
+
+
 def bookmarks_table(meta: DataFrame) -> DataFrame:
     b = meta.select("url", F.posexplode("bookmarks").alias("seq", "b"))
     return b.select("url", "seq", "b.title", "b.level", "b.page_number",

@@ -180,6 +180,63 @@ def lineitem_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFr
     return grouped.mapInArrow(_table_gen_kernel, TABLE_CORPUS_SCHEMA)
 
 
+CHROME_CORPUS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _chrome_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Multi-page docs with page chrome: every source line becomes its
+    own page carrying a repeating header ('Corpus Report Page N', digits
+    vary) and footer ('N / total'); the whole text repeats 3x. Exercises
+    D8 header/footer detection — the masked signatures match across
+    pages, the body lines differ."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, sanitize_for_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            lines = sanitize_for_pdf(text or "").split("\n") * 3
+            pages = []
+            for p, line in enumerate(lines):
+                content = b"\n".join(
+                    [
+                        text_page_content(
+                            [f"Corpus Report Page {p + 1}"], size=9.0, y=770.0
+                        ),
+                        text_page_content([line], y=600.0),
+                        text_page_content(
+                            [f"{p + 1} / {len(lines)}"], size=8.0, y=20.0
+                        ),
+                    ]
+                )
+                pages.append(content)
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://chrome.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(pages),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def chrome_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.mapInArrow(_chrome_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

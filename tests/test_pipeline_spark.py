@@ -115,3 +115,33 @@ def test_document_meta_and_images(spark):
     pages = P.extract_pages(df, handle_skew=False)
     imgs = P.images_table(pages).collect()
     assert len(imgs) == 1 and imgs[0].x0 == 10.0 and imgs[0].src_width == 2
+
+
+def test_header_footer_body_text(spark):
+    def page(body_line, p, n):
+        return b"\n".join([
+            pdfgen.text_page_content([f"Report Page {p}"], size=9.0, y=770.0),
+            pdfgen.text_page_content([body_line], y=600.0),
+            pdfgen.text_page_content([f"{p} / {n}"], size=8.0, y=20.0),
+        ])
+
+    rows = [
+        # 3 pages with repeating chrome -> chrome stripped
+        ("https://hf.example/0.pdf",
+         pdfgen.build_pdf([page(f"body {i}", i + 1, 3) for i in range(3)])),
+        # single page -> min_pages=2 not met, header/footer kept
+        ("https://hf.example/1.pdf",
+         pdfgen.build_pdf([page("solo body", 1, 1)])),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    pages = P.extract_pages(df, handle_skew=False).cache()
+    body = {r.url: r.text for r in P.document_body_text(pages).collect()}
+    assert body["https://hf.example/0.pdf"] == "body 0\nbody 1\nbody 2"
+    assert body["https://hf.example/1.pdf"] == (
+        "Report Page 1\nsolo body\n1 / 1"
+    )
+    bounds = P.header_footer_bounds(pages)
+    sigs = bounds.filter(F.col("header_sig").isNotNull()).collect()
+    assert len(sigs) == 3
+    assert all(r.header_sig == "Report Page #" for r in sigs)
+    assert all(r.footer_sig == "# / #" for r in sigs)
