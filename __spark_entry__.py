@@ -39,6 +39,18 @@ def _norm_tokens_sql(col: str) -> str:
 # PDF pipeline queries (the engine itself)
 
 
+def _corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) re-derived natively from documents.parquet — the
+    url formula is deterministic, so the ids side of every pdf query
+    avoids a second PDF-synthesis pass through corpus_table."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://corpus.example/%08d.pdf", "doc_id").alias("url"),
+    )
+
+
+
+
 def q_pdf_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → deterministic PDF bytes → full extraction kernel
     → per-url extract_text. The oracle is the closed-form render
@@ -49,7 +61,7 @@ def q_pdf_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_table(spark, sf_dir)
     pages = P.extract_pages(corpus, handle_skew=False)
     doc = P.document_text(pages)
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         doc.join(ids, "url")
         .select("doc_id", F.col("text").alias("extracted_text"))
@@ -65,7 +77,7 @@ def q_pdf_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = P.extract_pages(corpus, handle_skew=False)
     counts = pages.groupBy("url").agg(F.sum("n_chars").alias("n_chars_extracted"))
     return (
-        counts.join(corpus.select("doc_id", "url"), "url")
+        counts.join(_corpus_ids(spark, sf_dir), "url")
         .select("doc_id", F.col("n_chars_extracted").cast("long").alias("n_chars_extracted"))
         .orderBy("doc_id")
     )
@@ -79,7 +91,7 @@ def q_pdf_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = P.extract_pages(corpus, handle_skew=False)
     counts = pages.groupBy("url").agg(F.sum("n_words").alias("n_words_extracted"))
     return (
-        counts.join(corpus.select("doc_id", "url"), "url")
+        counts.join(_corpus_ids(spark, sf_dir), "url")
         .select("doc_id", F.col("n_words_extracted").cast("long").alias("n_words_extracted"))
         .orderBy("doc_id")
     )
@@ -94,7 +106,14 @@ def q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = lineitem_table_corpus(spark, sf_dir, max_orderkey=100)
     pages = P.extract_pages(corpus, handle_skew=False)
     cells = P.cells_table(pages)
-    ids = corpus.select("l_orderkey", "url")
+    ids = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://tables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
     return (
         cells.join(ids, "url")
         .select(
@@ -116,7 +135,7 @@ def q_pdf_hyperlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_table(spark, sf_dir)
     pages = P.extract_pages(corpus, handle_skew=False)
     links = P.hyperlinks_table(pages)
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         links.join(ids, "url")
         .select("doc_id", "uri",
@@ -134,7 +153,7 @@ def q_pdf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_table(spark, sf_dir)
     matches = P.search_pages(corpus, r"[0-9]+")
     counts = matches.groupBy("url").agg(F.count("*").alias("n_matches"))
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         ids.join(counts, "url", "left")
         .select("doc_id",
@@ -151,7 +170,7 @@ def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = corpus_table(spark, sf_dir)
     meta = P.document_meta(corpus)
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         meta.join(ids, "url")
         .select("doc_id", "title", "author", "producer")
@@ -166,7 +185,7 @@ def q_pdf_bookmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = corpus_table(spark, sf_dir)
     bms = P.bookmarks_table(P.document_meta(corpus))
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         bms.join(ids, "url")
         .select("doc_id", "title",
@@ -184,7 +203,7 @@ def q_pdf_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = corpus_table(spark, sf_dir)
     fields = P.form_fields_table(P.document_meta(corpus))
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         fields.join(ids, "url")
         .select("doc_id", "name", "field_type", "value",
@@ -202,7 +221,7 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus_table(spark, sf_dir)
     pages = P.extract_pages(corpus, handle_skew=False)
     imgs = P.images_table(pages)
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         imgs.join(ids, "url")
         .select("doc_id",
@@ -229,7 +248,7 @@ def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url")
         .agg(F.countDistinct("page_number", "mcid").alias("n_mcid_groups"))
     )
-    ids = corpus.select("doc_id", "url")
+    ids = _corpus_ids(spark, sf_dir)
     return (
         ids.join(counts, "url", "left")
         .select("doc_id",
@@ -294,6 +313,25 @@ def q_pdf_header_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("page_number").cast("int").alias("page_number"),
                 "header_sig", "footer_sig")
         .orderBy("doc_id", "page_number")
+    )
+
+
+def q_pdf_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: semantic HTML rendering (html.rs:74-119) — bold 18pt title
+    → <h1><strong>, 10pt body lines → <p>."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import html_corpus_table
+
+    corpus = html_corpus_table(spark, sf_dir)
+    rendered = P.render_html(corpus)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://html.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        rendered.join(ids, "url")
+        .select("doc_id", "html_text")
+        .orderBy("doc_id")
     )
 
 
@@ -554,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_mcid": q_pdf_mcid,
         "pdf_body_text": q_pdf_body_text,
         "pdf_header_detect": q_pdf_header_detect,
+        "pdf_html": q_pdf_html,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -766,6 +805,26 @@ with toks as (
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
             from documents order by doc_id""",
+        "pdf_html": f"""
+            with lines as (
+              select doc_id,
+                     list_filter(
+                       list_transform(string_split({_SANITIZED}, chr(10)),
+                                      l -> trim(regexp_replace(l, ' +', ' ', 'g'))),
+                       l -> l <> '') as ls
+              from documents
+            )
+            select doc_id,
+                   '<h1><strong>Doc ' || cast(doc_id as varchar)
+                   || ' Title</strong></h1>'
+                   || coalesce(chr(10) || array_to_string(
+                        list_transform(ls,
+                          l -> '<p>' || replace(replace(replace(l,
+                               '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                               || '</p>'),
+                        chr(10)), '')
+                     as html_text
+            from lines order by doc_id""",
         "pdf_body_text": f"""
             with lines as (
               select doc_id,

@@ -804,6 +804,38 @@ def document_body_text(pages: DataFrame, margin_frac: float = 0.12,
     return assemble_text_from_words(body)
 
 
+HTML_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("html_text", StringType()),
+    ]
+)
+
+
+def render_html(df: DataFrame,
+                options: ExtractOptions | None = None) -> DataFrame:
+    """D9 semantic HTML per document (html.rs:74-119): headings by
+    font-size ratio, strong/em from fontname, bullet lists, tables."""
+    arrow_schema = _arrow_schema_for(HTML_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.document import Document
+        from .kernel.html import document_to_html
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    rendered = document_to_html(Document(html, options))
+                except Exception:  # noqa: BLE001 — lenient
+                    rendered = None
+                out.append({"url": url, "html_text": rendered})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, HTML_SCHEMA)
+
+
 def bookmarks_table(meta: DataFrame) -> DataFrame:
     b = meta.select("url", F.posexplode("bookmarks").alias("seq", "b"))
     return b.select("url", "seq", "b.title", "b.level", "b.page_number",

@@ -237,6 +237,48 @@ def chrome_corpus_table(spark, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(_chrome_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _html_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Docs with a Helvetica-Bold 18pt 'Doc N Title' heading above the
+    10pt body text — exercises the D9 heading/strong rules."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, sanitize_for_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            body_lines = sanitize_for_pdf(text or "").split("\n")
+            content = b"\n".join(
+                [
+                    text_page_content([f"Doc {doc_id} Title"], font="F3",
+                                      size=18.0, y=750.0),
+                    text_page_content(body_lines, y=700.0),
+                ]
+            )
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://html.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(
+                        [content],
+                        fonts={"F1": "Helvetica", "F2": "Courier",
+                               "F3": "Helvetica-Bold"},
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def html_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.mapInArrow(_html_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

@@ -340,3 +340,31 @@ def test_search_chars_union_bbox():
     span = [c for c in page.chars if c["text"] in "123"]
     assert hits[0]["x0"] == min(c["x0"] for c in span)
     assert hits[0]["x1"] == max(c["x1"] for c in span)
+
+
+def test_html_render_headings_lists_tables():
+    from pdfplumber_rs_spark.kernel.document import Document
+    from pdfplumber_rs_spark.kernel.html import document_to_html
+
+    content = b"\n".join([
+        pdfgen.text_page_content(["Big Title"], font="F3", size=18.0, y=750.0),
+        pdfgen.text_page_content(
+            ["body with <tags> & amp", "- item one", "- item two"], y=700.0
+        ),
+        pdfgen.lattice_table_content(2, 2, top_y=500.0, label="T{r}{c}"),
+    ])
+    pdf = pdfgen.build_pdf(
+        [content],
+        fonts={"F1": "Helvetica", "F2": "Courier", "F3": "Helvetica-Bold"},
+    )
+    html = document_to_html(Document(pdf))
+    assert html.splitlines() == [
+        "<h1><strong>Big Title</strong></h1>",
+        "<p>body with &lt;tags&gt; &amp; amp</p>",
+        "<ul>",
+        "<li>item one</li>",
+        "<li>item two</li>",
+        "</ul>",
+        "<table><tr><td>T00</td><td>T01</td></tr>"
+        "<tr><td>T10</td><td>T11</td></tr></table>",
+    ]
