@@ -409,6 +409,17 @@ def split_giant_documents(df: DataFrame, max_bytes: int = 8 << 20,
     return small.unionByName(big_ranged)
 
 
+def kernel_parallelism(df: DataFrame, factor: int = 4) -> int:
+    """Partition count for CPU-bound kernel stages. AQE sizes post-
+    shuffle partitions by SHUFFLE BYTES, so a small-by-bytes corpus
+    (5000 urls ≈ 10 MB) coalesces to ONE task and the parse kernel —
+    1000× more expensive per byte than a shuffle — runs serially.
+    Always pass an explicit count (AQE leaves user-specified
+    repartition(n, …) alone); `factor`× overdecomposition keeps stragglers
+    from dominating when document cost varies."""
+    return df.sparkSession.sparkContext.defaultParallelism * factor
+
+
 def salt(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Spread documents across tasks by url hash (+ page_start so the
     ranges of one giant document land on different tasks)."""
@@ -416,9 +427,9 @@ def salt(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     if "page_start" in df.columns:
         cols.append(F.coalesce(F.col("page_start"), F.lit(0)))
     key = F.pmod(F.hash(*cols), F.lit(1 << 20))
-    if num_partitions:
-        return df.repartition(num_partitions, key)
-    return df.repartition(key)
+    if num_partitions is None:
+        num_partitions = kernel_parallelism(df)
+    return df.repartition(num_partitions, key)
 
 
 # -- public pipeline -----------------------------------------------------------------

@@ -89,6 +89,14 @@ def _gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield pa.RecordBatch.from_pylist(out, schema=schema)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Explicit repartition before a CPU-bound synthesis kernel — the
+    parquet read is one small split, and AQE would otherwise run the
+    whole mapInArrow on one task (see pipeline.kernel_parallelism)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return docs.repartition(n, "doc_id")
+
+
 def corpus_table(spark, sf_dir: str, limit: int | None = None) -> DataFrame:
     """documents.parquet → (doc_id, url, warc_ts, html=pdf bytes, text,
     lang). PDF rendering happens on executors via mapInArrow."""
@@ -97,7 +105,7 @@ def corpus_table(spark, sf_dir: str, limit: int | None = None) -> DataFrame:
     )
     if limit is not None:
         docs = docs.limit(limit)
-    return docs.mapInArrow(_gen_kernel, CORPUS_SCHEMA)
+    return _spread(docs).mapInArrow(_gen_kernel, CORPUS_SCHEMA)
 
 
 TABLE_CORPUS_SCHEMA = StructType(
@@ -177,7 +185,9 @@ def lineitem_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFr
             ).alias("rows")
         )
     )
-    return grouped.mapInArrow(_table_gen_kernel, TABLE_CORPUS_SCHEMA)
+    n = spark.sparkContext.defaultParallelism * 2
+    return grouped.repartition(n, "l_orderkey").mapInArrow(
+        _table_gen_kernel, TABLE_CORPUS_SCHEMA)
 
 
 CHROME_CORPUS_SCHEMA = StructType(
@@ -234,7 +244,7 @@ def chrome_corpus_table(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    return docs.mapInArrow(_chrome_gen_kernel, CHROME_CORPUS_SCHEMA)
+    return _spread(docs).mapInArrow(_chrome_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
 def _html_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -276,7 +286,7 @@ def html_corpus_table(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    return docs.mapInArrow(_html_gen_kernel, CHROME_CORPUS_SCHEMA)
+    return _spread(docs).mapInArrow(_html_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
 def expected_text_col(text):
