@@ -335,6 +335,124 @@ def q_pdf_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7-W11: layout-mode extract_text with auto column detection
+    (layout.rs:195-499) over two-column pages — must emit the whole left
+    column, blank line, whole right column (naive top-sort interleaves)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import TextOptions
+    from pdfplumber_rs_spark.sources.corpus import layout_corpus_table
+
+    corpus = layout_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(
+        corpus, text_options=TextOptions(layout=True, column_mode="auto"),
+        handle_skew=False,
+    )
+    doc = P.document_text(pages)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://layout.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("layout_text"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_crop_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 crop as a NATIVE Spark filter over the exploded chars table
+    (page.rs:600-618: center-in-bbox predicate) — chars whose center
+    falls in the left half of the page, rebased to the crop origin."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    chars = P.chars_table(P.extract_pages(corpus, handle_skew=False))
+    cropped = chars.filter((F.col("x0") + F.col("x1")) / 2.0 < 305.5)
+    counts = cropped.groupBy("url").agg(F.count("*").alias("n_cropped"))
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        ids.join(counts, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("n_cropped"), F.lit(0)).alias("n_cropped"))
+        .orderBy("doc_id")
+    )
+
+
+def _two_table_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://twotables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
+
+
+def q_pdf_largest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 extract_table: top-1 table per page by cell count then area
+    (page.rs:760-778) — window row_number over the tables view. Pages
+    carry a big lineitem table AND a small summary table."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import two_table_corpus
+
+    corpus = two_table_corpus(spark, sf_dir, max_orderkey=100)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    tables = P.tables_table(pages).select(
+        "url", "table_idx",
+        F.size("rows").alias("n_rows"),
+        F.size(F.col("rows")[0]).alias("n_cols"),
+        (F.size("rows") * F.size(F.col("rows")[0])).alias("n_cells"),
+        ((F.col("bbox.x1") - F.col("bbox.x0"))
+         * (F.col("bbox.bottom") - F.col("bbox.top"))).alias("area"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("n_cells").desc(), F.col("area").desc(), F.col("table_idx")
+    )
+    top = tables.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        top.join(_two_table_ids(spark, sf_dir), "url")
+        .select("l_orderkey",
+                F.col("n_rows").cast("int").alias("n_rows"),
+                F.col("n_cols").cast("int").alias("n_cols"))
+        .orderBy("l_orderkey")
+    )
+
+
+def q_pdf_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 quality metrics (table.rs:149-188): accuracy = filled/total
+    cells per table, computed as a native aggregate over the exploded
+    cells view. The summary table has one empty cell -> 0.75."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import two_table_corpus
+
+    corpus = two_table_corpus(spark, sf_dir, max_orderkey=100)
+    pages = P.extract_pages(corpus, handle_skew=False)
+    cells = P.cells_table(pages)
+    acc = (
+        cells.groupBy("url", "table_idx")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "", 1)
+                    .otherwise(0)
+                ) / F.count("*"),
+                6,
+            ).alias("accuracy")
+        )
+    )
+    return (
+        acc.join(_two_table_ids(spark, sf_dir), "url")
+        .select("l_orderkey",
+                F.col("table_idx").cast("int").alias("table_idx"),
+                "accuracy")
+        .orderBy("l_orderkey", "table_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -593,6 +711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_body_text": q_pdf_body_text,
         "pdf_header_detect": q_pdf_header_detect,
         "pdf_html": q_pdf_html,
+        "pdf_layout_text": q_pdf_layout_text,
+        "pdf_crop_chars": q_pdf_crop_chars,
+        "pdf_largest_table": q_pdf_largest_table,
+        "pdf_table_quality": q_pdf_table_quality,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -805,6 +927,55 @@ with toks as (
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
             from documents order by doc_id""",
+        "pdf_largest_table": """
+            select l_orderkey,
+                   cast(count(*) + 1 as int) as n_rows, 3 as n_cols
+            from lineitem where l_orderkey <= 100
+            group by l_orderkey order by l_orderkey""",
+        "pdf_table_quality": """
+            with o as (
+              select distinct l_orderkey from lineitem where l_orderkey <= 100
+            )
+            select l_orderkey, t.table_idx, t.accuracy
+            from o, lateral (values
+              (0, cast(1.0 as double)), (1, cast(0.75 as double)))
+              as t(table_idx, accuracy)
+            order by l_orderkey, table_idx""",
+        "pdf_layout_text": f"""
+            with t as (
+              select doc_id,
+                     list_filter(string_split(
+                       replace({_SANITIZED}, chr(10), ' '), ' '),
+                       x -> x <> '') as toks
+              from documents
+            ), halves as (
+              select doc_id,
+                     toks[1:(len(toks)+1)//2] as L,
+                     toks[(len(toks)+1)//2+1:len(toks)] as R
+              from t
+            ), cols as (
+              select doc_id,
+                array_to_string(list_transform(
+                  generate_series(0, cast(ceil(len(L)/4.0) as int) - 1),
+                  i -> array_to_string(L[i*4+1:i*4+4], ' ')), chr(10)) as lt,
+                array_to_string(list_transform(
+                  generate_series(0, cast(ceil(len(R)/4.0) as int) - 1),
+                  i -> array_to_string(R[i*4+1:i*4+4], ' ')), chr(10)) as rt
+              from halves
+            )
+            select doc_id,
+                   case when lt = '' and rt = '' then ''
+                        when rt = '' then lt
+                        else lt || chr(10) || chr(10) || rt end as layout_text
+            from cols order by doc_id""",
+        "pdf_crop_chars": f"""
+            select d.doc_id,
+                   cast(coalesce(sum(least(length(l.l), 39)), 0) as bigint)
+                     as n_cropped
+            from documents d left join (
+              select doc_id, unnest(string_split({_SANITIZED}, chr(10))) as l
+              from documents) l on d.doc_id = l.doc_id
+            group by d.doc_id order by d.doc_id""",
         "pdf_html": f"""
             with lines as (
               select doc_id,

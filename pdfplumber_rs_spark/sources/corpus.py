@@ -153,6 +153,89 @@ def _table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
         yield pa.RecordBatch.from_pylist(out, schema=schema)
 
 
+def _render_labeled_table(cells: list[list[str]], **kw) -> bytes:
+    """lattice_table_content with per-cell labels via placeholder swap."""
+    from .pdfgen import escape_pdf_text, lattice_table_content
+
+    content = lattice_table_content(len(cells), len(cells[0]),
+                                    label="__CELL__", **kw)
+    parts = content.split(b"(__CELL__)")
+    buf = [parts[0]]
+    flat = [c for row in cells for c in row]
+    for txt, rest in zip(flat, parts[1:]):
+        buf.append(b"(" + escape_pdf_text(txt).encode("latin-1", "replace") + b")")
+        buf.append(rest)
+    return b"".join(buf)
+
+
+def _two_table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Main lattice table (header + lineitem rows) plus a smaller 2x2
+    summary table with one deliberately EMPTY cell — exercises T14
+    largest-table selection and T13 accuracy metrics."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf
+
+    schema = to_arrow_schema(TABLE_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for okey, rows in zip(d["l_orderkey"], d["rows"]):
+            main = [["line", "qty", "flag"]] + [list(r) for r in rows]
+            summary = [["total", str(len(rows))], ["sum", ""]]
+            content = b"\n".join(
+                [
+                    _render_labeled_table(main, cell_w=120.0, cell_h=20.0),
+                    _render_labeled_table(summary, top_y=200.0,
+                                          cell_w=80.0, cell_h=20.0),
+                ]
+            )
+            out.append(
+                {
+                    "l_orderkey": int(okey),
+                    "url": f"https://twotables.example/{okey:08d}.pdf",
+                    "html": build_pdf([content]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def _lineitem_rows(spark, sf_dir: str, max_orderkey: int):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") <= max_orderkey)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            F.array(
+                F.col("l_linenumber").cast("string"),
+                F.col("l_quantity").cast("int").cast("string"),
+                F.col("l_returnflag"),
+            ).alias("cells"),
+        )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_returnflag",
+                                 "cells")
+                    )
+                ),
+                lambda s: s["cells"],
+            ).alias("rows")
+        )
+    )
+
+
+def two_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFrame:
+    grouped = _lineitem_rows(spark, sf_dir, max_orderkey)
+    n = spark.sparkContext.defaultParallelism * 2
+    return grouped.repartition(n, "l_orderkey").mapInArrow(
+        _two_table_gen_kernel, TABLE_CORPUS_SCHEMA)
+
+
 def lineitem_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFrame:
     """One lattice-table PDF per order (header + lineitems sorted by
     linenumber; cells: linenumber, int(quantity), returnflag)."""
@@ -287,6 +370,48 @@ def html_corpus_table(spark, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return _spread(docs).mapInArrow(_html_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
+def _layout_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Two-column docs: first half of the tokens rendered 4-per-line in
+    a left column (x=72), second half in a right column (x=350, same
+    y range). Naive top-sorted reading order interleaves the columns;
+    layout mode (W7-W11) must emit left column then right."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, sanitize_for_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            clean = sanitize_for_pdf(text or "").replace("\n", " ")
+            toks = [t for t in clean.split(" ") if t]
+            half = (len(toks) + 1) // 2
+            cols = []
+            for x, part in ((72.0, toks[:half]), (350.0, toks[half:])):
+                lines = [
+                    " ".join(part[i : i + 4]) for i in range(0, len(part), 4)
+                ]
+                if lines:
+                    cols.append(text_page_content(lines, x=x, y=700.0))
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://layout.example/{doc_id:08d}.pdf",
+                    "html": build_pdf([b"\n".join(cols) if cols else b""]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def layout_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return _spread(docs).mapInArrow(_layout_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
 def expected_text_col(text):
