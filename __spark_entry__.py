@@ -59,7 +59,7 @@ def q_pdf_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
     doc = P.document_text(pages)
     ids = _corpus_ids(spark, sf_dir)
     return (
@@ -74,7 +74,7 @@ def q_pdf_char_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
     counts = pages.groupBy("url").agg(F.sum("n_chars").alias("n_chars_extracted"))
     return (
         counts.join(_corpus_ids(spark, sf_dir), "url")
@@ -88,7 +88,7 @@ def q_pdf_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
     counts = pages.groupBy("url").agg(F.sum("n_words").alias("n_words_extracted"))
     return (
         counts.join(_corpus_ids(spark, sf_dir), "url")
@@ -104,7 +104,7 @@ def q_pdf_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import lineitem_table_corpus
 
     corpus = lineitem_table_corpus(spark, sf_dir, max_orderkey=100)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("tables",))
     cells = P.cells_table(pages)
     ids = (
         _read(spark, sf_dir, "lineitem")
@@ -133,7 +133,8 @@ def q_pdf_hyperlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False,
+                             include=("hyperlinks",))
     links = P.hyperlinks_table(pages)
     ids = _corpus_ids(spark, sf_dir)
     return (
@@ -219,7 +220,7 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("images",))
     imgs = P.images_table(pages)
     ids = _corpus_ids(spark, sf_dir)
     return (
@@ -242,7 +243,8 @@ def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    chars = P.chars_table(P.extract_pages(corpus, handle_skew=False))
+    chars = P.chars_table(
+        P.extract_pages(corpus, handle_skew=False, include=("chars",)))
     counts = (
         chars.filter(F.col("mcid").isNotNull())
         .groupBy("url")
@@ -273,7 +275,8 @@ def q_pdf_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference the pages DF from several subtrees; without this the
     # extraction kernel re-runs per reference (at scale: the Iceberg
     # object-table write that SURVEY.md §7 commits between stages)
-    pages = P.extract_pages(corpus, handle_skew=False).persist(
+    pages = P.extract_pages(corpus, handle_skew=False,
+                            include=("words",)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     body = P.document_body_text(pages)
@@ -299,7 +302,8 @@ def q_pdf_header_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import chrome_corpus_table
 
     corpus = chrome_corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False).persist(
+    pages = P.extract_pages(corpus, handle_skew=False,
+                            include=("words",)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bounds = P.header_footer_bounds(pages)
@@ -346,7 +350,7 @@ def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = layout_corpus_table(spark, sf_dir)
     pages = P.extract_pages(
         corpus, text_options=TextOptions(layout=True, column_mode="auto"),
-        handle_skew=False,
+        handle_skew=False, include=(),
     )
     doc = P.document_text(pages)
     ids = _read(spark, sf_dir, "documents").select(
@@ -369,7 +373,8 @@ def q_pdf_crop_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    chars = P.chars_table(P.extract_pages(corpus, handle_skew=False))
+    chars = P.chars_table(
+        P.extract_pages(corpus, handle_skew=False, include=("chars",)))
     cropped = chars.filter((F.col("x0") + F.col("x1")) / 2.0 < 305.5)
     counts = cropped.groupBy("url").agg(F.count("*").alias("n_cropped"))
     ids = _corpus_ids(spark, sf_dir)
@@ -400,7 +405,7 @@ def q_pdf_largest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import two_table_corpus
 
     corpus = two_table_corpus(spark, sf_dir, max_orderkey=100)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("tables",))
     tables = P.tables_table(pages).select(
         "url", "table_idx",
         F.size("rows").alias("n_rows"),
@@ -430,7 +435,7 @@ def q_pdf_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import two_table_corpus
 
     corpus = two_table_corpus(spark, sf_dir, max_orderkey=100)
-    pages = P.extract_pages(corpus, handle_skew=False)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("tables",))
     cells = P.cells_table(pages)
     acc = (
         cells.groupBy("url", "table_idx")
@@ -628,9 +633,19 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.dedup import minhash_lsh_candidates
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, num_hashes=4, band_size=2).orderBy(
+    # 4-minima bands: a candidate needs a full 4-hash band match —
+    # realistic LSH tightness (2-minima bands degenerate to ~all-pairs
+    # on short same-domain texts)
+    return minhash_lsh_candidates(docs, num_hashes=8, band_size=4).orderBy(
         "id_a", "id_b"
     )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfplumber_rs_spark.functions.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(docs, num_hashes=8, band_size=4).orderBy("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
@@ -836,6 +852,9 @@ def oracle_sql() -> dict[str, str]:
     toks = _norm_tokens_sql("text")
     minhash_cols = ", ".join(
         f"min({_tok_hash_sql('tok', k)}) as h{k}" for k in range(4)
+    )
+    minhash8_cols = ", ".join(
+        f"min({_tok_hash_sql('tok', k)}) as h{k}" for k in range(8)
     )
     minhash_base = f"""
 with toks as (
@@ -1123,21 +1142,48 @@ with toks as (
             order by id_a, id_b""",
         "minhash_signatures": minhash_base
         + " select doc_id, h0, h1, h2, h3 from sig order by doc_id",
-        "minhash_candidates": minhash_base
-        + """
-        , bands as (
+        "minhash_candidates": f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
             select doc_id, 0 as band,
-                   cast(h0 as varchar) || ',' || cast(h1 as varchar) as key
-            from sig
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
             union all
             select doc_id, 1 as band,
-                   cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
-            from sig
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
         )
         select distinct a.doc_id as id_a, b.doc_id as id_b
         from bands a join bands b
           on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id
         order by id_a, id_b""",
+        "minhash_dedup": f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
+            union all
+            select doc_id, 1 as band,
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
+        ), reps as (
+            select band, key, min(doc_id) as rep from bands group by band, key
+        )
+        select b.doc_id, min(r.rep) as keep_id
+        from bands b join reps r on b.band = r.band and b.key = r.key
+        group by b.doc_id having min(r.rep) < b.doc_id
+        order by doc_id""",
         "simhash": _simhash_sql(),
         "lang_guess": f"""
             select doc_id, {_lang_markers_sql()} as lang_guess

@@ -30,7 +30,7 @@ HEADLINE = [
     "sessionize",
     "doctop_cumsum",
     "dedup_exact",
-    "minhash_candidates",
+    "minhash_dedup",
     "simhash",
     "cosine_topk",
     "quality",

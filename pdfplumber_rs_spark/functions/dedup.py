@@ -96,7 +96,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """MinHash signature per document: explode tokens once, then one
     hash-aggregate computing all k minima (map-side partial agg — the
     shuffle carries k longs per doc, not the token stream)."""
-    toks = df.select(
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    toks = df.repartition(n, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_set(F.col(text_col))).alias("tok"),
     )
@@ -107,16 +108,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           num_hashes: int = 8,
-                           band_size: int = 2) -> DataFrame:
-    """LSH banding: signatures → (band, band_hash) buckets → self-join on
-    bucket → distinct candidate pairs. The join key is (band, values),
-    so candidates shuffle by bucket — no cross join at any scale."""
+def minhash_bands(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 8,
+                  band_size: int = 2) -> DataFrame:
+    """(doc_id, band, key) LSH bucket memberships."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes)
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -132,6 +130,18 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_hashes: int = 8,
+                           band_size: int = 2) -> DataFrame:
+    """LSH banding: signatures → (band, band_hash) buckets → self-join on
+    bucket → distinct candidate pairs. The join key is (band, values),
+    so candidates shuffle by bucket — no cross join at any scale. NOTE:
+    pair ENUMERATION is O(B²) inside a B-doc bucket; for dedup at scale
+    use minhash_dedup (bucket representatives, O(B))."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -143,12 +153,33 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 8,
+                  band_size: int = 4) -> DataFrame:
+    """Scalable near-dup removal: per LSH bucket keep the min-id
+    representative; a document's keep_id = min representative over its
+    bands. LINEAR in bucket size where pair enumeration is quadratic —
+    a mega-bucket of 10^6 near-identical crawl pages costs 10^6 rows,
+    not 5·10^11 pairs. (Single-pass union approximation, not full
+    connected components — the standard web-dedup compromise.)
+    Returns (doc_id, keep_id) for documents that should be dropped."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
+    reps = bands.groupBy("band", "key").agg(F.min("doc_id").alias("rep"))
+    return (
+        bands.join(reps, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("keep_id"))
+        .filter(F.col("keep_id") < F.col("doc_id"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per-token md5-derived 64-bit value; per-bit
     weighted vote via sum(±1) per bit position, sign → bit. Expressed as
     explode + groupBy + bit aggregation (shuffle carries 64 ints/doc)."""
-    toks = df.select(
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    toks = df.repartition(n, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("tok"),
     )

@@ -118,8 +118,14 @@ class Page:
                     word_options: WordOptions | None = None) -> list[dict]:
         # cell text uses the default word options (oracle semantics —
         # rotation is already baked into the char coordinates)
+        from ..config import TableSettings as _TS
+
         wopt = word_options or WordOptions()
-        words = self.extract_words(word_options)
+        # words feed ONLY the stream strategy (words_to_edges_v/h);
+        # lattice/explicit never read them — skip the second word
+        # extraction (it was ~40% of text-page kernel time)
+        st = settings or _TS()
+        words = self.extract_words(word_options) if st.strategy == "stream" else []
         return find_tables(self.edges(), words, self.chars, settings, wopt)
 
     def extract_tables(self, settings: TableSettings | None = None) -> list[list[list[str | None]]]:

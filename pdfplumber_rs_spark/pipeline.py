@@ -157,38 +157,56 @@ PAGE_SCHEMA = StructType(
     ]
 )
 
-def _arrow_schema() -> pa.Schema:
-    from pyspark.sql.pandas.types import to_arrow_schema
+# object-array sections that can be pruned at the KERNEL (Catalyst cannot
+# push a projection through mapInArrow, so we do it ourselves: excluded
+# sections are neither computed nor Arrow-serialized)
+SECTIONS = ("chars", "words", "edges", "shapes", "tables", "annotations",
+            "hyperlinks", "images")
 
-    return to_arrow_schema(PAGE_SCHEMA)
+
+def page_schema(include: tuple | None = None) -> StructType:
+    """PAGE_SCHEMA restricted to the requested object sections (None =
+    all). Base columns (dims, text, counters, lineage) always present."""
+    if include is None:
+        return PAGE_SCHEMA
+    keep = set(include) | (set(PAGE_SCHEMA.fieldNames()) - set(SECTIONS))
+    return StructType([f for f in PAGE_SCHEMA.fields if f.name in keep])
 
 
 # -- kernel (runs on executors) ---------------------------------------------------
+
+def _empty_row(url: str, warnings: list, error: str | None, t0: float,
+               include: tuple | None) -> dict:
+    row = {
+        "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
+        "rotation": 0, "text": "", "n_chars": 0, "n_words": 0,
+        "n_tables": 0, "warnings": warnings, "error": error,
+        "kernel_ms": (time.time() - t0) * 1000.0,
+    }
+    for s in (SECTIONS if include is None else include):
+        row[s] = []
+    return row
+
 
 def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                text_options: TextOptions | None,
                table_settings: TableSettings | None,
                page_start: int | None = None,
-               page_end: int | None = None) -> list[dict]:
-    """Extract one document → list of per-page dicts (PAGE_SCHEMA shape)."""
+               page_end: int | None = None,
+               include: tuple | None = None) -> list[dict]:
+    """Extract one document → list of per-page dicts (page_schema(include)
+    shape). `include` prunes object sections: excluded sections are not
+    computed (tables) and not serialized (everything else)."""
     from .kernel.document import Document
     from .kernel.layout import extract_text_from_words
 
+    inc = SECTIONS if include is None else tuple(include)
+    want = set(inc)
     t0 = time.time()
     try:
         doc = Document(data, options)
     except Exception as e:  # noqa: BLE001 — lenient: bad PDF → error row
-        return [
-            {
-                "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
-                "rotation": 0, "text": "", "chars": [], "words": [],
-                "edges": [], "shapes": [], "tables": [],
-                "annotations": [], "hyperlinks": [], "images": [], "n_chars": 0,
-                "n_words": 0, "n_tables": 0, "warnings": [],
-                "error": f"open failed: {e}",
-                "kernel_ms": (time.time() - t0) * 1000.0,
-            }
-        ]
+        return [_empty_row(url, [], f"open failed: {e}", t0, inc)]
     rows = []
     lo = page_start if page_start is not None else 0
     hi = min(page_end if page_end is not None else doc.page_count, doc.page_count)
@@ -198,100 +216,95 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
             page = doc.page(i)
             words = page.extract_words()
             text = extract_text_from_words(words, text_options)
-            tables = page.find_tables(table_settings)
+            tables = page.find_tables(table_settings) if "tables" in want else []
             error = None
         except Exception as e:  # noqa: BLE001
             page = None
             words, text, tables = [], "", []
             error = f"page {i + 1}: {e}"
         chars = page.chars if page else []
-        shapes = []
-        edges = []
-        if page is not None:
-            for o in page.lines:
-                shapes.append(_shape_row("line", o))
-            for o in page.rects:
-                shapes.append(_shape_row("rect", o))
-            for o in page.curves:
-                shapes.append(_shape_row("curve", o))
-            edges = page.edges()
-        rows.append(
-            {
-                "url": url,
-                "page_number": i + 1,
-                "width": page.width if page else 0.0,
-                "height": page.height if page else 0.0,
-                "rotation": page.rotation if page else 0,
-                "text": text,
-                "chars": [
-                    {
-                        "text": c["text"], "x0": c["x0"], "top": c["top"],
-                        "x1": c["x1"], "bottom": c["bottom"],
-                        "fontname": c["fontname"], "size": c["size"],
-                        "doctop": c["doctop"], "upright": c["upright"],
-                        "direction": c["direction"],
-                        "char_code": int(c["char_code"]),
-                        "mcid": c["mcid"], "tag": c["tag"],
-                    }
-                    for c in chars
-                ],
-                "words": [
-                    {
-                        "text": w["text"], "x0": w["x0"], "top": w["top"],
-                        "x1": w["x1"], "bottom": w["bottom"],
-                        "doctop": w["doctop"], "direction": w["direction"],
-                    }
-                    for w in words
-                ],
-                "edges": [
-                    {
-                        "x0": e["x0"], "top": e["top"], "x1": e["x1"],
-                        "bottom": e["bottom"], "orientation": e["orientation"],
-                        "source": e["source"],
-                    }
-                    for e in edges
-                ],
-                "shapes": shapes,
-                "tables": [
-                    {
-                        "x0": t["bbox"]["x0"], "top": t["bbox"]["top"],
-                        "x1": t["bbox"]["x1"], "bottom": t["bbox"]["bottom"],
-                        "rows": [
-                            [None if c is None else c["text"] for c in row]
-                            for row in t["rows"]
-                        ],
-                    }
-                    for t in tables
-                ],
-                "annotations": list(page.annotations) if page else [],
-                "hyperlinks": list(page.hyperlinks) if page else [],
-                "images": list(page.images) if page else [],
-                "n_chars": len(chars),
-                "n_words": len(words),
-                "n_tables": len(tables),
-                "warnings": list(doc.warnings),
-                "error": error,
-                "kernel_ms": (time.time() - t1) * 1000.0,
-            }
-        )
+        row = {
+            "url": url,
+            "page_number": i + 1,
+            "width": page.width if page else 0.0,
+            "height": page.height if page else 0.0,
+            "rotation": page.rotation if page else 0,
+            "text": text,
+            "n_chars": len(chars),
+            "n_words": len(words),
+            "n_tables": len(tables) if "tables" in want else None,
+            "warnings": list(doc.warnings),
+            "error": error,
+        }
+        if "chars" in want:
+            row["chars"] = [
+                {
+                    "text": c["text"], "x0": c["x0"], "top": c["top"],
+                    "x1": c["x1"], "bottom": c["bottom"],
+                    "fontname": c["fontname"], "size": c["size"],
+                    "doctop": c["doctop"], "upright": c["upright"],
+                    "direction": c["direction"],
+                    "char_code": int(c["char_code"]),
+                    "mcid": c["mcid"], "tag": c["tag"],
+                }
+                for c in chars
+            ]
+        if "words" in want:
+            row["words"] = [
+                {
+                    "text": w["text"], "x0": w["x0"], "top": w["top"],
+                    "x1": w["x1"], "bottom": w["bottom"],
+                    "doctop": w["doctop"], "direction": w["direction"],
+                }
+                for w in words
+            ]
+        if "edges" in want:
+            row["edges"] = [
+                {
+                    "x0": e["x0"], "top": e["top"], "x1": e["x1"],
+                    "bottom": e["bottom"], "orientation": e["orientation"],
+                    "source": e["source"],
+                }
+                for e in (page.edges() if page else [])
+            ]
+        if "shapes" in want:
+            shapes = []
+            if page is not None:
+                for o in page.lines:
+                    shapes.append(_shape_row("line", o))
+                for o in page.rects:
+                    shapes.append(_shape_row("rect", o))
+                for o in page.curves:
+                    shapes.append(_shape_row("curve", o))
+            row["shapes"] = shapes
+        if "tables" in want:
+            row["tables"] = [
+                {
+                    "x0": t["bbox"]["x0"], "top": t["bbox"]["top"],
+                    "x1": t["bbox"]["x1"], "bottom": t["bbox"]["bottom"],
+                    "rows": [
+                        [None if c is None else c["text"] for c in row_]
+                        for row_ in t["rows"]
+                    ],
+                }
+                for t in tables
+            ]
+        if "annotations" in want:
+            row["annotations"] = list(page.annotations) if page else []
+        if "hyperlinks" in want:
+            row["hyperlinks"] = list(page.hyperlinks) if page else []
+        if "images" in want:
+            row["images"] = list(page.images) if page else []
+        row["kernel_ms"] = (time.time() - t1) * 1000.0
+        rows.append(row)
     if not rows:  # zero-page document still yields one row (lineage)
-        rows.append(
-            {
-                "url": url, "page_number": 0, "width": 0.0, "height": 0.0,
-                "rotation": 0, "text": "", "chars": [], "words": [],
-                "edges": [], "shapes": [], "tables": [],
-                "annotations": [], "hyperlinks": [], "images": [], "n_chars": 0,
-                "n_words": 0, "n_tables": 0,
-                "warnings": list(doc.warnings),
-                # a document that yields no pages at all is an error for
-                # lineage purposes (unless an explicit empty range was asked)
-                "error": None if page_start else (
-                    "no pages: " + (doc.warnings[0] if doc.warnings
-                                    else "empty document")
-                ),
-                "kernel_ms": (time.time() - t0) * 1000.0,
-            }
+        # a document that yields no pages at all is an error for lineage
+        # purposes (unless an explicit empty range was asked)
+        err = None if page_start else (
+            "no pages: " + (doc.warnings[0] if doc.warnings
+                            else "empty document")
         )
+        rows.append(_empty_row(url, list(doc.warnings), err, t0, inc))
     return rows
 
 
@@ -306,10 +319,12 @@ def _shape_row(kind: str, o: dict) -> dict:
 def make_extract_kernel(options: ExtractOptions | None = None,
                         text_options: TextOptions | None = None,
                         table_settings: TableSettings | None = None,
-                        ranged: bool = False):
+                        ranged: bool = False,
+                        include: tuple | None = None):
     """Build the mapInArrow kernel fn. When ranged=True the input carries
-    page_start/page_end columns (giant-PDF split path)."""
-    arrow_schema = _arrow_schema()
+    page_start/page_end columns (giant-PDF split path). `include` prunes
+    object sections at the kernel (manual projection pushdown)."""
+    arrow_schema = _arrow_schema_for(page_schema(include))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -324,6 +339,7 @@ def make_extract_kernel(options: ExtractOptions | None = None,
                     _page_rows(
                         url, html, options, text_options, table_settings,
                         s if ranged else None, e if ranged else None,
+                        include=include,
                     )
                 )
                 # keep batches bounded: flush every ~64 pages
@@ -438,8 +454,15 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None,
                   text_options: TextOptions | None = None,
                   table_settings: TableSettings | None = None,
                   handle_skew: bool = True,
-                  num_partitions: int | None = None) -> DataFrame:
-    """(url, html[, …]) → one row per page (PAGE_SCHEMA)."""
+                  num_partitions: int | None = None,
+                  include: tuple | None = None) -> DataFrame:
+    """(url, html[, …]) → one row per page (page_schema(include)).
+
+    `include` is the manual projection pushdown: Catalyst cannot prune
+    columns through mapInArrow, so callers that only need text/counters
+    pass include=() and skip both the computation (find_tables) and the
+    Arrow serialization of the object arrays (~40 KB/page full vs
+    ~100 B/page text-only)."""
     cols = df.select("url", "html")
     if handle_skew:
         cols = split_giant_documents(cols)
@@ -451,8 +474,8 @@ def extract_pages(df: DataFrame, options: ExtractOptions | None = None,
         ranged = True
     cols = salt(cols, num_partitions)
     kernel = make_extract_kernel(options, text_options, table_settings,
-                                 ranged=ranged)
-    return cols.mapInArrow(kernel, PAGE_SCHEMA)
+                                 ranged=ranged, include=include)
+    return cols.mapInArrow(kernel, page_schema(include))
 
 
 def with_doctop(pages: DataFrame) -> DataFrame:

@@ -145,3 +145,20 @@ def test_header_footer_body_text(spark):
     assert len(sigs) == 3
     assert all(r.header_sig == "Report Page #" for r in sigs)
     assert all(r.footer_sig == "# / #" for r in sigs)
+
+
+def test_extract_pages_include_pruning(spark):
+    df = spark.createDataFrame(
+        [("https://i.example/0.pdf", pdfgen.fixture_complex(1))],
+        "url string, html binary",
+    )
+    light = P.extract_pages(df, handle_skew=False, include=())
+    assert set(P.SECTIONS).isdisjoint(light.columns)
+    row = light.collect()[0]
+    assert row.n_chars > 0 and row.text.startswith("Q3 FINANCIAL")
+    assert row.n_tables is None  # not computed when pruned
+
+    only_tables = P.extract_pages(df, handle_skew=False, include=("tables",))
+    assert "tables" in only_tables.columns and "chars" not in only_tables.columns
+    trow = only_tables.collect()[0]
+    assert trow.n_tables == 1 and len(trow.tables) == 1
