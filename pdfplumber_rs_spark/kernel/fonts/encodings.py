@@ -83,6 +83,11 @@ _WINANSI = _build_table("cp1252")
 for _i in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
     _WINANSI[_i] = "•"
 _MACROMAN = _build_table("mac-roman")
+# the encodings define NO glyphs at control positions (the codecs map the
+# bytes to themselves) — pdfminer treats such codes as unmapped → (cid:N)
+for _i in list(range(0x00, 0x20)) + [0x7F]:
+    _WINANSI[_i] = None
+    _MACROMAN[_i] = None
 _STANDARD: list[str | None] = [None] * 256
 for _i in range(0x20, 0x7F):
     _STANDARD[_i] = chr(_i)

@@ -101,18 +101,19 @@ class LoadedFont:
             if hit is not None:
                 return hit
         if self.is_cid:
-            identity_fallback = (
-                (self.cmap is not None and self.cmap.is_identity())
-                or (
-                    self.is_identity_encoding
-                    and (self.cid_ordering is None or self.cid_ordering == "Identity")
-                )
-            )
+            # pdfminer: a CID font with no usable ToUnicode renders every
+            # code as (cid:N) — the Identity chr(code) shortcut applies
+            # only when an EXPLICIT full-range identity ToUnicode exists
+            identity_fallback = self.cmap is not None and self.cmap.is_identity()
             if identity_fallback:
                 try:
                     return chr(code)
                 except ValueError:
                     return None
+            return f"(cid:{code})"
+        if self.encoding is not None:
+            # simple font whose encoding has no glyph at this code:
+            # pdfminer raises PDFUnicodeNotDefined → renders "(cid:N)"
             return f"(cid:{code})"
         try:
             return chr(code)
@@ -200,7 +201,12 @@ def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
             str(base_enc) if base_enc is not None else None,
             diffs if isinstance(diffs, list) else None,
         )
-    # no /Encoding: leave None → fallback chr(code) path
+    else:
+        # no /Encoding: pdfminer defaults non-symbolic simple fonts to
+        # StandardEncoding (0x27 → quoteright ’, 0x60 → quoteleft ‘);
+        # Symbol/ZapfDingbats keep the chr(code) fallback
+        if font.base_name not in ("Symbol", "ZapfDingbats"):
+            font.encoding = SimpleEncoding("StandardEncoding")
 
 
 def _load_type0(doc, fd: dict, font: LoadedFont) -> None:

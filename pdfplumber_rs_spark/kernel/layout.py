@@ -219,11 +219,12 @@ def blocks_to_text(blocks: list[dict]) -> str:
     )
 
 
-def words_to_text(words: list[dict], y_tolerance: float) -> str:
-    """Default extract_text (oracle textmap semantics): upright words
-    first, then non-upright, each group clustered into lines by doctop
-    (chained clustering, y_tolerance); extraction order within a line;
-    ' ' within lines, '\n' between lines and between the groups."""
+def words_to_text_grouped(words: list[dict], y_tolerance: float) -> str:
+    """Cell-text variant (T10, table.rs:1026-1136): upright words first,
+    then non-upright, each group clustered into lines by doctop (chained
+    clustering); extraction order within a line; ' ' within lines, '\n'
+    between lines and between the groups. Unlike page-level
+    words_to_text this REGROUPS across the sequence."""
     from .words import cluster_objects
 
     groups = [
@@ -239,6 +240,32 @@ def words_to_text(words: list[dict], y_tolerance: float) -> str:
             "\n".join(" ".join(w["text"] for w in line) for line in lines)
         )
     return "\n".join(out)
+
+
+def words_to_text(words: list[dict], y_tolerance: float) -> str:
+    """Default extract_text (oracle textmap semantics, derived byte-exact
+    against the Python-pdfplumber goldens incl. rotated/mirrored pages):
+    words stay in EXTRACTION ORDER; a page-global chained clustering of
+    word doctops (tolerance y_tolerance) assigns line ids; a newline
+    falls wherever consecutive words' cluster ids differ, a space
+    otherwise. Note this splits the sequence into RUNS — two words
+    sharing a cluster id but separated in extraction order (different
+    rotated columns) land on different output lines."""
+    from .words import cluster_value_ids
+
+    if not words:
+        return ""
+    ids = cluster_value_ids([w["doctop"] for w in words], y_tolerance)
+    lines: list[list[str]] = [[words[0]["text"]]]
+    cur = ids[words[0]["doctop"]]
+    for w in words[1:]:
+        wid = ids[w["doctop"]]
+        if wid == cur:
+            lines[-1].append(w["text"])
+        else:
+            lines.append([w["text"]])
+            cur = wid
+    return "\n".join(" ".join(line) for line in lines)
 
 
 def extract_text_from_words(words: list[dict], options: TextOptions | None = None) -> str:

@@ -324,12 +324,12 @@ def _cells_bbox(cells) -> tuple:
 def _extract_cell_text(cell_chars: list[dict], options: WordOptions) -> str:
     """Default extract_text over the cell's chars (oracle semantics):
     sequential doctop line breaking, same as page-level text."""
-    from .layout import words_to_text
+    from .layout import words_to_text_grouped
 
     words = extract_words(cell_chars, options)
     if not words:
         return ""
-    return words_to_text(words, options.y_tolerance)
+    return words_to_text_grouped(words, options.y_tolerance)
 
 
 def extract_table(cells: list[tuple], chars: list[dict],

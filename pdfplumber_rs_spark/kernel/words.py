@@ -29,20 +29,27 @@ def cluster_objects(objs: list, keyf, tolerance: float) -> list[list]:
     WITHIN each cluster (this is load-bearing for mirrored text)."""
     if not objs:
         return []
-    values = sorted(set(keyf(o) for o in objs))
+    cluster_of = cluster_value_ids([keyf(o) for o in objs], tolerance)
+    groups: list[list] = [[] for _ in range(max(cluster_of.values()) + 1)]
+    for o in objs:
+        groups[cluster_of[keyf(o)]].append(o)
+    return groups
+
+
+def cluster_value_ids(values: list, tolerance: float) -> dict:
+    """pdfplumber's make_cluster_dict: chain the UNIQUE values (sorted,
+    within tolerance of the previous value) into cluster ids."""
+    uniq = sorted(set(values))
     cluster_of: dict = {}
     cid = 0
-    last = values[0]
-    cluster_of[values[0]] = 0
-    for v in values[1:]:
+    last = uniq[0]
+    cluster_of[uniq[0]] = 0
+    for v in uniq[1:]:
         if v > last + tolerance:
             cid += 1
         cluster_of[v] = cid
         last = v
-    groups: list[list] = [[] for _ in range(cid + 1)]
-    for o in objs:
-        groups[cluster_of[keyf(o)]].append(o)
-    return groups
+    return cluster_of
 
 
 def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
@@ -66,31 +73,26 @@ def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
 def char_begins_new_word(current: list[dict], next_char: dict,
                          x_tol: float, y_tol: float,
                          bbox: list | None = None) -> bool:
-    upright = bool(current[-1]["upright"])
-    intraline = x_tol if upright else y_tol
-    interline = y_tol if upright else x_tol
-    if bbox is not None:  # incremental word bbox (avoids O(n²) rescans)
-        wx0, wtop, wx1, wbot = bbox
-    else:
-        wx0 = min(c["x0"] for c in current)
-        wx1 = max(c["x1"] for c in current)
-        wtop = min(c["top"] for c in current)
-        wbot = max(c["bottom"] for c in current)
+    """pdfplumber's rule: compare against the PREVIOUS CHAR (not the
+    word's running bbox — a wide glyph like 'M' overlapping the next
+    char must not mask a real gap after the following comma). Split iff
+    the next char starts before the previous char's start, beyond its
+    end + intraline tolerance, or off its cross-axis line."""
+    prev = current[-1]
+    upright = bool(prev["upright"])
     if upright:
         return (
-            next_char["x0"] > wx1 + intraline
-            or next_char["x0"] < wx0 - intraline
-            or next_char["top"] > current[-1]["top"] + interline
-            or next_char["top"] < current[-1]["top"] - interline
+            next_char["x0"] < prev["x0"]
+            or next_char["x0"] > prev["x1"] + x_tol
+            or next_char["top"] > prev["top"] + y_tol
+            or next_char["top"] < prev["top"] - y_tol
         )
-    # non-upright (rotated/mirrored) text reads along the y-axis: the
-    # next char must stay in the same x0 COLUMN (aligned with the last
-    # char) and within the word's vertical extent ± tolerance
+    # non-upright: reading axis is y (ttb), cross axis is x0
     return (
-        next_char["x0"] > current[-1]["x0"] + interline
-        or next_char["x0"] < current[-1]["x0"] - interline
-        or next_char["top"] > wbot + intraline
-        or next_char["bottom"] < wtop - intraline
+        next_char["top"] < prev["top"]
+        or next_char["top"] > prev["bottom"] + y_tol
+        or next_char["x0"] > prev["x0"] + x_tol
+        or next_char["x0"] < prev["x0"] - x_tol
     )
 
 
