@@ -55,10 +55,15 @@ def cluster_value_ids(values: list, tolerance: float) -> dict:
 def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
                     horizontal_ltr: bool = True,
                     vertical_ttb: bool = True) -> list[dict]:
+    import itertools
+
     out: list[dict] = []
-    for upright_cluster in cluster_objects(
-        chars, lambda c: -int(bool(c["upright"])), 0
-    ):
+    # upright grouping is by CONSECUTIVE RUNS in stream order (derived
+    # byte-exact vs goldens with interleaved mirrored text, issue-90):
+    # each run is line-clustered and sorted independently and stays at
+    # its stream position
+    for _k, run in itertools.groupby(chars, key=lambda c: bool(c["upright"])):
+        upright_cluster = list(run)
         upright = bool(upright_cluster[0]["upright"])
         cluster_key = (lambda c: c["doctop"]) if upright else (lambda c: c["x0"])
         for line in cluster_objects(upright_cluster, cluster_key, y_tol):
