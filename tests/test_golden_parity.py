@@ -30,3 +30,34 @@ def test_generated_fixture_parity(stem: str):
     assert r["char_rate"] == 1.0, r
     assert r["word_rate"] == 1.0, r
     assert r["cell_rate"] == 1.0, r
+
+
+CRATES = Path("/root/reference/crates/pdfplumber/tests/fixtures")
+
+
+@pytest.mark.skipif(not CRATES.exists(), reason="reference corpus not present")
+def test_real_world_corpus_thresholds():
+    """Full real-world/issue corpus: byte-identical extract_text on
+    EVERY page (the north-rule invariant), chars/words/cells above the
+    reference's own cross-validation floors with margin."""
+    from parity import score_file
+
+    ch = [0, 0]; wd = [0, 0]; cl = [0, 0]; tx = [0, 0]
+    for gold_path in sorted((CRATES / "golden").glob("*.json")):
+        stem = gold_path.stem
+        pdf = CRATES / "pdfs" / f"{stem}.pdf"
+        if not pdf.exists():
+            hits = list((CRATES / "pdfs").rglob(f"{stem}.pdf"))
+            if not hits:
+                continue
+            pdf = hits[0]
+        r = score_file(pdf, gold_path, tol=1.0)
+        for agg, key in ((ch, "chars"), (wd, "words"), (cl, "cells"),
+                         (tx, "text")):
+            a, b = map(int, r[key].split("/"))
+            agg[0] += a
+            agg[1] += b
+    assert tx[0] == tx[1], f"byte-identical text: {tx[0]}/{tx[1]}"
+    assert ch[0] / ch[1] >= 0.999, f"chars {ch[0]}/{ch[1]}"
+    assert wd[0] / wd[1] >= 0.999, f"words {wd[0]}/{wd[1]}"
+    assert cl[0] / cl[1] >= 0.999, f"cells {cl[0]}/{cl[1]}"
