@@ -458,6 +458,65 @@ def q_pdf_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: every input PDF is damaged (xref table + trailer removed,
+    startxref pointing nowhere); the scan-recovery open path
+    (repair.rs, pdf.rs:248-258) must still produce byte-identical
+    text — same oracle as the clean roundtrip."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corrupted_corpus_table
+
+    corpus = corrupted_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
+    doc = P.document_text(pages)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_struct_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: flattened StructTreeRoot rows (struct_tree.rs) — Document
+    root + one P element per source line with (page, mcid) linkage."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    st = P.structure_table(corpus)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        st.join(ids, "url")
+        .select("doc_id", "elem_id", "parent_id", "level", "s_type",
+                "page_number", "mcid")
+        .orderBy("doc_id", "elem_id")
+    )
+
+
+def q_pdf_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 semantic reading order: struct-MCID rows broadcast-joined to
+    the exploded chars view, ordered aggregation per element then per
+    document (pdf.rs:867-906 relationally)."""
+    from pyspark import StorageLevel
+
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("chars",))
+    st = P.structure_table(corpus)
+    sem = P.semantic_text(pages, st)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        ids.join(sem, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("semantic_text"), F.lit("")).alias("semantic_text"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -730,6 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_crop_chars": q_pdf_crop_chars,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
+        "pdf_repair": q_pdf_repair,
+        "pdf_struct_tree": q_pdf_struct_tree,
+        "pdf_semantic_text": q_pdf_semantic_text,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
@@ -945,6 +1007,32 @@ with toks as (
             select doc_id,
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
+            from documents order by doc_id""",
+        "pdf_struct_tree": f"""
+            with d as (
+              select doc_id,
+                     len(string_split({_SANITIZED}, chr(10))) as n
+              from documents
+            )
+            select doc_id, 0 as elem_id, -1 as parent_id, 0 as level,
+                   'Document' as s_type, cast(null as int) as page_number,
+                   cast(null as int) as mcid
+            from d
+            union all
+            select doc_id, cast(i as int) as elem_id, 0 as parent_id,
+                   1 as level, 'P' as s_type,
+                   cast((i - 1) // 48 as int) as page_number,
+                   cast((i - 1) % 48 as int) as mcid
+            from d, lateral unnest(generate_series(1, cast(n as int))) as t(i)
+            order by doc_id, elem_id""",
+        "pdf_semantic_text": f"""
+            select doc_id,
+                   array_to_string(
+                     list_filter(string_split({_SANITIZED}, chr(10)),
+                                 l -> l <> ''), chr(10)) as semantic_text
+            from documents order by doc_id""",
+        "pdf_repair": f"""
+            select doc_id, {_EXPECTED_TEXT} as extracted_text
             from documents order by doc_id""",
         "pdf_largest_table": """
             select l_orderkey,

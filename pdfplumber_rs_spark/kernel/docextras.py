@@ -267,6 +267,73 @@ def bookmarks(doc) -> list[dict]:
     return out
 
 
+def structure_tree(doc) -> list[dict]:
+    """D5: flattened /StructTreeRoot walk (struct_tree.rs; Spark has no
+    recursive types so the tree is encoded as rows with level/parent):
+    → [{elem_id, parent_id, level, s_type, page_number, mcid}] in
+    depth-first order; elem_id is the DFS index, parent_id -1 for roots."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        return []
+    st = doc.resolve(root.get("StructTreeRoot"))
+    if not isinstance(st, dict):
+        return []
+    page_index = build_page_index(doc)
+    out: list[dict] = []
+    seen: set = set()
+
+    def walk(node, parent_id: int, level: int, page_hint) -> None:
+        if len(out) > 100000 or level > 64:  # budget
+            return
+        if isinstance(node, Ref):
+            key = (node.num, node.gen)
+            if key in seen:
+                return
+            seen.add(key)
+        nd = doc.resolve(node)
+        if isinstance(nd, Stream):
+            nd = nd.dict
+        if isinstance(nd, list):
+            for kid in nd:
+                walk(kid, parent_id, level, page_hint)
+            return
+        if isinstance(nd, int):
+            # a bare integer kid IS an MCID on the inherited page
+            out.append({"elem_id": len(out), "parent_id": parent_id,
+                        "level": level, "s_type": None,
+                        "page_number": page_hint, "mcid": nd})
+            return
+        if not isinstance(nd, dict):
+            return
+        if "MCID" in nd:  # marked-content reference dict
+            pg = nd.get("Pg")
+            pn = page_index.get((pg.num, pg.gen)) if isinstance(pg, Ref) else page_hint
+            v = doc.resolve(nd.get("MCID"))
+            out.append({"elem_id": len(out), "parent_id": parent_id,
+                        "level": level, "s_type": None,
+                        "page_number": pn,
+                        "mcid": v if isinstance(v, int) else None})
+            return
+        s = doc.resolve(nd.get("S"))
+        pg = nd.get("Pg")
+        pn = page_index.get((pg.num, pg.gen)) if isinstance(pg, Ref) else page_hint
+        elem_id = len(out)
+        out.append({"elem_id": elem_id, "parent_id": parent_id,
+                    "level": level, "s_type": str(s) if s is not None else None,
+                    "page_number": pn, "mcid": None})
+        kids = nd.get("K")
+        if kids is not None:
+            kd = doc.resolve(kids)
+            if isinstance(kd, int):
+                # single-MCID shorthand: attach to THIS element
+                out[elem_id]["mcid"] = kd
+            else:
+                walk(kids, elem_id, level + 1, pn)
+
+    walk(st.get("K"), -1, 0, None)
+    return out
+
+
 def search_chars(chars: list[dict], pattern: str, regex: bool = True,
                  case: bool = True) -> list[dict]:
     """Concat char texts → regex/literal match over the page text →

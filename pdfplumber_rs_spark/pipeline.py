@@ -870,6 +870,82 @@ def render_html(df: DataFrame,
     return df.select("url", "html").mapInArrow(kernel, HTML_SCHEMA)
 
 
+STRUCT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("elem_id", IntegerType()),
+        StructField("parent_id", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("s_type", StringType()),
+        StructField("page_number", IntegerType()),  # 0-indexed like the tree
+        StructField("mcid", IntegerType()),
+    ]
+)
+
+
+def structure_table(df: DataFrame,
+                    options: ExtractOptions | None = None) -> DataFrame:
+    """D5: flattened /StructTreeRoot rows in depth-first order
+    (struct_tree.rs; recursion encoded as elem_id/parent_id/level
+    because Spark has no recursive types). Structure-only pass."""
+    arrow_schema = _arrow_schema_for(STRUCT_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.docextras import structure_tree
+        from .kernel.document import Document
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    for r in structure_tree(Document(html, options).doc):
+                        out.append({"url": url, **r})
+                except Exception:  # noqa: BLE001 — lenient
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, STRUCT_SCHEMA)
+
+
+def semantic_text(pages: DataFrame, structure: DataFrame) -> DataFrame:
+    """D5 semantic_chars reading order (pdf.rs:867-906) RELATIONALLY:
+    join struct MCID rows to chars on (url, page, mcid) — broadcast the
+    small structure side — concat char texts per element (ordered agg),
+    then elements per url in depth-first tree order."""
+    chars = chars_table(pages).filter(F.col("mcid").isNotNull())
+    mc = structure.filter(F.col("mcid").isNotNull()).select(
+        "url",
+        (F.col("page_number") + 1).alias("page_number"),  # chars are 1-based
+        "mcid", "elem_id",
+    )
+    joined = chars.join(F.broadcast(mc), ["url", "page_number", "mcid"])
+    elems = (
+        joined.groupBy("url", "elem_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "text"))),
+                    lambda s: s["text"],
+                ),
+                "",
+            ).alias("elem_text")
+        )
+    )
+    return (
+        elems.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("elem_id", "elem_text"))),
+                    lambda s: s["elem_text"],
+                ),
+                "\n",
+            ).alias("semantic_text")
+        )
+    )
+
+
 def bookmarks_table(meta: DataFrame) -> DataFrame:
     b = meta.select("url", F.posexplode("bookmarks").alias("seq", "b"))
     return b.select("url", "seq", "b.title", "b.level", "b.page_number",

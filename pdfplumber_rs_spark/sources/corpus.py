@@ -414,6 +414,27 @@ def layout_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_layout_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def corrupted_corpus_table(spark, sf_dir: str) -> DataFrame:
+    """corpus_table with every PDF damaged (S4 repair surface,
+    repair.rs): startxref points nowhere and the xref table + trailer
+    are cut off — extraction must fall back to scanning the object
+    stream and still produce identical text."""
+    base = corpus_table(spark, sf_dir)
+
+    def damage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for row in (dict(zip(d, vals)) for vals in zip(*d.values())):
+                pdf = row["html"]
+                i = pdf.rfind(b"\nxref\n")  # the table, not 'startxref'
+                row["html"] = (pdf[:i] if i > 0 else pdf) + b"\nstartxref\n999999\n%%EOF\n"
+                out.append(row)
+            yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
+
+    return base.mapInArrow(damage, CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

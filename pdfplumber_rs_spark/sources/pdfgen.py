@@ -46,7 +46,8 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
               page_annots: list[str] | None = None,
               info: dict[str, str] | None = None,
               bookmarks: list[tuple[str, int]] | None = None,
-              form_fields: list[dict] | None = None) -> bytes:
+              form_fields: list[dict] | None = None,
+              struct_mcids: list[int] | None = None) -> bytes:
     """Assemble a classic-xref PDF. `fonts` maps resource name -> BaseFont
     (standard-14). Default: F1=Helvetica, F2=Courier. `page_annots` is an
     optional per-page raw /Annots array body (inline annotation dicts).
@@ -54,16 +55,20 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     of (title, page_idx) -> a real /Outlines chain with XYZ destinations.
     `form_fields` is a list of {name, value, page, rect?} -> indirect
     /Widget field objects referenced from both the page /Annots and the
-    catalog /AcroForm /Fields (text fields, FT=Tx)."""
+    catalog /AcroForm /Fields (text fields, FT=Tx). `struct_mcids` gives
+    the marked-content count per page -> a /StructTreeRoot with a
+    Document root and one P element per (page, mcid)."""
     if fonts is None:
         fonts = {"F1": "Helvetica", "F2": "Courier"}
     bookmarks = bookmarks or []
     form_fields = form_fields or []
+    struct_mcids = struct_mcids or []
 
     objects: list[bytes] = []
     n_pages = len(page_contents)
     # object numbering: 1=Catalog, 2=Pages, then per page: page obj + content
-    # obj, then font objects, then outline root + items, form fields, /Info.
+    # obj, then font objects, then outline root + items, form fields, /Info,
+    # then StructTreeRoot + Document root + one P element per (page, mcid).
     catalog_num = 1
     pages_num = 2
     first_page = 3
@@ -74,6 +79,11 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     item_start = extra + 1
     field_start = item_start + len(bookmarks) if bookmarks else extra
     info_num = field_start + len(form_fields) if info else 0
+    n_elems = sum(struct_mcids)
+    struct_root = (info_num or field_start + len(form_fields) - 1) + 1 \
+        if n_elems else 0
+    doc_elem = struct_root + 1
+    elem_start = struct_root + 2
 
     def page_ref(idx: int) -> str:
         return f"{first_page + 2 * idx} 0 R"
@@ -87,6 +97,9 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
             f"{field_start + i} 0 R" for i in range(len(form_fields))
         )
         catalog += f" /AcroForm << /Fields [{field_refs}] >>"
+    if n_elems:
+        catalog += (f" /StructTreeRoot {struct_root} 0 R"
+                    " /MarkInfo << /Marked true >>")
     catalog += " >>"
     objects.append(_obj(catalog_num, catalog.encode()))
     objects.append(
@@ -180,6 +193,26 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
             f"/{k} ({escape_pdf_text(str(v))})" for k, v in info.items()
         )
         objects.append(_obj(info_num, f"<< {body} >>".encode()))
+    if n_elems:
+        objects.append(
+            _obj(struct_root,
+                 f"<< /Type /StructTreeRoot /K {doc_elem} 0 R >>".encode())
+        )
+        elem_refs = " ".join(f"{elem_start + i} 0 R" for i in range(n_elems))
+        objects.append(
+            _obj(doc_elem,
+                 (f"<< /S /Document /P {struct_root} 0 R "
+                  f"/K [{elem_refs}] >>").encode())
+        )
+        k = 0
+        for pidx, n_mc in enumerate(struct_mcids):
+            for mcid in range(n_mc):
+                objects.append(
+                    _obj(elem_start + k,
+                         (f"<< /S /P /P {doc_elem} 0 R "
+                          f"/Pg {page_ref(pidx)} /K {mcid} >>").encode())
+                )
+                k += 1
 
     header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     out = bytearray(header)
@@ -310,8 +343,15 @@ def pdf_from_text(text: str, lines_per_page: int = 48, font: str = "F2",
     bms = None
     if bookmarks_per_page:
         bms = [(bookmarks_per_page.format(p=p + 1), p) for p in range(len(pages))]
+    struct_mcids = None
+    if mcid:
+        struct_mcids = [
+            len(lines[i : i + lines_per_page])
+            for i in range(0, max(len(lines), 1), lines_per_page)
+        ]
     return build_pdf(pages, page_annots=[annots] if annots else None,
-                     info=info, bookmarks=bms, form_fields=form_fields)
+                     info=info, bookmarks=bms, form_fields=form_fields,
+                     struct_mcids=struct_mcids)
 
 
 def fixture_text(n_lines: int = 10) -> bytes:
