@@ -235,6 +235,23 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_image_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 image content extraction: the inline image payload decoded
+    through its filter chain (pdf.rs:397-405) — hex so DuckDB can check."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("images",))
+    imgs = P.images_table(pages)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        imgs.join(ids, "url")
+        .select("doc_id", F.hex(F.col("data")).alias("data_hex"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: marked-content ids on chars (interpreter.rs:559-571,1427-1428)
     — distinct (page, mcid) groups per doc, computed RELATIONALLY over
@@ -517,6 +534,49 @@ def q_pdf_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 resource budgets: max_input_bytes rejects every document at
+    open — the row survives as a lenient error row (error.rs:298-331,
+    pdf.rs:168-179), never a task failure."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import ExtractOptions
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(
+        corpus, options=ExtractOptions(max_input_bytes=64),
+        handle_skew=False, include=(),
+    )
+    per_doc = pages.groupBy("url").agg(
+        F.max(F.col("error").isNotNull()).alias("rejected"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        per_doc.join(ids, "url")
+        .select("doc_id", "rejected",
+                F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: per-partition lineage rows rolled up to corpus totals —
+    deterministic regardless of partitioning."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
+    lin = P.lineage(pages)
+    return lin.agg(
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.sum("n_pages").cast("long").alias("n_pages"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_errors").cast("long").alias("n_errors"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -781,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_bookmarks": q_pdf_bookmarks,
         "pdf_form_fields": q_pdf_form_fields,
         "pdf_images": q_pdf_images,
+        "pdf_image_data": q_pdf_image_data,
         "pdf_mcid": q_pdf_mcid,
         "pdf_body_text": q_pdf_body_text,
         "pdf_header_detect": q_pdf_header_detect,
@@ -791,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_repair": q_pdf_repair,
         "pdf_struct_tree": q_pdf_struct_tree,
+        "pdf_budget": q_pdf_budget,
+        "pdf_lineage": q_pdf_lineage,
         "pdf_semantic_text": q_pdf_semantic_text,
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
@@ -1003,11 +1066,25 @@ with toks as (
                    cast(742.0 as double) as bottom,
                    2 as src_width, 2 as src_height
             from documents order by doc_id""",
+        "pdf_image_data": """
+            select doc_id, '11223344' as data_hex
+            from documents order by doc_id""",
         "pdf_mcid": f"""
             select doc_id,
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
             from documents order by doc_id""",
+        "pdf_budget": """
+            select doc_id, true as rejected, cast(0 as bigint) as n_chars
+            from documents order by doc_id""",
+        "pdf_lineage": f"""
+            select cast(count(*) as bigint) as n_urls,
+                   cast(sum(ceil(greatest(len(string_split({_SANITIZED},
+                        chr(10))), 1) / 48.0)) as bigint) as n_pages,
+                   cast(sum(length(replace({_SANITIZED}, chr(10), '')))
+                        as bigint) as n_chars,
+                   cast(0 as bigint) as n_errors
+            from documents""",
         "pdf_struct_tree": f"""
             with d as (
               select doc_id,

@@ -258,10 +258,23 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
         x0, x1 = min(xs), max(xs)
         top = raw_page_height - max(ys)
         bottom = raw_page_height - min(ys)
+        data = None
+        if ev.inline and getattr(ev, "data", None):
+            # S9 image content (pdf.rs:397-405): decode the inline
+            # payload through the named filter chain
+            from .filters import _DECODERS
+
+            data = ev.data
+            f = _DECODERS.get(ev.filter)
+            if f is not None:
+                try:
+                    data = f(data)
+                except Exception:  # noqa: BLE001 — keep raw on failure
+                    pass
         img = {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
                "src_width": ev.src_width, "src_height": ev.src_height,
                "colorspace": ev.colorspace, "filter": ev.filter,
-               "inline": ev.inline}
+               "inline": ev.inline, "data": data}
         if needs_rotation:
             _rotate_bbox(img, raw_page_height, geom)
         images.append(img)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -116,6 +117,7 @@ IMAGE_FIELDS = [
     ("colorspace", StringType()),
     ("filter", StringType()),
     ("inline", BooleanType()),
+    ("data", BinaryType()),  # decoded content (S9); None for XObjects
 ]
 TABLE_TYPE = StructType(
     [
@@ -591,7 +593,7 @@ def images_table(pages: DataFrame) -> DataFrame:
                      F.posexplode("images").alias("seq", "i"))
     return i.select("url", "page_number", "seq", "i.x0", "i.top", "i.x1",
                     "i.bottom", "i.src_width", "i.src_height",
-                    "i.colorspace", "i.filter", "i.inline")
+                    "i.colorspace", "i.filter", "i.inline", "i.data")
 
 
 BOOKMARK_TYPE = StructType(
