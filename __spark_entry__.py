@@ -577,6 +577,30 @@ def q_pdf_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingestion: corpus parquet dropped into a
+    directory, drained with trigger(availableNow) through foreachBatch
+    running the batch extraction plan, checkpointed sink. Output must
+    equal the batch roundtrip byte-for-byte."""
+    import tempfile
+
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+    from pdfplumber_rs_spark.streaming import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="pdf_stream_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    corpus_table(spark, sf_dir).select("url", "html").write.parquet(inp)
+    q = stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(600)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        ids.join(spark.read.parquet(out), "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -853,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_repair": q_pdf_repair,
         "pdf_struct_tree": q_pdf_struct_tree,
         "pdf_budget": q_pdf_budget,
+        "pdf_stream": q_pdf_stream,
         "pdf_lineage": q_pdf_lineage,
         "pdf_semantic_text": q_pdf_semantic_text,
         "doctop_cumsum": q_doctop_cumsum,
@@ -1073,6 +1098,9 @@ with toks as (
             select doc_id,
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
+            from documents order by doc_id""",
+        "pdf_stream": f"""
+            select doc_id, {_EXPECTED_TEXT} as extracted_text
             from documents order by doc_id""",
         "pdf_budget": """
             select doc_id, true as rejected, cast(0 as bigint) as n_chars

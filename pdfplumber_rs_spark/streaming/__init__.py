@@ -1,0 +1,63 @@
+"""Structured Streaming ingestion for the extraction pipeline.
+
+The reference is a batch library (no streaming surface); this module is
+the Spark-native continuous-ingestion path a crawl pipeline needs: new
+corpus files land in a directory, each micro-batch runs the SAME batch
+plan (extract_pages → document_text) via foreachBatch, and the sink
+append is checkpointed so a restart resumes exactly where it stopped —
+the streaming twin of the Iceberg-commit + left-anti resume described
+in SURVEY.md §4(d).
+
+foreachBatch (not a direct streaming agg) because document assembly
+needs a non-time window over page_number, which Structured Streaming
+cannot express; per micro-batch it is plain batch Spark. Exactly-once
+into a transactional sink (Iceberg/Delta); at-least-once into raw
+parquet as used in the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+from ..pipeline import document_text, extract_pages
+
+STREAM_INPUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def read_corpus_stream(spark: SparkSession, input_path: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of (url, html) parquet drops."""
+    reader = spark.readStream.schema(STREAM_INPUT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_path)
+
+
+def stream_extract(spark: SparkSession, input_path: str, output_path: str,
+                   checkpoint: str, include: tuple | None = (),
+                   available_now: bool = True):
+    """Start the streaming extraction job. Returns the StreamingQuery;
+    with available_now=True it drains the currently-visible files and
+    stops (the batch-drain trigger used by scheduled incremental runs)."""
+    stream = read_corpus_stream(spark, input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pages = extract_pages(batch_df, handle_skew=False, include=include)
+        doc = document_text(pages)
+        (doc.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_path))
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
