@@ -601,6 +601,29 @@ def q_pdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: RC4-128 standard-handler encrypted corpus opened with the
+    user password (pdf.rs:199-206; PDF 32000-1 §7.6.3 algorithms) —
+    text must match the plaintext roundtrip byte-for-byte."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import ExtractOptions
+    from pdfplumber_rs_spark.sources.corpus import encrypted_corpus_table
+
+    corpus = encrypted_corpus_table(spark, sf_dir, password="s3cret")
+    pages = P.extract_pages(
+        corpus, options=ExtractOptions(password="s3cret"),
+        handle_skew=False, include=(),
+    )
+    doc = P.document_text(pages)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational analogs of the reference dataflow (SURVEY.md §2.10)
 
@@ -878,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_struct_tree": q_pdf_struct_tree,
         "pdf_budget": q_pdf_budget,
         "pdf_stream": q_pdf_stream,
+        "pdf_encrypted": q_pdf_encrypted,
         "pdf_lineage": q_pdf_lineage,
         "pdf_semantic_text": q_pdf_semantic_text,
         "doctop_cumsum": q_doctop_cumsum,
@@ -1098,6 +1122,9 @@ with toks as (
             select doc_id,
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
                         l -> l <> '')) as bigint) as n_mcid_groups
+            from documents order by doc_id""",
+        "pdf_encrypted": f"""
+            select doc_id, {_EXPECTED_TEXT} as extracted_text
             from documents order by doc_id""",
         "pdf_stream": f"""
             select doc_id, {_EXPECTED_TEXT} as extracted_text

@@ -82,3 +82,5 @@ class ExtractOptions:
     max_input_bytes: int | None = 256 * 1024 * 1024
     # lenient parsing: recover from malformed tokens / unknown operators
     lenient: bool = True
+    # user/owner password (S3, pdf.rs:199-206); empty = auto-decrypt
+    password: str | None = None

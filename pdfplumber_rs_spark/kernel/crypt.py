@@ -204,12 +204,52 @@ def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def compute_standard_values(user_pw: bytes, owner_pw: bytes, p: int,
+                            doc_id: bytes, key_len: int = 16,
+                            r: int = 3) -> tuple[bytes, bytes, bytes]:
+    """PDF 32000-1 §7.6.3 algorithms 3.2-3.5 for the standard handler
+    (R=2/3, RC4): returns (O, U, file_key). Shared by the fixture
+    ENCRYPTOR (sources/pdfgen.encrypt_pdf) and password validation."""
+    # Algorithm 3.3: /O
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:key_len]
+    o = rc4(okey, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 3.2: file key
+    m = hashlib.md5()
+    m.update((user_pw + _PAD)[:32])
+    m.update(o[:32])
+    m.update(struct.pack("<i", p))
+    m.update(doc_id)
+    key = m.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    key = key[:key_len]
+    # Algorithm 3.4/3.5: /U
+    if r == 2:
+        u = rc4(key, _PAD)
+    else:
+        u = rc4(key, hashlib.md5(_PAD + doc_id).digest())
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    return o, u, key
+
+
 class Decryptor:
     """Holds the file key and crypt-filter methods; decrypts strings and
     streams given their owning object number/generation."""
 
-    def __init__(self, enc: dict, doc_id: bytes, resolve) -> None:
+    def __init__(self, enc: dict, doc_id: bytes, resolve,
+                 password: bytes = b"") -> None:
         self.ok = False
+        self.valid = True  # r5/r6 and unsupported paths skip /U validation
         filt = str(resolve(enc.get("Filter")) or "")
         if filt != "Standard":
             return  # unsupported handler → leave data encrypted (warn)
@@ -244,22 +284,57 @@ class Decryptor:
         encrypt_metadata = resolve(enc.get("EncryptMetadata"))
         if encrypt_metadata is None:
             encrypt_metadata = True
-        password = b""  # empty-password auto-decrypt
         if self.r <= 4:
-            pw = (password + _PAD)[:32]
-            h = hashlib.md5()
-            h.update(pw)
-            h.update(bytes(o[:32]))
-            h.update(struct.pack("<i", p))
-            h.update(bytes(doc_id))
-            if self.r >= 4 and not encrypt_metadata:
-                h.update(b"\xff\xff\xff\xff")
-            key = h.digest()
-            if self.r >= 3:
-                for _ in range(50):
-                    key = hashlib.md5(key[: self.key_len]).digest()
-            self.key = key[: self.key_len]
+            def derive(user_pw: bytes) -> bytes:
+                h = hashlib.md5()
+                h.update((user_pw + _PAD)[:32])
+                h.update(bytes(o[:32]))
+                h.update(struct.pack("<i", p))
+                h.update(bytes(doc_id))
+                if self.r >= 4 and not encrypt_metadata:
+                    h.update(b"\xff\xff\xff\xff")
+                key = h.digest()
+                if self.r >= 3:
+                    for _ in range(50):
+                        key = hashlib.md5(key[: self.key_len]).digest()
+                return key[: self.key_len]
+
+            def validates(key: bytes) -> bool:
+                if self.r == 2:
+                    return rc4(key, _PAD) == bytes(u)[:32]
+                chk = rc4(key, hashlib.md5(_PAD + bytes(doc_id)).digest())
+                for i in range(1, 20):
+                    chk = rc4(bytes(b ^ i for b in key), chk)
+                return chk[:16] == bytes(u)[:16]
+
+            candidates = [password]
+            if password:
+                # Algorithm 3.7: treat the password as the OWNER password
+                # → recover the user password by decrypting /O
+                oh = hashlib.md5((password + _PAD)[:32]).digest()
+                if self.r >= 3:
+                    for _ in range(50):
+                        oh = hashlib.md5(oh).digest()
+                okey = oh[: self.key_len]
+                upw = bytes(o[:32])
+                if self.r == 2:
+                    upw = rc4(okey, upw)
+                else:
+                    for i in range(19, -1, -1):
+                        upw = rc4(bytes(b ^ i for b in okey), upw)
+                candidates.append(upw.rstrip(b"\x00"))
+                candidates.append(upw)
+            if not password:
+                candidates = [b""]
+            self.key = derive(candidates[0])
             self.ok = True
+            self.valid = False
+            for cand in candidates:
+                key = derive(cand)
+                if validates(key):
+                    self.key = key
+                    self.valid = True
+                    break
         else:  # R5/R6 — AES-256
             ue = resolve(enc.get("UE")) or b""
             oe = resolve(enc.get("OE")) or b""

@@ -24,9 +24,11 @@ class PdfError(Exception):
 class PdfDocument:
     """Parsed PDF: object store + page list with inherited attributes."""
 
-    def __init__(self, data: bytes, warnings: list[str] | None = None) -> None:
+    def __init__(self, data: bytes, warnings: list[str] | None = None,
+                 password: bytes | str = b"") -> None:
         self.data = data
         self.warnings: list[str] = warnings if warnings is not None else []
+        self.password = password.encode("latin-1") if isinstance(password, str) else password
         self.repaired = False
         # obj num -> (offset, gen) for regular objects, or ("objstm", stm_num, idx)
         self._xref: dict[int, tuple] = {}
@@ -56,11 +58,16 @@ class PdfDocument:
         try:
             from .crypt import Decryptor
 
-            dec = Decryptor(enc, doc_id, self.resolve)
+            dec = Decryptor(enc, doc_id, self.resolve, self.password)
         except Exception as e:  # noqa: BLE001 — lenient
             self.warnings.append(f"encryption setup failed: {e}")
             return
         if dec.ok:
+            if not dec.valid:
+                self.warnings.append(
+                    "password did not validate against /U; "
+                    "content may remain garbled"
+                )
             self._decryptor = dec
             # objects fetched while building xref/trailer were undecrypted
             self._cache = {

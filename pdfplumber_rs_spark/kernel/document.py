@@ -39,7 +39,8 @@ class Document:
             raise ValueError(
                 f"input exceeds max_input_bytes ({len(data)} > {self.options.max_input_bytes})"
             )
-        self.doc = PdfDocument(data, self.warnings)
+        self.doc = PdfDocument(data, self.warnings,
+                               password=self.options.password or "")
         self.repaired = self.doc.repaired
         self._page_dicts = self.doc.pages()
         if (

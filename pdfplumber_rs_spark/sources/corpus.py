@@ -435,6 +435,26 @@ def corrupted_corpus_table(spark, sf_dir: str) -> DataFrame:
     return base.mapInArrow(damage, CORPUS_SCHEMA)
 
 
+def encrypted_corpus_table(spark, sf_dir: str,
+                           password: str = "s3cret") -> DataFrame:
+    """corpus_table re-emitted with RC4-128 standard-handler encryption
+    (S3 surface): user password `password`, distinct owner password."""
+    base = corpus_table(spark, sf_dir)
+
+    def lock(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .pdfgen import encrypt_pdf
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for row in (dict(zip(d, vals)) for vals in zip(*d.values())):
+                row["html"] = encrypt_pdf(row["html"], password, "owner-" + password)
+                out.append(row)
+            yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
+
+    return base.mapInArrow(lock, CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

@@ -379,3 +379,125 @@ def fixture_multipage(n_pages: int = 10, lines_per_page: int = 30) -> bytes:
         )
         for p in range(n_pages)
     ])
+
+
+# -- encryption fixture builder ---------------------------------------------------
+
+def _serialize_obj(obj, enc=None) -> bytes:
+    """Minimal PDF object serializer for re-emitting parsed objects.
+    `enc` is a callable bytes->bytes applied to strings and stream data
+    (per-object RC4)."""
+    from ..kernel.objects import Name, Ref, Stream
+
+    if obj is None:
+        return b"null"
+    if isinstance(obj, bool):
+        return b"true" if obj else b"false"
+    if isinstance(obj, (int,)):
+        return str(obj).encode()
+    if isinstance(obj, float):
+        return f"{obj:g}".encode()
+    if isinstance(obj, Name):
+        return b"/" + str(obj).encode("latin-1")
+    if isinstance(obj, Ref):
+        return f"{obj.num} {obj.gen} R".encode()
+    if isinstance(obj, bytes):
+        data = enc(obj) if enc else obj
+        return b"<" + data.hex().encode() + b">"
+    if isinstance(obj, str):
+        data = obj.encode("latin-1", "replace")
+        if enc:
+            data = enc(data)
+        return b"<" + data.hex().encode() + b">"
+    if isinstance(obj, list):
+        return b"[" + b" ".join(_serialize_obj(v, enc) for v in obj) + b"]"
+    if isinstance(obj, Stream):
+        d = dict(obj.dict)
+        raw = enc(obj.raw) if enc else obj.raw
+        d["Length"] = len(raw)
+        return (_serialize_obj(d, enc) + b"\nstream\n" + raw + b"\nendstream")
+    if isinstance(obj, dict):
+        parts = [b"<<"]
+        for k, v in obj.items():
+            parts.append(b"/" + str(k).encode("latin-1"))
+            parts.append(_serialize_obj(v, enc))
+        parts.append(b">>")
+        return b" ".join(parts)
+    raise TypeError(f"cannot serialize {type(obj)}")
+
+
+def encrypt_pdf(pdf: bytes, user_pw: str, owner_pw: str | None = None) -> bytes:
+    """Re-emit a PDF with standard-handler RC4 128-bit encryption
+    (R=3, V=2): every string and stream is RC4-encrypted under the
+    per-object key (S3 fixture; PDF 32000-1 §7.6.3)."""
+    import hashlib
+
+    from ..kernel.crypt import compute_standard_values, rc4
+    from ..kernel.docparser import PdfDocument
+    from ..kernel.objects import Ref
+
+    doc = PdfDocument(pdf)
+    doc_id = hashlib.md5(pdf).digest()
+    p = -3904  # print/copy allowed-ish permission bits (typical value)
+    o, u, key = compute_standard_values(
+        user_pw.encode("latin-1"),
+        (owner_pw or user_pw).encode("latin-1"),
+        p, doc_id, key_len=16, r=3,
+    )
+
+    def obj_key(num: int, gen: int) -> bytes:
+        h = hashlib.md5()
+        h.update(key)
+        h.update(num.to_bytes(3, "little"))
+        h.update(gen.to_bytes(2, "little"))
+        return h.digest()[:16]
+
+    nums = sorted(n for n in doc._xref if n > 0)
+    max_num = max(nums) if nums else 0
+    enc_num = max_num + 1
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in nums:
+        try:
+            obj = doc.get_object(num)
+        except Exception:  # noqa: BLE001
+            continue
+        if obj is None:
+            continue
+        k = obj_key(num, 0)
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode())
+        out.extend(_serialize_obj(obj, enc=lambda d, k=k: rc4(k, d)))
+        out.extend(b"\nendobj\n")
+    # /Encrypt (never encrypted)
+    offsets[enc_num] = len(out)
+    out.extend(f"{enc_num} 0 obj\n".encode())
+    out.extend(
+        (
+            "<< /Filter /Standard /V 2 /R 3 /Length 128 "
+            f"/P {p} /O <{o.hex()}> /U <{u.hex()}> >>"
+        ).encode()
+    )
+    out.extend(b"\nendobj\n")
+
+    xref_pos = len(out)
+    size = enc_num + 1
+    out.extend(f"xref\n0 {size}\n".encode())
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, size):
+        off = offsets.get(num)
+        if off is None:
+            out.extend(b"0000000000 65535 f \n")
+        else:
+            out.extend(f"{off:010d} 00000 n \n".encode())
+    root = doc.trailer.get("Root")
+    trailer = f"<< /Size {size} /Root {root.num} {root.gen} R "
+    info = doc.trailer.get("Info")
+    if isinstance(info, Ref):
+        trailer += f"/Info {info.num} {info.gen} R "
+    trailer += (
+        f"/Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>] >>"
+    )
+    out.extend(f"trailer\n{trailer}\nstartxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)

@@ -369,3 +369,23 @@ def test_html_render_headings_lists_tables():
         "<table><tr><td>T00</td><td>T01</td></tr>"
         "<tr><td>T10</td><td>T11</td></tr></table>",
     ]
+
+
+def test_encrypted_pdf_password_paths():
+    from pdfplumber_rs_spark.config import ExtractOptions
+    from pdfplumber_rs_spark.kernel.document import Document
+    from pdfplumber_rs_spark.sources.pdfgen import encrypt_pdf
+
+    plain = pdfgen.pdf_from_text("secret text 42\nline two")
+    enc = encrypt_pdf(plain, "hunter2", "ownerpw")
+    expected = "secret text 42\nline two"
+    assert Document(enc, ExtractOptions(password="hunter2")).page(0) \
+        .extract_text() == expected                    # user password
+    assert Document(enc, ExtractOptions(password="ownerpw")).page(0) \
+        .extract_text() == expected                    # owner (Alg 3.7)
+    wrong = Document(enc, ExtractOptions(password="nope"))
+    assert any("did not validate" in w for w in wrong.warnings)
+    # empty-password auto-decrypt still works on files encrypted with
+    # an empty user password
+    enc_empty = encrypt_pdf(plain, "", "owner-only")
+    assert Document(enc_empty).page(0).extract_text() == expected
