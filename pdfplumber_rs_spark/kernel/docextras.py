@@ -377,3 +377,71 @@ def search_chars(chars: list[dict], pattern: str, regex: bool = True,
             }
         )
     return out
+
+
+def signatures(doc) -> list[dict]:
+    """D6 (signature.rs, pdf.rs:791): AcroForm /Sig fields → [{name,
+    signer, sign_date, reason, location, has_byte_range}]."""
+    out: list[dict] = []
+    for f in acroform_fields(doc):
+        if f.get("field_type") != "Sig":
+            continue
+        out.append({"name": f["name"], "signer": None, "sign_date": None,
+                    "reason": None, "location": None,
+                    "has_byte_range": False, "page_number": f["page_number"]})
+    # re-walk for the /V dictionaries (acroform_fields stringifies values)
+    root = doc.resolve(doc.trailer.get("Root"))
+    acro = doc.resolve(root.get("AcroForm")) if isinstance(root, dict) else None
+    fields = doc.resolve(acro.get("Fields")) if isinstance(acro, dict) else None
+    if not isinstance(fields, list):
+        return out
+    i = 0
+    for ref in fields:
+        fd = doc.resolve(ref)
+        if isinstance(fd, Stream):
+            fd = fd.dict
+        if not isinstance(fd, dict) or str(doc.resolve(fd.get("FT")) or "") != "Sig":
+            continue
+        v = doc.resolve(fd.get("V"))
+        if isinstance(v, dict) and i < len(out):
+            out[i]["signer"] = _pdf_string(doc.resolve(v.get("Name")))
+            out[i]["sign_date"] = _pdf_string(doc.resolve(v.get("M")))
+            out[i]["reason"] = _pdf_string(doc.resolve(v.get("Reason")))
+            out[i]["location"] = _pdf_string(doc.resolve(v.get("Location")))
+            out[i]["has_byte_range"] = isinstance(
+                doc.resolve(v.get("ByteRange")), list)
+        i += 1
+    return out
+
+
+def validate(doc) -> list[dict]:
+    """D7 (validation.rs, pdf.rs:776): concrete spec checks →
+    [{code, severity, message}]. Lenient diagnostics, never raises."""
+    out: list[dict] = []
+
+    def emit(code: str, severity: str, message: str) -> None:
+        out.append({"code": code, "severity": severity, "message": message})
+
+    if "Root" not in doc.trailer:
+        emit("no-root", "error", "trailer has no /Root catalog")
+    if getattr(doc, "repaired", False):
+        emit("repaired-xref", "warning",
+             "cross-reference table unusable; structure recovered by scan")
+    pages = doc.pages()
+    if not pages:
+        emit("no-pages", "error", "document has no pages")
+    for i, pd in enumerate(pages):
+        if not isinstance(doc.resolve(pd.get("MediaBox")), list):
+            emit("missing-mediabox", "warning",
+                 f"page {i + 1} has no /MediaBox (letter assumed)")
+        rot = doc.resolve(pd.get("Rotate"))
+        if rot is not None and (not isinstance(rot, (int, float))
+                                or int(rot) % 90 != 0):
+            emit("bad-rotate", "warning", f"page {i + 1}: /Rotate {rot!r}")
+        if pd.get("Contents") is None:
+            emit("missing-contents", "warning",
+                 f"page {i + 1} has no /Contents")
+    for w in doc.warnings:
+        if "encrypt" in w.lower() or "password" in w.lower():
+            emit("encryption", "warning", w)
+    return out

@@ -116,6 +116,16 @@ class Document:
 
         return acroform_fields(self.doc)
 
+    def signatures(self) -> list[dict]:
+        from .docextras import signatures
+
+        return signatures(self.doc)
+
+    def validate(self) -> list[dict]:
+        from .docextras import validate
+
+        return validate(self.doc)
+
 
 def open_pdf(data: bytes, options: ExtractOptions | None = None) -> Document:
     return Document(data, options)

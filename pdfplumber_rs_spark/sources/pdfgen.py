@@ -176,13 +176,18 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     for i, fld in enumerate(form_fields):
         rect = fld.get("rect", (400.0, 50.0, 500.0, 70.0))
         page_idx = int(fld.get("page", 0))
+        ftype = fld.get("ftype", "Tx")
+        if "raw_value" in fld:
+            v = fld["raw_value"]  # raw dict body, e.g. a /Sig value
+        else:
+            v = f"({escape_pdf_text(fld.get('value', ''))})"
         objects.append(
             _obj(
                 field_start + i,
                 (
-                    f"<< /Type /Annot /Subtype /Widget /FT /Tx "
+                    f"<< /Type /Annot /Subtype /Widget /FT /{ftype} "
                     f"/T ({escape_pdf_text(fld['name'])}) "
-                    f"/V ({escape_pdf_text(fld.get('value', ''))}) "
+                    f"/V {v} "
                     f"/Rect [{rect[0]:g} {rect[1]:g} {rect[2]:g} {rect[3]:g}] "
                     f"/P {page_ref(page_idx)} >>"
                 ).encode(),

@@ -389,3 +389,26 @@ def test_encrypted_pdf_password_paths():
     # an empty user password
     enc_empty = encrypt_pdf(plain, "", "owner-only")
     assert Document(enc_empty).page(0).extract_text() == expected
+
+
+def test_signatures_and_validation():
+    from pdfplumber_rs_spark.kernel.document import Document
+
+    pdf = pdfgen.pdf_from_text("signed doc", form_fields=[
+        {"name": "Sig1", "ftype": "Sig",
+         "raw_value": "<< /Type /Sig /Name (Alice Example) "
+                      "/M (D:20240101120000Z) /Reason (Approval) "
+                      "/Location (Berlin) /ByteRange [0 1 2 3] >>"},
+    ])
+    d = Document(pdf)
+    assert d.signatures() == [{
+        "name": "Sig1", "signer": "Alice Example",
+        "sign_date": "D:20240101120000Z", "reason": "Approval",
+        "location": "Berlin", "has_byte_range": True, "page_number": 0,
+    }]
+    assert d.validate() == []
+
+    import re
+    broken = re.sub(rb"startxref\n\d+", b"startxref\n999999", pdf)
+    codes = {v["code"] for v in Document(broken).validate()}
+    assert "repaired-xref" in codes
