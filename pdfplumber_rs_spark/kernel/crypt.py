@@ -261,31 +261,41 @@ class Decryptor:
         u = resolve(enc.get("U")) or b""
         p = int(resolve(enc.get("P")) or -1)
         self.stm_cfm = self.str_cfm = "V2" if self.v < 4 else "Identity"
+        # per-filter key lengths: StmF and StrF may declare different
+        # /Length values — one shared key_len would garble one of them
+        self.stm_key_len = self.str_key_len = self.key_len
         if self.v >= 4:
             cf = resolve(enc.get("CF")) or {}
             stmf = str(resolve(enc.get("StmF")) or "Identity")
             strf = str(resolve(enc.get("StrF")) or "Identity")
 
-            def cfm_of(name: str) -> str:
+            def cfm_of(name: str) -> tuple[str, int]:
                 if name == "Identity":
-                    return "Identity"
+                    return "Identity", self.key_len
                 d = resolve(cf.get(name)) if isinstance(cf, dict) else None
                 if isinstance(d, dict):
+                    klen = self.key_len
                     cfl = resolve(d.get("Length"))
                     if isinstance(cfl, (int, float)) and cfl:
                         # CF /Length is in bytes (or bits in some writers)
                         n = int(cfl)
-                        self.key_len = max(5, min(n if n <= 32 else n // 8, 32))
-                    return str(resolve(d.get("CFM")) or "Identity")
-                return "Identity"
+                        klen = max(5, min(n if n <= 32 else n // 8, 32))
+                    return str(resolve(d.get("CFM")) or "Identity"), klen
+                return "Identity", self.key_len
 
-            self.stm_cfm = cfm_of(stmf)
-            self.str_cfm = cfm_of(strf)
+            self.stm_cfm, self.stm_key_len = cfm_of(stmf)
+            self.str_cfm, self.str_key_len = cfm_of(strf)
+            # file-key derivation (Algorithm 2) uses the effective stream
+            # filter length, matching common writers
+            self.key_len = self.stm_key_len if self.stm_cfm != "Identity" \
+                else self.str_key_len
         encrypt_metadata = resolve(enc.get("EncryptMetadata"))
         if encrypt_metadata is None:
             encrypt_metadata = True
         if self.r <= 4:
-            def derive(user_pw: bytes) -> bytes:
+            def derive(user_pw: bytes, key_len: int | None = None) -> bytes:
+                if key_len is None:
+                    key_len = self.key_len
                 h = hashlib.md5()
                 h.update((user_pw + _PAD)[:32])
                 h.update(bytes(o[:32]))
@@ -296,8 +306,8 @@ class Decryptor:
                 key = h.digest()
                 if self.r >= 3:
                     for _ in range(50):
-                        key = hashlib.md5(key[: self.key_len]).digest()
-                return key[: self.key_len]
+                        key = hashlib.md5(key[:key_len]).digest()
+                return key[:key_len]
 
             def validates(key: bytes) -> bool:
                 if self.r == 2:
@@ -327,61 +337,87 @@ class Decryptor:
             if not password:
                 candidates = [b""]
             self.key = derive(candidates[0])
+            winner = candidates[0]
             self.ok = True
             self.valid = False
             for cand in candidates:
                 key = derive(cand)
                 if validates(key):
                     self.key = key
+                    winner = cand
                     self.valid = True
                     break
-        else:  # R5/R6 — AES-256
-            ue = resolve(enc.get("UE")) or b""
-            oe = resolve(enc.get("OE")) or b""
-            u = bytes(u)
-            vsalt, ksalt = u[32:40], u[40:48]
-            if self.r == 5:
-                ikey = hashlib.sha256(password + ksalt).digest()
-            else:
-                ikey = _hash_2b(password, ksalt, b"")
-            self.key = _aes_cbc_nopad_zero_iv(ikey, bytes(ue))[:32]
-            if not self.key or len(self.key) < 32:
-                # try owner password path
-                o = bytes(o)
-                oksalt = o[40:48]
+            # per-filter file keys: re-derive (not truncate!) when a crypt
+            # filter declares a different /Length — the md5 iteration folds
+            # the length into the key itself
+            self._key_by_len = {self.key_len: self.key}
+            for kl in (self.stm_key_len, self.str_key_len):
+                if kl not in self._key_by_len:
+                    self._key_by_len[kl] = derive(winner, kl)
+        else:  # R5/R6 — AES-256 (ISO 32000-2 Algorithms 2.A / 11 / 12)
+            ue = bytes(resolve(enc.get("UE")) or b"")
+            oe = bytes(resolve(enc.get("OE")) or b"")
+            u, o = bytes(u), bytes(o)
+            u_vsalt, u_ksalt = u[32:40], u[40:48]
+            o_vsalt, o_ksalt = o[32:40], o[40:48]
+
+            def _hash(pw: bytes, salt: bytes, udata: bytes) -> bytes:
                 if self.r == 5:
-                    ikey = hashlib.sha256(password + oksalt + u[:48]).digest()
-                else:
-                    ikey = _hash_2b(password, oksalt, u[:48])
-                self.key = _aes_cbc_nopad_zero_iv(ikey, bytes(oe))[:32]
+                    return hashlib.sha256(pw + salt + udata).digest()
+                return _hash_2b(pw, salt, udata)
+
+            # Algorithm 11: is it the user password?
+            if _hash(password, u_vsalt, b"") == u[:32]:
+                ikey = _hash(password, u_ksalt, b"")
+                self.key = _aes_cbc_nopad_zero_iv(ikey, ue)[:32]
+                self.valid = True
+            # Algorithm 12: is it the owner password?
+            elif _hash(password, o_vsalt, u[:48]) == o[:32]:
+                ikey = _hash(password, o_ksalt, u[:48])
+                self.key = _aes_cbc_nopad_zero_iv(ikey, oe)[:32]
+                self.valid = True
+            else:
+                # wrong password: derive a user-path key anyway (lenient —
+                # the caller warns via valid=False, like the R<=4 path)
+                ikey = _hash(password, u_ksalt, b"")
+                self.key = _aes_cbc_nopad_zero_iv(ikey, ue)[:32]
+                self.valid = False
             self.stm_cfm = self.str_cfm = "AESV3"
             self.ok = bool(self.key)
 
     # -- per-object decryption ------------------------------------------------
 
-    def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
+    def _object_key(self, num: int, gen: int, aes: bool,
+                    key_len: int | None = None) -> bytes:
+        if key_len is None:
+            key_len = self.key_len
+        fkey = getattr(self, "_key_by_len", {}).get(key_len, self.key)
         h = hashlib.md5()
-        h.update(self.key)
+        h.update(fkey)
         h.update(num.to_bytes(3, "little"))
         h.update(gen.to_bytes(2, "little"))
         if aes:
             h.update(b"sAlT")
-        return h.digest()[: min(self.key_len + 5, 16)]
+        return h.digest()[: min(key_len + 5, 16)]
 
-    def _apply(self, cfm: str, data: bytes, num: int, gen: int) -> bytes:
+    def _apply(self, cfm: str, data: bytes, num: int, gen: int,
+               key_len: int | None = None) -> bytes:
         if not data or cfm == "Identity":
             return data
         if cfm == "AESV3":
             return aes_cbc_decrypt(self.key, data)
         if cfm == "AESV2":
-            return aes_cbc_decrypt(self._object_key(num, gen, True), data)
-        return rc4(self._object_key(num, gen, False), data)
+            return aes_cbc_decrypt(
+                self._object_key(num, gen, True, key_len), data)
+        return rc4(self._object_key(num, gen, False, key_len), data)
 
     def decrypt_stream(self, raw: bytes, num: int, gen: int) -> bytes:
-        return self._apply(self.stm_cfm, raw, num, gen)
+        return self._apply(self.stm_cfm, raw, num, gen,
+                           getattr(self, "stm_key_len", None))
 
     def decrypt_string(self, s: bytes, num: int, gen: int) -> bytes:
-        return self._apply(self.str_cfm, s, num, gen)
+        return self._apply(self.str_cfm, s, num, gen,
+                           getattr(self, "str_key_len", None))
 
     def decrypt_object(self, obj, num: int, gen: int):
         """Recursively decrypt strings and stream payloads in an object."""

@@ -126,11 +126,13 @@ def build_page_index(doc) -> dict[tuple, int]:
     return page_index
 
 
-def acroform_fields(doc) -> list[dict]:
-    """AcroForm tree walk (form_field.rs; pdf.rs:354): → [{name,
-    field_type, value, page_number, x0, top, x1, bottom}]. Names are
-    dotted through parent /T entries; FT and V inherit from parents;
-    page resolution via /P against the page tree (0-indexed)."""
+def _walk_acroform(doc) -> list[dict]:
+    """AcroForm tree walk (form_field.rs; pdf.rs:354). Names are dotted
+    through parent /T entries; FT and V inherit from parents; page
+    resolution via /P against the page tree (0-indexed). Each terminal
+    row additionally carries `_v_obj`, the resolved raw /V object, so
+    dict-valued fields (e.g. /Sig) keep their structure — signatures()
+    must not re-pair values by index (nested /Kids diverge)."""
     root = doc.resolve(doc.trailer.get("Root"))
     if not isinstance(root, dict):
         return []
@@ -144,13 +146,7 @@ def acroform_fields(doc) -> list[dict]:
     out: list[dict] = []
     seen: set = set()
 
-    def field_value(fd: dict):
-        v = doc.resolve(fd.get("V"))
-        if isinstance(v, Name):
-            return str(v)
-        return _pdf_string(v)
-
-    def walk(ref, prefix: str, ftype: str | None, value, depth: int) -> None:
+    def walk(ref, prefix: str, ftype: str | None, v_obj, depth: int) -> None:
         if depth > 32:
             return
         if isinstance(ref, Ref):
@@ -168,16 +164,17 @@ def acroform_fields(doc) -> list[dict]:
         ft = doc.resolve(fd.get("FT"))
         ftype = str(ft) if ft is not None else ftype
         if "V" in fd:
-            value = field_value(fd)
+            v_obj = doc.resolve(fd.get("V"))
         kids = doc.resolve(fd.get("Kids"))
         if isinstance(kids, list) and kids:
             for k in kids:
-                walk(k, name, ftype, value, depth + 1)
+                walk(k, name, ftype, v_obj, depth + 1)
             return
         # terminal field (usually merged with its widget annotation)
+        value = str(v_obj) if isinstance(v_obj, Name) else _pdf_string(v_obj)
         row = {"name": name, "field_type": ftype, "value": value,
                "page_number": None, "x0": None, "top": None,
-               "x1": None, "bottom": None}
+               "x1": None, "bottom": None, "_v_obj": v_obj}
         p = fd.get("P")
         if isinstance(p, Ref):
             pn = page_index.get((p.num, p.gen))
@@ -200,6 +197,16 @@ def acroform_fields(doc) -> list[dict]:
 
     for f in fields:
         walk(f, "", None, None, 0)
+    return out
+
+
+def acroform_fields(doc) -> list[dict]:
+    """Public D3 surface: the AcroForm walk minus the raw /V object."""
+    out = []
+    for row in _walk_acroform(doc):
+        row = dict(row)
+        row.pop("_v_obj", None)
+        out.append(row)
     return out
 
 
@@ -381,36 +388,28 @@ def search_chars(chars: list[dict], pattern: str, regex: bool = True,
 
 def signatures(doc) -> list[dict]:
     """D6 (signature.rs, pdf.rs:791): AcroForm /Sig fields → [{name,
-    signer, sign_date, reason, location, has_byte_range}]."""
+    signer, sign_date, reason, location, has_byte_range}]. The /V
+    signature dictionary is taken from the SAME recursive walk that
+    enumerates the fields (nested /Kids and inherited /FT stay paired
+    with the right field)."""
     out: list[dict] = []
-    for f in acroform_fields(doc):
+    for f in _walk_acroform(doc):
         if f.get("field_type") != "Sig":
             continue
-        out.append({"name": f["name"], "signer": None, "sign_date": None,
-                    "reason": None, "location": None,
-                    "has_byte_range": False, "page_number": f["page_number"]})
-    # re-walk for the /V dictionaries (acroform_fields stringifies values)
-    root = doc.resolve(doc.trailer.get("Root"))
-    acro = doc.resolve(root.get("AcroForm")) if isinstance(root, dict) else None
-    fields = doc.resolve(acro.get("Fields")) if isinstance(acro, dict) else None
-    if not isinstance(fields, list):
-        return out
-    i = 0
-    for ref in fields:
-        fd = doc.resolve(ref)
-        if isinstance(fd, Stream):
-            fd = fd.dict
-        if not isinstance(fd, dict) or str(doc.resolve(fd.get("FT")) or "") != "Sig":
-            continue
-        v = doc.resolve(fd.get("V"))
-        if isinstance(v, dict) and i < len(out):
-            out[i]["signer"] = _pdf_string(doc.resolve(v.get("Name")))
-            out[i]["sign_date"] = _pdf_string(doc.resolve(v.get("M")))
-            out[i]["reason"] = _pdf_string(doc.resolve(v.get("Reason")))
-            out[i]["location"] = _pdf_string(doc.resolve(v.get("Location")))
-            out[i]["has_byte_range"] = isinstance(
+        row = {"name": f["name"], "signer": None, "sign_date": None,
+               "reason": None, "location": None,
+               "has_byte_range": False, "page_number": f["page_number"]}
+        v = f.get("_v_obj")
+        if isinstance(v, Stream):
+            v = v.dict
+        if isinstance(v, dict):
+            row["signer"] = _pdf_string(doc.resolve(v.get("Name")))
+            row["sign_date"] = _pdf_string(doc.resolve(v.get("M")))
+            row["reason"] = _pdf_string(doc.resolve(v.get("Reason")))
+            row["location"] = _pdf_string(doc.resolve(v.get("Location")))
+            row["has_byte_range"] = isinstance(
                 doc.resolve(v.get("ByteRange")), list)
-        i += 1
+        out.append(row)
     return out
 
 

@@ -302,7 +302,7 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
     if not rows:  # zero-page document still yields one row (lineage)
         # a document that yields no pages at all is an error for lineage
         # purposes (unless an explicit empty range was asked)
-        err = None if page_start else (
+        err = None if page_start is not None else (
             "no pages: " + (doc.warnings[0] if doc.warnings
                             else "empty document")
         )
