@@ -495,6 +495,34 @@ def q_pdf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_giant_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 production skew path under an oracle: one-line-per-page PDFs
+    (a 40-line doc = 40 pages) forced through split_giant_documents —
+    blobs spill to the store ONCE, page ranges fan out as pointer rows
+    (pipeline.py split_giant_documents; pdf.rs:472-480's rayon fan-out
+    re-expressed as Spark partitioning). Reassembled text must equal
+    the closed-form roundtrip oracle and n_pages the line count."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import giant_corpus_table
+
+    corpus = giant_corpus_table(spark, sf_dir)
+    # max_bytes=1: EVERY document takes the spill+range path
+    pages = P.extract_pages(corpus, handle_skew=True, include=(),
+                            max_bytes=1, pages_per_split=8)
+    doc = P.document_text(pages)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://giant.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"),
+                F.coalesce(F.col("n_pages"), F.lit(0)).cast("long").alias("n_pages"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_struct_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: flattened StructTreeRoot rows (struct_tree.rs) — Document
     root + one P element per source line with (page, mcid) linkage."""
@@ -898,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_repair": q_pdf_repair,
+        "pdf_giant_doc": q_pdf_giant_doc,
         "pdf_struct_tree": q_pdf_struct_tree,
         "pdf_budget": q_pdf_budget,
         "pdf_stream": q_pdf_stream,
@@ -1165,6 +1194,11 @@ with toks as (
             from documents order by doc_id""",
         "pdf_repair": f"""
             select doc_id, {_EXPECTED_TEXT} as extracted_text
+            from documents order by doc_id""",
+        "pdf_giant_doc": f"""
+            select doc_id, {_EXPECTED_TEXT} as extracted_text,
+                   cast(len(string_split({_SANITIZED}, chr(10))) as bigint)
+                     as n_pages
             from documents order by doc_id""",
         "pdf_largest_table": """
             select l_orderkey,

@@ -414,6 +414,37 @@ def layout_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_layout_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _giant_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Many-page docs for the skew path (S6): ONE source line per page,
+    so a 40-line document becomes a 40-page PDF — split into page
+    ranges by split_giant_documents under a low max_bytes threshold."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import pdf_from_text
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://giant.example/{doc_id:08d}.pdf",
+                    "html": pdf_from_text(text or "", lines_per_page=1),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def giant_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return _spread(docs).mapInArrow(_giant_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def corrupted_corpus_table(spark, sf_dir: str) -> DataFrame:
     """corpus_table with every PDF damaged (S4 repair surface,
     repair.rs): startxref points nowhere and the xref table + trailer
