@@ -475,6 +475,139 @@ def q_pdf_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 stream strategy (table.rs:1149-1288): borderless text-aligned
+    grids — synthetic vertical/horizontal edges from word clusters.
+    The pipeline yields alternating data/gap rows (edges at each row's
+    top AND bottom); the oracle encodes that closed form."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import TableSettings
+    from pdfplumber_rs_spark.sources.corpus import stream_table_corpus
+
+    corpus = stream_table_corpus(spark, sf_dir, max_orderkey=100)
+    pages = P.extract_pages(
+        corpus,
+        table_settings=TableSettings(strategy="stream", min_words_vertical=2),
+        handle_skew=False, include=("tables",),
+    )
+    cells = P.cells_table(pages)
+    ids = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://streamtables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
+    return (
+        cells.join(ids, "url")
+        .select(
+            "l_orderkey",
+            F.col("row").cast("int").alias("row"),
+            F.col("col").cast("int").alias("col"),
+            F.col("text").alias("cell_text"),
+        )
+        .orderBy("l_orderkey", "row", "col")
+    )
+
+
+def q_pdf_explicit_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 explicit-lines strategy (table.rs:1297-1350): user-supplied
+    x/y grid lines over the borderless stream corpus — a fixed 8-row x
+    3-col grid; rows beyond a document's data are empty cells."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import ExplicitLines, TableSettings
+    from pdfplumber_rs_spark.sources.corpus import stream_table_corpus
+
+    corpus = stream_table_corpus(spark, sf_dir, max_orderkey=100)
+    # stream_table_content geometry: text rows top=64.4+16r; grid lines
+    # bracket each row (60+16r) and each 100pt column pitch from x=70
+    ex = ExplicitLines(
+        horizontal_lines=[60.0 + 16.0 * r for r in range(9)],
+        vertical_lines=[70.0 + 100.0 * c for c in range(4)],
+    )
+    pages = P.extract_pages(
+        corpus,
+        table_settings=TableSettings(strategy="explicit", explicit_lines=ex),
+        handle_skew=False, include=("tables",),
+    )
+    cells = P.cells_table(pages)
+    ids = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://streamtables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
+    return (
+        cells.join(ids, "url")
+        .select(
+            "l_orderkey",
+            F.col("row").cast("int").alias("row"),
+            F.col("col").cast("int").alias("col"),
+            F.col("text").alias("cell_text"),
+        )
+        .orderBy("l_orderkey", "row", "col")
+    )
+
+
+def q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 full annotations table (annotation.rs:70-84): Link + Text +
+    form Widget per document, with type/contents/author/uri and bbox."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False,
+                            include=("annotations",))
+    annots = P.annotations_table(pages)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        annots.join(ids, "url")
+        .select("doc_id", "annot_type", "contents", "author", "uri",
+                F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"))
+        .orderBy("doc_id", "annot_type")
+    )
+
+
+def q_pdf_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 digital signatures (signature.rs:1-94): /Sig fields with their
+    /V dictionaries (signer, date, reason, location, ByteRange)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import sig_corpus_table
+
+    corpus = sig_corpus_table(spark, sf_dir)
+    sigs = P.signatures_table(corpus)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://signed.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        sigs.join(ids, "url")
+        .select("doc_id", "name", "signer", "sign_date", "reason",
+                "location", "has_byte_range",
+                F.col("page_number").cast("int").alias("page_number"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pdf_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 validation diagnostics (validation.rs): every corrupted-corpus
+    document reports the repaired-xref finding (and nothing else)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corrupted_corpus_table
+
+    corpus = corrupted_corpus_table(spark, sf_dir)
+    diags = P.validation_table(corpus)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        diags.join(ids, "url")
+        .select("doc_id", "code", "severity")
+        .orderBy("doc_id", "code")
+    )
+
+
 def q_pdf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: every input PDF is damaged (xref table + trailer removed,
     startxref pointing nowhere); the scan-recovery open path
@@ -910,6 +1043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_char_count": q_pdf_char_count,
         "pdf_word_count": q_pdf_word_count,
         "pdf_table_cells": q_pdf_table_cells,
+        "pdf_stream_table": q_pdf_stream_table,
+        "pdf_explicit_table": q_pdf_explicit_table,
+        "pdf_annotations": q_pdf_annotations,
+        "pdf_signatures": q_pdf_signatures,
+        "pdf_validate": q_pdf_validate,
         "pdf_hyperlinks": q_pdf_hyperlinks,
         "pdf_search": q_pdf_search,
         "pdf_metadata": q_pdf_metadata,
@@ -1109,6 +1247,113 @@ with toks as (
             select doc_id,
                    'https://ref.example/' || cast(doc_id as varchar) as uri,
                    cast(72.0 as double) as x0, cast(77.0 as double) as top
+            from documents order by doc_id""",
+        "pdf_stream_table": """
+            with li as (
+              select l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                     row_number() over (partition by l_orderkey
+                                        order by l_linenumber, l_quantity,
+                                                 l_returnflag) as rn
+              from lineitem where l_orderkey <= 100
+            ), data as (
+              select l_orderkey, rn as trow, c.col, c.cell_text
+              from li,
+                   lateral (values
+                     (0, cast(l_linenumber as varchar)),
+                     (1, cast(cast(l_quantity as int) as varchar)),
+                     (2, l_returnflag)) as c(col, cell_text)
+            ), hdr as (
+              select distinct l_orderkey, 0 as trow, c.col, c.cell_text
+              from lineitem,
+                   lateral (values (0, 'line'), (1, 'qty'), (2, 'flag'))
+                     as c(col, cell_text)
+              where l_orderkey <= 100
+            ), textrows as (
+              select * from hdr union all select * from data
+            ), nrows as (
+              select l_orderkey, max(trow) as maxtrow
+              from textrows group by l_orderkey
+            ), gaps as (
+              -- the stream pipeline emits an empty gap row between each
+              -- pair of text rows (edges at every row top AND bottom)
+              select n.l_orderkey, cast(g.g * 2 - 1 as int) as row,
+                     c.col, '' as cell_text
+              from nrows n,
+                   lateral unnest(generate_series(1, n.maxtrow)) as g(g),
+                   lateral (values (0), (1), (2)) as c(col)
+            )
+            select l_orderkey, cast(row as int) as row,
+                   cast(col as int) as col, cell_text
+            from (
+              select l_orderkey, trow * 2 as row, col, cell_text from textrows
+              union all select * from gaps
+            )
+            order by l_orderkey, row, col""",
+        "pdf_explicit_table": """
+            with li as (
+              select l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                     row_number() over (partition by l_orderkey
+                                        order by l_linenumber, l_quantity,
+                                                 l_returnflag) as rn
+              from lineitem where l_orderkey <= 100
+            ), data as (
+              select l_orderkey, rn as row, c.col, c.cell_text
+              from li,
+                   lateral (values
+                     (0, cast(l_linenumber as varchar)),
+                     (1, cast(cast(l_quantity as int) as varchar)),
+                     (2, l_returnflag)) as c(col, cell_text)
+            ), hdr as (
+              select distinct l_orderkey, 0 as row, c.col, c.cell_text
+              from lineitem,
+                   lateral (values (0, 'line'), (1, 'qty'), (2, 'flag'))
+                     as c(col, cell_text)
+              where l_orderkey <= 100
+            ), grid as (
+              -- fixed 8-row x 3-col explicit grid; cells beyond the data
+              -- are present but empty
+              select distinct l_orderkey, cast(r.r as int) as row,
+                     cast(c.col as int) as col
+              from lineitem,
+                   lateral unnest(generate_series(0, 7)) as r(r),
+                   lateral (values (0), (1), (2)) as c(col)
+              where l_orderkey <= 100
+            )
+            select g.l_orderkey, g.row, g.col,
+                   coalesce(t.cell_text, '') as cell_text
+            from grid g left join
+                 (select * from hdr union all select * from data) t
+              on g.l_orderkey = t.l_orderkey and g.row = t.row
+                 and g.col = t.col
+            order by g.l_orderkey, g.row, g.col""",
+        "pdf_annotations": """
+            select doc_id, a.annot_type, a.contents, a.author, a.uri,
+                   a.x0, a.top
+            from documents,
+                 lateral (values
+                   ('Link', cast(null as varchar), cast(null as varchar),
+                    'https://ref.example/' || cast(doc_id as varchar),
+                    cast(72.0 as double), cast(77.0 as double)),
+                   ('Text', 'note ' || cast(doc_id as varchar), lang,
+                    cast(null as varchar),
+                    cast(40.0 as double), cast(172.0 as double)),
+                   ('Widget', cast(null as varchar),
+                    'field_' || cast(doc_id as varchar),
+                    cast(null as varchar),
+                    cast(400.0 as double), cast(722.0 as double)))
+                 as a(annot_type, contents, author, uri, x0, top)
+            order by doc_id, annot_type""",
+        "pdf_signatures": """
+            select doc_id, 'sig_' || cast(doc_id as varchar) as name,
+                   'Signer ' || cast(doc_id as varchar) as signer,
+                   'D:2024' || lpad(cast(doc_id % 12 + 1 as varchar), 2, '0')
+                     || '01000000Z' as sign_date,
+                   lang as reason,
+                   'Cell ' || cast(doc_id % 7 as varchar) as location,
+                   true as has_byte_range, 0 as page_number
+            from documents order by doc_id""",
+        "pdf_validate": """
+            select doc_id, 'repaired-xref' as code, 'warning' as severity
             from documents order by doc_id""",
         "pdf_search": f"""
             select doc_id,

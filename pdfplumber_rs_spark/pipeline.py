@@ -411,7 +411,10 @@ def _make_spill_kernel(spill_dir: str):
             d = batch.to_pydict()
             out = []
             for url, html in zip(d["url"], d["html"]):
-                name = hashlib.sha1(url.encode()).hexdigest() + ".pdf"
+                # content-addressed blob name: same url with different
+                # bytes (another scale factor / a re-crawl) must NOT hit
+                # a stale spill file
+                name = hashlib.sha1(html).hexdigest() + ".pdf"
                 path = os.path.join(spill_dir, name)
                 # idempotent: deterministic name, atomic rename
                 if not os.path.exists(path):
@@ -1006,6 +1009,81 @@ def semantic_text(pages: DataFrame, structure: DataFrame) -> DataFrame:
             ).alias("semantic_text")
         )
     )
+
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("name", StringType()),
+        StructField("signer", StringType()),
+        StructField("sign_date", StringType()),
+        StructField("reason", StringType()),
+        StructField("location", StringType()),
+        StructField("has_byte_range", BooleanType()),
+        StructField("page_number", IntegerType()),
+    ]
+)
+
+
+def signatures_table(df: DataFrame,
+                     options: ExtractOptions | None = None) -> DataFrame:
+    """D6 digital signature fields (signature.rs:1-94, pdf.rs:791):
+    structure-only pass over the AcroForm — one row per /Sig field with
+    its /V dictionary resolved in the SAME recursive walk (no index
+    re-pairing)."""
+    arrow_schema = _arrow_schema_for(SIGNATURE_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.docextras import signatures
+        from .kernel.document import Document
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    for s in signatures(Document(html, options).doc):
+                        out.append({"url": url, **s})
+                except Exception:  # noqa: BLE001 — lenient
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, SIGNATURE_SCHEMA)
+
+
+VALIDATION_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("code", StringType()),
+        StructField("severity", StringType()),
+        StructField("message", StringType()),
+    ]
+)
+
+
+def validation_table(df: DataFrame,
+                     options: ExtractOptions | None = None) -> DataFrame:
+    """D7 spec-violation diagnostics (validation.rs, pdf.rs:776): one
+    row per finding; a clean document yields no rows. Structure-only,
+    never raises (lenient)."""
+    arrow_schema = _arrow_schema_for(VALIDATION_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.document import Document
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    for v in Document(html, options).validate():
+                        out.append({"url": url, **v})
+                except Exception as e:  # noqa: BLE001 — lenient
+                    out.append({"url": url, "code": "open-failed",
+                                "severity": "error", "message": str(e)})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, VALIDATION_SCHEMA)
 
 
 def bookmarks_table(meta: DataFrame) -> DataFrame:

@@ -200,6 +200,87 @@ def _two_table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
         yield pa.RecordBatch.from_pylist(out, schema=schema)
 
 
+def _stream_table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """(l_orderkey, rows) → one BORDERLESS text-aligned table PDF per
+    order (T8 stream-strategy surface): header + data rows at fixed
+    column pitch, no vector graphics at all."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, escape_pdf_text, stream_table_content
+
+    schema = to_arrow_schema(TABLE_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for okey, rows in zip(d["l_orderkey"], d["rows"]):
+            cells = [["line", "qty", "flag"]] + [list(r) for r in rows]
+            content = stream_table_content(len(cells), 3, col_pitch=100.0,
+                                           row_pitch=16.0, label="__CELL__")
+            parts = content.split(b"(__CELL__)")
+            buf = [parts[0]]
+            flat = [c for row in cells for c in row]
+            for txt, rest in zip(flat, parts[1:]):
+                buf.append(b"(" + escape_pdf_text(txt).encode("latin-1", "replace") + b")")
+                buf.append(rest)
+            out.append(
+                {
+                    "l_orderkey": int(okey),
+                    "url": f"https://streamtables.example/{okey:08d}.pdf",
+                    "html": build_pdf([b"".join(buf)]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def stream_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFrame:
+    grouped = _lineitem_rows(spark, sf_dir, max_orderkey)
+    n = spark.sparkContext.defaultParallelism * 2
+    return grouped.repartition(n, "l_orderkey").mapInArrow(
+        _stream_table_gen_kernel, TABLE_CORPUS_SCHEMA)
+
+
+def _sig_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Docs carrying a /Sig form field with a deterministic signature
+    dictionary (D6 surface): signer/date/reason derived from doc_id."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import pdf_from_text
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text, lang in zip(d["doc_id"], d["text"], d["lang"]):
+            doc_id = int(doc_id)
+            sig_v = (
+                f"<< /Type /Sig /Name (Signer {doc_id}) "
+                f"/M (D:2024{doc_id % 12 + 1:02d}01000000Z) "
+                f"/Reason ({lang}) /Location (Cell {doc_id % 7}) "
+                f"/ByteRange [0 1 2 3] >>"
+            )
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://signed.example/{doc_id:08d}.pdf",
+                    "html": pdf_from_text(
+                        (text or "").split("\n")[0],
+                        form_fields=[
+                            {"name": f"sig_{doc_id}", "ftype": "Sig",
+                             "raw_value": sig_v, "page": 0},
+                        ],
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def sig_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return _spread(docs).mapInArrow(_sig_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def _lineitem_rows(spark, sf_dir: str, max_orderkey: int):
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
