@@ -382,6 +382,37 @@ def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_char_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char color/CTM columns (text.rs:23-36): deterministic rg/RG fill
+    and stroke colors plus a cm translation per document, recovered from
+    the exploded chars view as native aggregates."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import colored_corpus_table
+
+    corpus = colored_corpus_table(spark, sf_dir)
+    chars = P.chars_table(
+        P.extract_pages(corpus, handle_skew=False, include=("chars",)))
+    per_doc = chars.groupBy("url").agg(
+        F.min(F.col("non_stroking_color.model")).alias("fill_model"),
+        F.min(F.col("non_stroking_color.components")[0]).alias("fill_r"),
+        F.min(F.col("non_stroking_color.components")[1]).alias("fill_g"),
+        F.min(F.col("non_stroking_color.components")[2]).alias("fill_b"),
+        F.min(F.col("stroking_color.components")[0]).alias("stroke_r"),
+        F.min(F.col("ctm")[4]).alias("ctm_e"),
+        F.min(F.col("ctm")[5]).alias("ctm_f"),
+    )
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://colored.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        per_doc.join(ids, "url")
+        .select("doc_id", "fill_model", "fill_r", "fill_g", "fill_b",
+                "stroke_r", "ctm_e", "ctm_f")
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_crop_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 crop as a NATIVE Spark filter over the exploded chars table
     (page.rs:600-618: center-in-bbox predicate) — chars whose center
@@ -1061,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_html": q_pdf_html,
         "pdf_layout_text": q_pdf_layout_text,
         "pdf_crop_chars": q_pdf_crop_chars,
+        "pdf_char_colors": q_pdf_char_colors,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_repair": q_pdf_repair,
@@ -1486,6 +1518,15 @@ with toks as (
                         when rt = '' then lt
                         else lt || chr(10) || chr(10) || rt end as layout_text
             from cols order by doc_id""",
+        "pdf_char_colors": """
+            select doc_id, 'rgb' as fill_model,
+                   doc_id % 5 * 0.25 as fill_r,
+                   doc_id % 3 * 0.5 as fill_g,
+                   doc_id % 2 * 1.0 as fill_b,
+                   doc_id % 4 * 0.25 as stroke_r,
+                   cast(doc_id % 7 as double) as ctm_e,
+                   cast(doc_id % 5 as double) as ctm_f
+            from documents order by doc_id""",
         "pdf_crop_chars": f"""
             select d.doc_id,
                    cast(coalesce(sum(least(length(l.l), 39)), 0) as bigint)

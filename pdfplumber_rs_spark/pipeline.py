@@ -46,6 +46,16 @@ from .config import ExtractOptions, TableSettings, TextOptions, WordOptions
 
 # -- output schema --------------------------------------------------------------
 
+# color model + components, matching the reference's Color enum
+# (crates/pdfplumber-core/src/text.rs:23-25, painting.rs): Gray/Rgb/Cmyk
+# carry 1/3/4 components; Other carries the raw SCN operands
+COLOR_TYPE = StructType(
+    [
+        StructField("model", StringType()),
+        StructField("components", ArrayType(DoubleType())),
+    ]
+)
+
 CHAR_FIELDS = [
     ("text", StringType()),
     ("x0", DoubleType()),
@@ -60,6 +70,9 @@ CHAR_FIELDS = [
     ("char_code", LongType()),
     ("mcid", LongType()),
     ("tag", StringType()),
+    ("stroking_color", COLOR_TYPE),
+    ("non_stroking_color", COLOR_TYPE),
+    ("ctm", ArrayType(DoubleType())),
 ]
 WORD_FIELDS = [
     ("text", StringType()),
@@ -87,6 +100,8 @@ SHAPE_FIELDS = [
     ("linewidth", DoubleType()),
     ("stroke", BooleanType()),
     ("fill", BooleanType()),
+    ("stroking_color", COLOR_TYPE),
+    ("non_stroking_color", COLOR_TYPE),
 ]
 ANNOT_FIELDS = [
     ("annot_type", StringType()),
@@ -248,6 +263,11 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
                     "direction": c["direction"],
                     "char_code": int(c["char_code"]),
                     "mcid": c["mcid"], "tag": c["tag"],
+                    "stroking_color": _color_struct(c.get("stroking_color")),
+                    "non_stroking_color": _color_struct(
+                        c.get("non_stroking_color")),
+                    "ctm": [float(v) for v in c["ctm"]]
+                    if c.get("ctm") is not None else None,
                 }
                 for c in chars
             ]
@@ -310,11 +330,20 @@ def _page_rows(url: str, data: bytes, options: ExtractOptions | None,
     return rows
 
 
+def _color_struct(v) -> dict | None:
+    """kernel ('rgb', [r,g,b]) tuple → {model, components} row."""
+    if v is None:
+        return None
+    return {"model": v[0], "components": [float(x) for x in v[1]]}
+
+
 def _shape_row(kind: str, o: dict) -> dict:
     return {
         "kind": kind, "x0": o["x0"], "top": o["top"], "x1": o["x1"],
-        "bottom": o["bottom"], "linewidth": o.get("line_width", 0.0),
+        "bottom": o["bottom"], "linewidth": o.get("linewidth", 0.0),
         "stroke": bool(o.get("stroke")), "fill": bool(o.get("fill")),
+        "stroking_color": _color_struct(o.get("stroking_color")),
+        "non_stroking_color": _color_struct(o.get("non_stroking_color")),
     }
 
 
@@ -595,6 +624,7 @@ def chars_table(pages: DataFrame) -> DataFrame:
         "c.size",
         (F.col("c.top") + F.col("doctop_offset")).alias("doctop"),
         "c.upright", "c.direction", "c.char_code", "c.mcid", "c.tag",
+        "c.stroking_color", "c.non_stroking_color", "c.ctm",
     )
 
 
@@ -614,6 +644,15 @@ def edges_table(pages: DataFrame) -> DataFrame:
     e = pages.select("url", "page_number", F.posexplode("edges").alias("seq", "e"))
     return e.select("url", "page_number", "seq", "e.x0", "e.top", "e.x1",
                     "e.bottom", "e.orientation", "e.source")
+
+
+def shapes_table(pages: DataFrame) -> DataFrame:
+    """Exploded line/rect/curve shapes with paint flags and colors."""
+    s = pages.select("url", "page_number",
+                     F.posexplode("shapes").alias("seq", "s"))
+    return s.select("url", "page_number", "seq", "s.kind", "s.x0", "s.top",
+                    "s.x1", "s.bottom", "s.linewidth", "s.stroke", "s.fill",
+                    "s.stroking_color", "s.non_stroking_color")
 
 
 def tables_table(pages: DataFrame) -> DataFrame:

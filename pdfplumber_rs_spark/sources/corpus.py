@@ -526,6 +526,43 @@ def giant_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_giant_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _colored_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Docs whose text carries deterministic fill (rg) and stroke (RG)
+    colors plus a `cm` translation, so chars expose stroking_color /
+    non_stroking_color / ctm columns (text.rs:23-36 surface)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, sanitize_for_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            line = sanitize_for_pdf(text or "").split("\n")[0] or "x"
+            fill = (doc_id % 5 * 0.25, doc_id % 3 * 0.5, doc_id % 2 * 1.0)
+            stroke = (doc_id % 4 * 0.25, 0.5, 0.0)
+            tx, ty = float(doc_id % 7), float(doc_id % 5)
+            body = text_page_content([line], fill_rgb=fill, stroke_rgb=stroke)
+            content = f"q 1 0 0 1 {tx:g} {ty:g} cm\n".encode() + body + b"\nQ"
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://colored.example/{doc_id:08d}.pdf",
+                    "html": build_pdf([content]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def colored_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return _spread(docs).mapInArrow(_colored_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def corrupted_corpus_table(spark, sf_dir: str) -> DataFrame:
     """corpus_table with every PDF damaged (S4 repair surface,
     repair.rs): startxref points nowhere and the xref table + trailer

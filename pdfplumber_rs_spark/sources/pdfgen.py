@@ -244,11 +244,22 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
 
 def text_page_content(lines: list[str], font: str = "F2", size: float = 10.0,
                       x: float = 72.0, y: float = TOP_Y,
-                      leading: float = LEADING, mcid: bool = False) -> bytes:
+                      leading: float = LEADING, mcid: bool = False,
+                      fill_rgb: tuple | None = None,
+                      stroke_rgb: tuple | None = None) -> bytes:
     """`BT /F 10 Tf x y Td (line) Tj 0 -14 Td ... ET` like the bench fixture.
     With mcid=True every line is wrapped in `/P << /MCID i >> BDC ... EMC`
-    (marked content; chars get mcid/tag set — interpreter.rs:559-571)."""
-    parts = [f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode()]
+    (marked content; chars get mcid/tag set — interpreter.rs:559-571).
+    fill_rgb/stroke_rgb emit `r g b rg` / `r g b RG` color operators so
+    chars carry non-stroking/stroking colors (text.rs:23-25)."""
+    parts = []
+    if fill_rgb is not None:
+        parts.append(
+            f"{fill_rgb[0]:g} {fill_rgb[1]:g} {fill_rgb[2]:g} rg".encode())
+    if stroke_rgb is not None:
+        parts.append(
+            f"{stroke_rgb[0]:g} {stroke_rgb[1]:g} {stroke_rgb[2]:g} RG".encode())
+    parts.append(f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode())
     for i, line in enumerate(lines):
         if i > 0:
             parts.append(f"0 {-leading:g} Td".encode())
