@@ -382,6 +382,43 @@ def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_embedded_font(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 embedded font metrics (truetype.rs:160-210, cff.rs:38-99):
+    fonts with NO /Widths — advance widths must come from the embedded
+    hmtx table (even doc_ids) or CFF charstrings (odd). The oracle
+    recomputes per-char widths from the known advance formulas; a
+    wrong/fallback width ladder breaks total_width AND n_words (word
+    splits flip when advances are wrong — SURVEY §7 hard-item 1)."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import embedded_font_corpus_table
+
+    corpus = embedded_font_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False,
+                            include=("chars", "words"))
+    per_doc = (
+        P.chars_table(pages)
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_chars"),
+            F.round(F.sum(F.col("x1") - F.col("x0")), 4).alias("total_width"),
+        )
+    )
+    words = P.words_table(pages).groupBy("url").agg(
+        F.count("*").alias("n_words"))
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://embfont.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(per_doc, "url", "left").join(words, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+                F.coalesce(F.col("total_width"), F.lit(0.0)).alias("total_width"),
+                F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_char_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char color/CTM columns (text.rs:23-36): deterministic rg/RG fill
     and stroke colors plus a cm translation per document, recovered from
@@ -1093,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_text": q_pdf_layout_text,
         "pdf_crop_chars": q_pdf_crop_chars,
         "pdf_char_colors": q_pdf_char_colors,
+        "pdf_embedded_font": q_pdf_embedded_font,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_repair": q_pdf_repair,
@@ -1518,6 +1556,28 @@ with toks as (
                         when rt = '' then lt
                         else lt || chr(10) || chr(10) || rt end as layout_text
             from cols order by doc_id""",
+        "pdf_embedded_font": f"""
+            with d as (
+              select doc_id,
+                     string_split({_SANITIZED}, chr(10))[1] as line
+              from documents
+            ), ch as (
+              select doc_id, unnest(string_split(line, '')) as c from d
+            ), w as (
+              select doc_id, count(*) as n_chars,
+                     sum(case when doc_id % 2 = 0
+                          then (500 + (ascii(c) % 7) * 50) / 100.0
+                          else (400 + (ascii(c) % 5) * 100) / 100.0 end)
+                       as total_width
+              from ch group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(w.n_chars, 0) as bigint) as n_chars,
+                   round(coalesce(w.total_width, 0), 4) as total_width,
+                   cast(len(list_filter(string_split(d.line, ' '),
+                        x -> x <> '')) as bigint) as n_words
+            from d left join w on d.doc_id = w.doc_id
+            order by d.doc_id""",
         "pdf_char_colors": """
             select doc_id, 'rgb' as fill_model,
                    doc_id % 5 * 0.25 as fill_r,

@@ -178,6 +178,15 @@ def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
         if std is not None:
             widths = [float(w) for w in std[0]]
             font.first_char, font.last_char = 0, 255
+    if not widths:
+        # embedded-font fallback ladder (font_metrics.rs:185-226): the
+        # real-world corpus is full of subsetted fonts with no /Widths —
+        # TrueType hmtx (FontFile2) then CFF charstrings (FontFile3),
+        # glyph id == char code for simple fonts, indexed from 0
+        emb = _embedded_widths(doc, fd)
+        if emb is not None:
+            widths = emb
+            font.first_char, font.last_char = 0, len(emb) - 1
     if not had_descriptor:
         # No /FontDescriptor: pdfplumber falls back to the built-in AFM
         # ascent/descent for standard-14 fonts (golden parity), then the
@@ -274,6 +283,40 @@ def _parse_w_array(doc, w_arr: list) -> dict[int, float]:
                 continue
         i += 1
     return out
+
+
+def _fontfile_bytes(doc, fd: dict, key: str) -> bytes | None:
+    """Decoded /FontFile2 or /FontFile3 stream from the descriptor."""
+    desc = doc.resolve(fd.get("FontDescriptor"))
+    if not isinstance(desc, dict):
+        return None
+    ff = doc.resolve(desc.get(key))
+    if not isinstance(ff, Stream):
+        return None
+    try:
+        return decode_stream(ff.dict, ff.raw, doc.resolve)
+    except Exception:  # noqa: BLE001 — lenient
+        return None
+
+
+def _embedded_widths(doc, fd: dict) -> list[float] | None:
+    """TrueType hmtx (truetype.rs:160-210) then CFF charstring widths
+    (cff.rs:38-99); per-glyph, 1000 units/em."""
+    data = _fontfile_bytes(doc, fd, "FontFile2")
+    if data is not None:
+        from .truetype import parse_truetype_widths
+
+        w = parse_truetype_widths(data)
+        if w:
+            return w
+    data = _fontfile_bytes(doc, fd, "FontFile3")
+    if data is not None:
+        from .cff import parse_cff_widths
+
+        w = parse_cff_widths(data)
+        if w:
+            return w
+    return None
 
 
 def _descriptor_metrics(doc, fd: dict) -> tuple[float, float, float, bool]:

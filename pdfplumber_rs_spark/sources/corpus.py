@@ -526,6 +526,59 @@ def giant_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_giant_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _embedded_font_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Docs whose text uses an EMBEDDED font with no /Widths array:
+    even doc_ids get a TrueType (/FontFile2, hmtx advances
+    500+(code%7)*50), odd ones a CFF Type1C (/FontFile3, charstring
+    widths 400+(code%5)*100). Char bboxes are wrong unless the engine
+    parses the embedded metrics (the round-1 #1 real-corpus risk)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import (
+        build_cff_font,
+        build_pdf,
+        build_truetype_font,
+        sanitize_for_pdf,
+        text_page_content,
+    )
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    ttf = build_truetype_font([500 + (c % 7) * 50 for c in range(256)],
+                              units_per_em=1000)
+    cff = build_cff_font([400.0 + (c % 5) * 100 for c in range(256)])
+    tt_spec = {"base": "EmbTT", "subtype": "TrueType",
+               "program": ttf, "program_key": "FontFile2"}
+    cff_spec = {"base": "EmbCFF", "subtype": "Type1",
+                "program": cff, "program_key": "FontFile3",
+                "file_subtype": "Type1C"}
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            line = sanitize_for_pdf(text or "").split("\n")[0]
+            spec = tt_spec if doc_id % 2 == 0 else cff_spec
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://embfont.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(
+                        [text_page_content([line], font="FE", size=10.0)],
+                        fonts={"FE": spec},
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def embedded_font_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return _spread(docs).mapInArrow(_embedded_font_gen_kernel,
+                                    CHROME_CORPUS_SCHEMA)
+
+
 def _colored_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Docs whose text carries deterministic fill (rg) and stroke (RG)
     colors plus a `cm` translation, so chars expose stroking_color /

@@ -63,6 +63,10 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     bookmarks = bookmarks or []
     form_fields = form_fields or []
     struct_mcids = struct_mcids or []
+    # embedded fonts: dict values are specs {base, subtype, program,
+    # program_key ('FontFile2'|'FontFile3'), file_subtype?, ascent?,
+    # descent?} — each needs a FontDescriptor + font-program stream
+    embedded = {n: v for n, v in fonts.items() if isinstance(v, dict)}
 
     objects: list[bytes] = []
     n_pages = len(page_contents)
@@ -84,6 +88,18 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
         if n_elems else 0
     doc_elem = struct_root + 1
     elem_start = struct_root + 2
+    # embedded-font descriptor + program objects go last
+    last_num = extra - 1
+    if bookmarks:
+        last_num = item_start + len(bookmarks) - 1
+    if form_fields:
+        last_num = field_start + len(form_fields) - 1
+    if info:
+        last_num = info_num
+    if n_elems:
+        last_num = elem_start + n_elems - 1
+    emb_nums = {name: (last_num + 1 + 2 * i, last_num + 2 + 2 * i)
+                for i, name in enumerate(embedded)}
 
     def page_ref(idx: int) -> str:
         return f"{first_page + 2 * idx} 0 R"
@@ -142,6 +158,17 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
             )
         )
     for name, base in fonts.items():
+        if isinstance(base, dict):
+            desc_num, _file_num = emb_nums[name]
+            subtype = base.get("subtype", "TrueType")
+            body = (
+                f"<< /Type /Font /Subtype /{subtype} "
+                f"/BaseFont /{base['base']} "
+                f"/Encoding /WinAnsiEncoding "
+                f"/FontDescriptor {desc_num} 0 R >>"
+            )
+            objects.append(_obj(font_nums[name], body.encode()))
+            continue
         objects.append(
             _obj(
                 font_nums[name],
@@ -218,6 +245,30 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
                           f"/Pg {page_ref(pidx)} /K {mcid} >>").encode())
                 )
                 k += 1
+    for name, spec in embedded.items():
+        desc_num, file_num = emb_nums[name]
+        pk = spec.get("program_key", "FontFile2")
+        desc = (
+            f"<< /Type /FontDescriptor /FontName /{spec['base']} "
+            f"/Flags {spec.get('flags', 32)} "
+            f"/Ascent {spec.get('ascent', 800):g} "
+            f"/Descent {spec.get('descent', -200):g} "
+            f"/FontBBox [0 -200 1000 800] /ItalicAngle 0 /StemV 80 "
+            f"/{pk} {file_num} 0 R >>"
+        )
+        objects.append(_obj(desc_num, desc.encode()))
+        program = spec["program"]
+        extra_keys = ""
+        if spec.get("file_subtype"):
+            extra_keys = f" /Subtype /{spec['file_subtype']}"
+        objects.append(
+            _obj(
+                file_num,
+                (f"<< /Length {len(program)}"
+                 f" /Length1 {len(program)}{extra_keys} >>\nstream\n").encode()
+                + program + b"\nendstream",
+            )
+        )
 
     header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     out = bytearray(header)
@@ -395,6 +446,111 @@ def fixture_multipage(n_pages: int = 10, lines_per_page: int = 30) -> bytes:
         )
         for p in range(n_pages)
     ])
+
+
+# -- embedded font program builders ------------------------------------------------
+
+def build_truetype_font(advances: list[int], units_per_em: int = 1000) -> bytes:
+    """Minimal valid sfnt with head/hhea/maxp/hmtx — enough for a parser
+    to recover per-glyph advance widths (the shape the reference's bench
+    corpus subsetted fonts have). advances are in font design units."""
+    import struct as _s
+
+    n = len(advances)
+    head = _s.pack(">IIIIHHqqhhhhHHhhh",
+                   0x00010000, 0, 0, 0x5F0F3CF5, 0, units_per_em,
+                   0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    hhea = _s.pack(">IhhhHhhhhhhhhhhhH",
+                   0x00010000, 800, -200, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                   0, 0, 0, 0, n)
+    maxp = _s.pack(">IH", 0x00005000, n)  # version 0.5
+    hmtx = b"".join(_s.pack(">Hh", int(a), 0) for a in advances)
+    tables = [(b"head", head), (b"hhea", hhea), (b"hmtx", hmtx),
+              (b"maxp", maxp)]
+    num = len(tables)
+    out = bytearray(_s.pack(">IHHHH", 0x00010000, num, 0, 0, 0))
+    directory_size = 12 + num * 16
+    offset = directory_size
+    body = bytearray()
+    for tag, data in tables:
+        out.extend(_s.pack(">4sIII", tag, 0, offset, len(data)))
+        body.extend(data)
+        pad = (-len(data)) % 4
+        body.extend(b"\x00" * pad)
+        offset += len(data) + pad
+    return bytes(out) + bytes(body)
+
+
+def _cff_num(v: int) -> bytes:
+    """Type 2 charstring integer operand encoding."""
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([(v >> 8) + 247, v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([(v >> 8) + 251, v & 0xFF])
+    import struct as _s
+
+    return b"\x1c" + _s.pack(">h", v)
+
+
+def _cff_dict_int(v: int) -> bytes:
+    """Fixed-width DICT longint (29 + int32) — stable layout."""
+    import struct as _s
+
+    return b"\x1d" + _s.pack(">i", v)
+
+
+def _cff_index(items: list[bytes]) -> bytes:
+    import struct as _s
+
+    if not items:
+        return _s.pack(">H", 0)
+    offsets = [1]
+    for it in items:
+        offsets.append(offsets[-1] + len(it))
+    off_size = 1 if offsets[-1] < 256 else (2 if offsets[-1] < 65536 else 4)
+    out = bytearray(_s.pack(">HB", len(items), off_size))
+    for o in offsets:
+        out.extend(o.to_bytes(off_size, "big"))
+    for it in items:
+        out.extend(it)
+    return bytes(out)
+
+
+def build_cff_font(widths: list[float], default_width: float = 0.0,
+                   nominal_width: float = 0.0) -> bytes:
+    """Minimal Type1C (CFF) font whose charstrings carry only the
+    optional width operand + endchar — per-glyph width extraction is
+    exactly what the engine parses (cff.rs:453-566 semantics)."""
+    header = bytes([1, 0, 4, 2])
+    name_index = _cff_index([b"TestCFF"])
+    charstrings = []
+    for w in widths:
+        if w == default_width:
+            charstrings.append(b"\x0e")  # endchar, width defaulted
+        else:
+            charstrings.append(_cff_num(int(round(w - nominal_width))) + b"\x0e")
+    cs_index = _cff_index(charstrings)
+    private = (_cff_dict_int(int(default_width)) + b"\x14"      # op 20
+               + _cff_dict_int(int(nominal_width)) + b"\x15")   # op 21
+    # Top DICT uses fixed-width longints so its size is offset-stable:
+    # [cs_off 17] [priv_size priv_off 18] = 6 + 11 = 17 bytes
+    top_size = 17
+    topdict_index_size = 2 + 1 + 2 + top_size  # count,offSize,2 offsets
+    pos = len(header) + len(name_index) + topdict_index_size
+    pos += 2 + 2  # empty String INDEX + empty GlobalSubr INDEX
+    cs_off = pos
+    priv_off = cs_off + len(cs_index)
+    top = (_cff_dict_int(cs_off) + b"\x11"
+           + _cff_dict_int(len(private)) + _cff_dict_int(priv_off) + b"\x12")
+    assert len(top) == top_size
+    topdict_index = _cff_index([top])
+    assert len(topdict_index) == topdict_index_size
+    return (header + name_index + topdict_index + b"\x00\x00" + b"\x00\x00"
+            + cs_index + private)
 
 
 # -- encryption fixture builder ---------------------------------------------------

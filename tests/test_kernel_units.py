@@ -480,3 +480,59 @@ def test_nested_sig_field_pairing():
     assert sigs[0]["signer"] == "Carol"
     assert sigs[0]["reason"] == "Audit"
     assert sigs[0]["has_byte_range"] is True
+
+
+def test_embedded_truetype_widths():
+    """/FontFile2 hmtx fallback when /Widths is absent
+    (font_metrics.rs:185-204, truetype.rs:160-210): glyph id == char
+    code, widths scaled to 1000/em."""
+    from pdfplumber_rs_spark.kernel.document import Document
+    from pdfplumber_rs_spark.kernel.fonts.truetype import parse_truetype_widths
+
+    # upem 2048 exercises scaling; code c advance = 1024 + (c % 3) * 512
+    advances = [1024 + (c % 3) * 512 for c in range(256)]
+    ttf = pdfgen.build_truetype_font(advances, units_per_em=2048)
+    w = parse_truetype_widths(ttf)
+    assert len(w) == 256
+    assert abs(w[65] - advances[65] * 1000 / 2048) < 1e-9
+
+    pdf = pdfgen.build_pdf(
+        [pdfgen.text_page_content(["AB AB"], font="FE", size=10.0)],
+        fonts={"FE": {"base": "TestTT", "subtype": "TrueType",
+                      "program": ttf, "program_key": "FontFile2"}},
+    )
+    page = Document(pdf).page(0)
+    chars = [c for c in page.chars if c["text"] != " "]
+    # char width in device space = advance/2048 * 10
+    for c in chars:
+        code = c["char_code"]
+        exp = advances[code] / 2048.0 * 10.0
+        assert abs((c["x1"] - c["x0"]) - exp) < 1e-6, (c["text"], c["x1"] - c["x0"], exp)
+    assert page.extract_text() == "AB AB"
+
+
+def test_embedded_cff_widths():
+    """/FontFile3 Type1C charstring-width fallback (cff.rs:38-99,
+    453-566): leading width operand + nominal/default width rules."""
+    from pdfplumber_rs_spark.kernel.document import Document
+    from pdfplumber_rs_spark.kernel.fonts.cff import parse_cff_widths
+
+    widths = [400.0 + (c % 5) * 100 for c in range(256)]
+    widths[66] = 250.0  # 'B' takes defaultWidthX (no charstring operand)
+    cff = pdfgen.build_cff_font(widths, default_width=250.0,
+                                nominal_width=107.0)
+    w = parse_cff_widths(cff)
+    assert len(w) == 256
+    assert w[66] == 250.0
+    assert abs(w[65] - widths[65]) < 1e-9
+
+    pdf = pdfgen.build_pdf(
+        [pdfgen.text_page_content(["AB"], font="FC", size=10.0)],
+        fonts={"FC": {"base": "TestCFF", "subtype": "Type1",
+                      "program": cff, "program_key": "FontFile3",
+                      "file_subtype": "Type1C"}},
+    )
+    page = Document(pdf).page(0)
+    byc = {c["char_code"]: c for c in page.chars}
+    assert abs((byc[65]["x1"] - byc[65]["x0"]) - widths[65] / 100.0) < 1e-6
+    assert abs((byc[66]["x1"] - byc[66]["x0"]) - 2.5) < 1e-6
