@@ -620,6 +620,41 @@ def q_pdf_explicit_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_merged_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 duplicate_merged_content (table.rs:810-899): a merged banner
+    cell spanning all 3 columns is split into grid sub-cells with the
+    text duplicated into each."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.config import TableSettings
+    from pdfplumber_rs_spark.sources.corpus import merged_table_corpus
+
+    corpus = merged_table_corpus(spark, sf_dir, max_orderkey=100)
+    pages = P.extract_pages(
+        corpus,
+        table_settings=TableSettings(duplicate_merged_content=True),
+        handle_skew=False, include=("tables",),
+    )
+    cells = P.cells_table(pages)
+    ids = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://mergedtables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
+    return (
+        cells.join(ids, "url")
+        .select(
+            "l_orderkey",
+            F.col("row").cast("int").alias("row"),
+            F.col("col").cast("int").alias("col"),
+            F.col("text").alias("cell_text"),
+        )
+        .orderBy("l_orderkey", "row", "col")
+    )
+
+
 def q_pdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 full annotations table (annotation.rs:70-84): Link + Text +
     form Widget per document, with type/contents/author/uri and bbox."""
@@ -1113,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_cells": q_pdf_table_cells,
         "pdf_stream_table": q_pdf_stream_table,
         "pdf_explicit_table": q_pdf_explicit_table,
+        "pdf_merged_table": q_pdf_merged_table,
         "pdf_annotations": q_pdf_annotations,
         "pdf_signatures": q_pdf_signatures,
         "pdf_validate": q_pdf_validate,
@@ -1396,6 +1432,38 @@ with toks as (
               on g.l_orderkey = t.l_orderkey and g.row = t.row
                  and g.col = t.col
             order by g.l_orderkey, g.row, g.col""",
+        "pdf_merged_table": """
+            with li as (
+              select l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                     row_number() over (partition by l_orderkey
+                                        order by l_linenumber, l_quantity,
+                                                 l_returnflag) as rn
+              from lineitem where l_orderkey <= 100
+            ), data as (
+              select l_orderkey, rn + 1 as row, c.col, c.cell_text
+              from li,
+                   lateral (values
+                     (0, cast(l_linenumber as varchar)),
+                     (1, cast(cast(l_quantity as int) as varchar)),
+                     (2, l_returnflag)) as c(col, cell_text)
+            ), hdr as (
+              select distinct l_orderkey, 1 as row, c.col, c.cell_text
+              from lineitem,
+                   lateral (values (0, 'line'), (1, 'qty'), (2, 'flag'))
+                     as c(col, cell_text)
+              where l_orderkey <= 100
+            ), banner as (
+              -- merged banner row duplicated into every column (T12)
+              select distinct l_orderkey, 0 as row, c.col,
+                     'order ' || cast(l_orderkey as varchar) as cell_text
+              from lineitem, lateral (values (0), (1), (2)) as c(col)
+              where l_orderkey <= 100
+            )
+            select l_orderkey, cast(row as int) as row,
+                   cast(col as int) as col, cell_text
+            from (select * from banner union all
+                  select * from hdr union all select * from data)
+            order by l_orderkey, row, col""",
         "pdf_annotations": """
             select doc_id, a.annot_type, a.contents, a.author, a.uri,
                    a.x0, a.top

@@ -220,26 +220,16 @@ def blocks_to_text(blocks: list[dict]) -> str:
 
 
 def words_to_text_grouped(words: list[dict], y_tolerance: float) -> str:
-    """Cell-text variant (T10, table.rs:1026-1136): upright words first,
-    then non-upright, each group clustered into lines by doctop (chained
-    clustering); extraction order within a line; ' ' within lines, '\n'
-    between lines and between the groups. Unlike page-level
-    words_to_text this REGROUPS across the sequence."""
+    """Cell-text variant (T10, table.rs:1026-1136): ALL cell words —
+    upright and rotated together — clustered into lines by doctop
+    (chained clustering, extraction order within a line); ' ' within
+    lines, '\n' between. Unlike page-level words_to_text this REGROUPS
+    across the sequence (issue-90: the btt 'ofnI' word joins the upright
+    header line whose doctop it overlaps)."""
     from .words import cluster_objects
 
-    groups = [
-        [w for w in words if w.get("upright", True)],
-        [w for w in words if not w.get("upright", True)],
-    ]
-    out: list[str] = []
-    for group in groups:
-        if not group:
-            continue
-        lines = cluster_objects(group, lambda w: w["doctop"], y_tolerance)
-        out.append(
-            "\n".join(" ".join(w["text"] for w in line) for line in lines)
-        )
-    return "\n".join(out)
+    lines = cluster_objects(words, lambda w: w["doctop"], y_tolerance)
+    return "\n".join(" ".join(w["text"] for w in line) for line in lines)
 
 
 def words_to_text(words: list[dict], y_tolerance: float) -> str:

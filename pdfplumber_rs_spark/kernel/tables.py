@@ -364,6 +364,41 @@ def extract_table(cells: list[tuple], chars: list[dict],
     }
 
 
+def duplicate_merged_content(table: dict) -> dict:
+    """T12 (table.rs:810-899): split merged cells into grid sub-cells,
+    DUPLICATING the merged cell's text into every sub-cell — uniform
+    row/column counts for data-pipeline consumers. (The default path
+    keeps merged cells whole with None grid padding, matching Python
+    pdfplumber.)"""
+    cells = table["cells"]
+    if not cells:
+        return table
+    xs = sorted({v for c in cells for v in (c["x0"], c["x1"])})
+    ys = sorted({v for c in cells for v in (c["top"], c["bottom"])})
+    new_cells: list[dict] = []
+    rows: list[list[dict | None]] = []
+    for yi in range(len(ys) - 1):
+        row: list[dict | None] = []
+        cy = (ys[yi] + ys[yi + 1]) / 2.0
+        for xi in range(len(xs) - 1):
+            cx = (xs[xi] + xs[xi + 1]) / 2.0
+            enc = next(
+                (c for c in cells
+                 if c["x0"] - 1e-6 <= cx <= c["x1"] + 1e-6
+                 and c["top"] - 1e-6 <= cy <= c["bottom"] + 1e-6),
+                None,
+            )
+            if enc is None:
+                row.append(None)
+                continue
+            obj = {"x0": xs[xi], "top": ys[yi], "x1": xs[xi + 1],
+                   "bottom": ys[yi + 1], "text": enc["text"]}
+            new_cells.append(obj)
+            row.append(obj)
+        rows.append(row)
+    return {"bbox": table["bbox"], "cells": new_cells, "rows": rows}
+
+
 def table_quality(table: dict) -> tuple[float, float]:
     cells = table["cells"]
     if not cells:
@@ -434,5 +469,7 @@ def find_tables(edges: list[dict], words: list[dict], chars: list[dict],
             acc, _ws = table_quality(t)
             if acc < settings.min_accuracy:
                 continue
+        if settings.duplicate_merged_content:
+            t = duplicate_merged_content(t)
         out.append(t)
     return out

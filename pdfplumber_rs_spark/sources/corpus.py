@@ -239,6 +239,61 @@ def stream_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFram
         _stream_table_gen_kernel, TABLE_CORPUS_SCHEMA)
 
 
+def _merged_table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """(l_orderkey, rows) → lattice table whose TOP ROW is a merged cell
+    spanning all 3 columns (no internal vertical rules) carrying
+    'order N', above the usual header + data rows (T12 surface)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, escape_pdf_text
+
+    schema = to_arrow_schema(TABLE_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for okey, rows in zip(d["l_orderkey"], d["rows"]):
+            cells = [["line", "qty", "flag"]] + [list(r) for r in rows]
+            n_rows = len(cells) + 1  # + merged banner row
+            x0, cw, ch, top_y = 72.0, 120.0, 20.0, 720.0
+            x1 = x0 + 3 * cw
+            y_bot = top_y - n_rows * ch
+            parts = [b"0.5 w"]
+            for r in range(n_rows + 1):
+                y = top_y - r * ch
+                parts.append(f"{x0:g} {y:g} m {x1:g} {y:g} l S".encode())
+            for x in (x0, x1):  # outer verticals: full height
+                parts.append(f"{x:g} {y_bot:g} m {x:g} {top_y:g} l S".encode())
+            for c in (1, 2):   # inner verticals: below the banner row
+                x = x0 + c * cw
+                parts.append(
+                    f"{x:g} {y_bot:g} m {x:g} {top_y - ch:g} l S".encode())
+            parts.append(
+                f"BT /F1 8 Tf {x0 + 4:g} {top_y - 12:g} Td "
+                f"(order {int(okey)}) Tj ET".encode())
+            for r, row in enumerate(cells):
+                ty = top_y - (r + 1) * ch - 12
+                for c, txt in enumerate(row):
+                    tx = x0 + c * cw + 4
+                    parts.append(
+                        f"BT /F1 8 Tf {tx:g} {ty:g} Td "
+                        f"({escape_pdf_text(txt)}) Tj ET".encode())
+            out.append(
+                {
+                    "l_orderkey": int(okey),
+                    "url": f"https://mergedtables.example/{okey:08d}.pdf",
+                    "html": build_pdf([b"\n".join(parts)]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def merged_table_corpus(spark, sf_dir: str, max_orderkey: int = 100) -> DataFrame:
+    grouped = _lineitem_rows(spark, sf_dir, max_orderkey)
+    n = spark.sparkContext.defaultParallelism * 2
+    return grouped.repartition(n, "l_orderkey").mapInArrow(
+        _merged_table_gen_kernel, TABLE_CORPUS_SCHEMA)
+
+
 def _sig_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Docs carrying a /Sig form field with a deterministic signature
     dictionary (D6 surface): signer/date/reason derived from doc_id."""

@@ -536,3 +536,44 @@ def test_embedded_cff_widths():
     byc = {c["char_code"]: c for c in page.chars}
     assert abs((byc[65]["x1"] - byc[65]["x0"]) - widths[65] / 100.0) < 1e-6
     assert abs((byc[66]["x1"] - byc[66]["x0"]) - 2.5) < 1e-6
+
+
+def _merged_header_pdf():
+    """3-col grid whose top row has NO internal vertical rules (a merged
+    header) + a data row; header text spans, data cells are A/B/C."""
+    parts = [b"0.5 w"]
+    x0, x1 = 72.0, 372.0
+    for y in (720.0, 700.0, 680.0):
+        parts.append(f"{x0:g} {y:g} m {x1:g} {y:g} l S".encode())
+    # outer verticals full height; inner verticals bottom row only
+    for x in (72.0, 372.0):
+        parts.append(f"{x:g} 680 m {x:g} 720 l S".encode())
+    for x in (172.0, 272.0):
+        parts.append(f"{x:g} 680 m {x:g} 700 l S".encode())
+    parts.append(b"BT /F1 8 Tf 80 706 Td (HDR) Tj ET")
+    for i, (x, s) in enumerate(((80, "A"), (180, "B"), (280, "C"))):
+        parts.append(f"BT /F1 8 Tf {x} 686 Td ({s}) Tj ET".encode())
+    return pdfgen.build_pdf([b"\n".join(parts)])
+
+
+def test_merged_header_default_keeps_merged():
+    res = extract_document(_merged_header_pdf())
+    rows = [
+        [None if c is None else c["text"] for c in r]
+        for r in res["pages"][0]["tables"][0]["rows"]
+    ]
+    assert rows == [["HDR", None, None], ["A", "B", "C"]]
+
+
+def test_duplicate_merged_content():
+    """T12 (table.rs:810-899): merged header text duplicated into every
+    grid sub-cell."""
+    res = extract_document(
+        _merged_header_pdf(),
+        table_settings=TableSettings(duplicate_merged_content=True),
+    )
+    rows = [
+        [None if c is None else c["text"] for c in r]
+        for r in res["pages"][0]["tables"][0]["rows"]
+    ]
+    assert rows == [["HDR", "HDR", "HDR"], ["A", "B", "C"]]
