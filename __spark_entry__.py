@@ -1124,6 +1124,56 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns: codec-free container-header parsing
+    (PNG IHDR / JPEG SOF / GIF LSD) over an Arrow-batched mapInPandas
+    pass — real formats, deterministic dimensions from the id."""
+    from pdfplumber_rs_spark.functions.multimodal import image_features
+    from pdfplumber_rs_spark.sources.corpus import media_corpus_table
+
+    media = media_corpus_table(spark, sf_dir)
+    feats = image_features(media)
+    return (
+        feats.select(
+            "media_id", "format",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path, verified: lsh_topk (bucketed approximate
+    top-k) per query, plus recall@5 against the exact cosine_topk
+    result. Both sides are deterministic (md5-seeded hyperplanes), so
+    the recall column hashes stably against the DuckDB oracle."""
+    from pdfplumber_rs_spark.functions.similarity import cosine_topk, lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+    exact = cosine_topk(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor"))
+    hits = (
+        approx.join(
+            exact,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.exact_neighbor),
+            "left",
+        )
+        .groupBy(approx.query_id)
+        .agg(
+            F.count("*").alias("n_approx"),
+            F.round(
+                F.sum(F.when(F.col("exact_neighbor").isNotNull(), 1)
+                      .otherwise(0)) / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+    return hits.select("query_id", F.col("n_approx").cast("long").alias("n_approx"),
+                       "recall_at_5").orderBy("query_id")
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -1197,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
+        "lsh_topk": q_lsh_topk,
+        "image_meta": q_image_meta,
     }
 
 
@@ -1275,11 +1327,11 @@ from h group by doc_id order by doc_id
 """
 
 
-def _lsh_bucket_sql() -> str:
-    """Mirror of similarity.lsh_buckets: 8 md5-parity hyperplanes over
-    the 64-dim embedding."""
+def _lsh_bucket_expr(n_planes: int) -> str:
+    """Mirror of similarity.lsh_buckets: md5-parity hyperplanes over
+    the 64-dim `embedding` column — returns the bucket SQL expression."""
     planes = []
-    for p in range(8):
+    for p in range(n_planes):
         terms = []
         for d in range(64):
             w = (
@@ -1292,7 +1344,61 @@ def _lsh_bucket_sql() -> str:
     bucket = "0"
     for p in planes:
         bucket = f"({bucket}) * 2 + {p}"
-    return f"select vec_id, cast({bucket} as int) as bucket from embeddings order by vec_id"
+    return bucket
+
+
+def _lsh_bucket_sql() -> str:
+    return (f"select vec_id, cast({_lsh_bucket_expr(8)} as int) as bucket "
+            f"from embeddings order by vec_id")
+
+
+def _lsh_topk_sql() -> str:
+    """Approximate top-5 within 4-plane LSH buckets + recall@5 vs the
+    exact top-5 — the DuckDB twin of q_lsh_topk."""
+    return f"""
+        with b as (
+          select vec_id, embedding,
+                 cast({_lsh_bucket_expr(4)} as int) as bucket
+          from embeddings
+        ), q as (
+          select * from b where vec_id < 10
+        ), scored as (
+          select q.vec_id as query_id, c.vec_id as neighbor_id,
+                 round(list_dot_product(c.embedding, q.embedding) /
+                   greatest(sqrt(list_dot_product(c.embedding, c.embedding))
+                     * sqrt(list_dot_product(q.embedding, q.embedding)),
+                     1e-12), 4) as cos_sim
+          from b c join q on c.bucket = q.bucket
+          where c.vec_id <> q.vec_id
+        ), approx as (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id
+                   order by cos_sim desc, neighbor_id asc) as rk
+          from scored
+        ), a5 as (
+          select query_id, neighbor_id from approx where rk <= 5
+        ), exact_scored as (
+          select q.vec_id as query_id, c.vec_id as neighbor_id,
+                 round(list_dot_product(c.embedding, q.embedding) /
+                   greatest(sqrt(list_dot_product(c.embedding, c.embedding))
+                     * sqrt(list_dot_product(q.embedding, q.embedding)),
+                     1e-12), 4) as cos_sim
+          from embeddings c, embeddings q
+          where q.vec_id < 10 and c.vec_id <> q.vec_id
+        ), e5 as (
+          select query_id, neighbor_id from (
+            select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                     order by cos_sim desc, neighbor_id asc) as rk
+            from exact_scored) where rk <= 5
+        )
+        select a.query_id,
+               cast(count(*) as bigint) as n_approx,
+               round(sum(case when e.neighbor_id is not null
+                         then 1 else 0 end) / 5.0, 4) as recall_at_5
+        from a5 a left join e5 e
+          on a.query_id = e.query_id and a.neighbor_id = e.neighbor_id
+        group by a.query_id order by a.query_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1892,4 +1998,12 @@ with toks as (
             select query_id, neighbor_id, cast(rank as int) as rank, cos_sim
             from ranked where rank <= 5 order by query_id, rank""",
         "lsh_buckets": _lsh_bucket_sql(),
+        "lsh_topk": _lsh_topk_sql(),
+        "image_meta": """
+            select doc_id as media_id,
+                   case doc_id % 3 when 0 then 'png'
+                        when 1 then 'jpeg' else 'gif' end as format,
+                   cast(doc_id % 31 + 1 as int) as width,
+                   cast(doc_id % 17 + 1 as int) as height
+            from documents order by doc_id""",
     }

@@ -45,6 +45,7 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("n_bytes", LongType()),
         StructField("sha1", StringType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mean_luma", DoubleType()),
@@ -53,6 +54,44 @@ FEATURE_SCHEMA = StructType(
 )
 
 FAKE_MAGIC = b"FAKEIMG1"
+
+
+def parse_image_dimensions(data: bytes) -> tuple[str, int, int] | None:
+    """Codec-free container-header parse → (format, width, height).
+    PNG IHDR, JPEG SOFn scan, GIF logical-screen descriptor, BMP
+    BITMAPINFOHEADER — dimensions need no pixel codec. None when the
+    format is unrecognized."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" \
+            and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= n:
+                    h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                    return "jpeg", w, h
+                return None
+            pos += 2 + seg_len
+        return None
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h
+    if len(data) >= 26 and data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", abs(w), abs(h)
+    return None
 
 
 def make_fake_image(media_id: int, width: int = 8, height: int = 8) -> bytes:
@@ -80,7 +119,10 @@ def image_features(df: DataFrame, data_col: str = "data",
                    id_col: str = "media_id") -> DataFrame:
     """Arrow-batched feature extraction over binary media columns. The
     UDF sees pandas batches (never rows); errors become a column, not
-    task failures."""
+    task failures. Real PNG/JPEG/GIF/BMP containers get format + pixel
+    dimensions via codec-free header parsing; only the FAKE test format
+    decodes pixels (mean_luma) — full decode plugs in here (Pillow/
+    libvips) in production."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,11 +133,18 @@ def image_features(df: DataFrame, data_col: str = "data",
                     "media_id": int(mid),
                     "n_bytes": len(data),
                     "sha1": hashlib.sha1(data).hexdigest(),
-                    "width": None, "height": None,
+                    "format": None, "width": None, "height": None,
                     "mean_luma": None, "decode_error": None,
                 }
+                dims = parse_image_dimensions(data)
+                if dims is not None:
+                    row["format"], w, h = dims[0], dims[1], dims[2]
+                    row["width"], row["height"] = int(w), int(h)
+                    out.append(row)
+                    continue
                 try:
                     w, h, px = _decode_image_stub(data)
+                    row["format"] = "fake"
                     row["width"], row["height"] = int(w), int(h)
                     row["mean_luma"] = (
                         round(sum(px) / max(len(px), 1) / 255.0, 6)
@@ -108,6 +157,39 @@ def image_features(df: DataFrame, data_col: str = "data",
             yield pd.DataFrame(out)
 
     return df.select(id_col, data_col).mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic REAL PNG (8-bit grayscale, zlib-compressed) for
+    fixtures — valid per the PNG spec, no image library involved."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(((seed + y * width + x) * 31) % 256
+                        for x in range(width))
+        for y in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def make_jpeg_header(width: int, height: int) -> bytes:
+    """Deterministic JPEG container with a valid SOF0 segment (enough
+    for header-dimension parsing; not a decodable image)."""
+    sof = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (b"\xff\xd8"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")
+
+
+def make_gif_header(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
 
 
 def resize_images(df: DataFrame, max_side: int,

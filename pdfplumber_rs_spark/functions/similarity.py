@@ -84,23 +84,46 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
     return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def _multi_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
+                   id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, table, bucket) memberships over n_tables independent
+    hyperplane sets (table t uses plane seeds t*n_planes..)."""
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for p in range(n_planes):
+            b = b * 2 + _hyperplane_sign(F.col(vec_col),
+                                         t * n_planes + p, dim)
+        buckets.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*buckets)).alias("tb"),
+    ).select(out_id, "tb.table", "tb.bucket")
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-             n_planes: int = 4, id_col: str = "vec_id",
+             n_planes: int = 4, n_tables: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine rank within bucket. One shuffle on bucket."""
-    cb = lsh_buckets(corpus, dim, n_planes, id_col, vec_col).withColumnRenamed(
-        "vec_id", "neighbor_id")
-    qb = lsh_buckets(queries, dim, n_planes, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id")
+    """Approximate top-k: candidates share the query's LSH bucket in ANY
+    of n_tables independent hash tables (the standard recall lever —
+    recall grows with L at L× the candidate cost), then exact cosine
+    rank over the deduplicated candidate set. One shuffle on
+    (table, bucket); corpus rows fan out n_tables ways."""
+    cb = _multi_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col,
+                        "neighbor_id")
+    qb = _multi_buckets(queries, dim, n_planes, n_tables, id_col, vec_col,
+                        "query_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec")).join(cb, "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec")).join(qb, "query_id")
-    joined = c.join(F.broadcast(q), "bucket").filter(
+    joined = c.join(F.broadcast(q), ["table", "bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = joined.select(
+    # dedup candidates found in several tables BEFORE scoring
+    cand = joined.select("query_id", "neighbor_id", "cvec", "qvec") \
+        .dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
         "query_id", "neighbor_id",
         cosine(F.col("cvec"), F.col("qvec")).alias("cos_sim"),
     )

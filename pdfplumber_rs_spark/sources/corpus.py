@@ -712,6 +712,46 @@ def encrypted_corpus_table(spark, sf_dir: str,
     return base.mapInArrow(lock, CORPUS_SCHEMA)
 
 
+MEDIA_CORPUS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def _media_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Deterministic binary media rows: real PNG (doc_id%3==0, valid
+    zlib IDAT), JPEG container (==1), GIF header (==2); dimensions
+    derived from the id — the multimodal header-parse surface."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..functions.multimodal import make_gif_header, make_jpeg_header, make_png
+
+    schema = to_arrow_schema(MEDIA_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = doc_id % 31 + 1, doc_id % 17 + 1
+            kind = doc_id % 3
+            if kind == 0:
+                mime, data = "image/png", make_png(w, h, seed=doc_id)
+            elif kind == 1:
+                mime, data = "image/jpeg", make_jpeg_header(w, h)
+            else:
+                mime, data = "image/gif", make_gif_header(w, h)
+            out.append({"media_id": doc_id, "mime": mime, "data": data})
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def media_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_media_gen_kernel, MEDIA_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

@@ -121,3 +121,26 @@ def test_frame_sample_plan(spark):
     out = multimodal.frame_sample_plan(df, every_s=1.0)
     got = sorted((r.media_id, r.sample_ts) for r in out.collect())
     assert got == [(1, 0.0), (1, 1.0), (1, 2.0), (2, 0.0)]
+
+
+def test_lsh_topk_multi_table_recall(spark):
+    """More hash tables → recall@k must not drop (and here strictly
+    improves); results stay deterministic (md5-seeded planes)."""
+    from pyspark.sql import functions as F
+
+    from pdfplumber_rs_spark.functions.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(n_tables):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in lsh_topk(emb, q, dim=64, k=5, n_planes=4,
+                                    n_tables=n_tables).collect()}
+        return len(approx & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0.3  # 3 tables must find a real fraction of true top-5
