@@ -252,6 +252,25 @@ def q_pdf_image_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_image_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 image export (images.rs:284-330): deterministic content-
+    derived filenames, computed entirely with native Columns (sha256
+    prefix + pattern substitution) over the exploded images view."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    corpus = corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=("images",))
+    exported = P.export_images(pages)
+    ids = _corpus_ids(spark, sf_dir)
+    return (
+        exported.join(ids, "url")
+        .select("doc_id", "filename", "ext",
+                F.col("n_bytes").cast("long").alias("n_bytes"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_mcid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: marked-content ids on chars (interpreter.rs:559-571,1427-1428)
     — distinct (page, mcid) groups per doc, computed RELATIONALLY over
@@ -508,6 +527,34 @@ def q_pdf_largest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey",
                 F.col("n_rows").cast("int").alias("n_rows"),
                 F.col("n_cols").cast("int").alias("n_cols"))
+        .orderBy("l_orderkey")
+    )
+
+
+def q_pdf_table_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 debug pipeline (table.rs:1546-1640): per-stage counters over
+    the lattice corpus — for an (N+1)-row x 3-col grid the closed form
+    is (N+2)+4 edges, 4(N+2) intersections, 3(N+1) cells, 1 table."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import lineitem_table_corpus
+
+    corpus = lineitem_table_corpus(spark, sf_dir, max_orderkey=100)
+    dbg = P.table_debug_table(corpus)
+    ids = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_orderkey").distinct()
+        .select("l_orderkey",
+                F.format_string("https://tables.example/%08d.pdf",
+                                "l_orderkey").alias("url"))
+    )
+    return (
+        dbg.join(ids, "url")
+        .select("l_orderkey",
+                F.col("n_edges_merged").cast("int").alias("n_edges_merged"),
+                F.col("n_intersections").cast("int").alias("n_intersections"),
+                F.col("n_cells").cast("int").alias("n_cells"),
+                F.col("n_tables").cast("int").alias("n_tables"))
         .orderBy("l_orderkey")
     )
 
@@ -1209,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_form_fields": q_pdf_form_fields,
         "pdf_images": q_pdf_images,
         "pdf_image_data": q_pdf_image_data,
+        "pdf_image_export": q_pdf_image_export,
         "pdf_mcid": q_pdf_mcid,
         "pdf_body_text": q_pdf_body_text,
         "pdf_header_detect": q_pdf_header_detect,
@@ -1219,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_embedded_font": q_pdf_embedded_font,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
+        "pdf_table_debug": q_pdf_table_debug,
         "pdf_repair": q_pdf_repair,
         "pdf_giant_doc": q_pdf_giant_doc,
         "pdf_struct_tree": q_pdf_struct_tree,
@@ -1636,6 +1685,14 @@ with toks as (
         "pdf_image_data": """
             select doc_id, '11223344' as data_hex
             from documents order by doc_id""",
+        "pdf_image_export": """
+            -- image bytes are 0x11 0x22 0x33 0x44 (ASCII-safe), so the
+            -- content hash is sha256 of that 4-char string
+            select doc_id,
+                   'page1-img0-' || substr(sha256(chr(17) || chr(34)
+                     || chr(51) || chr(68)), 1, 16) || '.bin' as filename,
+                   'bin' as ext, cast(4 as bigint) as n_bytes
+            from documents order by doc_id""",
         "pdf_mcid": f"""
             select doc_id,
                    cast(len(list_filter(string_split({_SANITIZED}, chr(10)),
@@ -1694,6 +1751,17 @@ with toks as (
                    cast(count(*) + 1 as int) as n_rows, 3 as n_cols
             from lineitem where l_orderkey <= 100
             group by l_orderkey order by l_orderkey""",
+        "pdf_table_debug": """
+            with n as (
+              select l_orderkey, count(*) + 1 as n_rows  -- + header row
+              from lineitem where l_orderkey <= 100 group by l_orderkey
+            )
+            select l_orderkey,
+                   cast(n_rows + 1 + 4 as int) as n_edges_merged,
+                   cast(4 * (n_rows + 1) as int) as n_intersections,
+                   cast(3 * n_rows as int) as n_cells,
+                   1 as n_tables
+            from n order by l_orderkey""",
         "pdf_table_quality": """
             with o as (
               select distinct l_orderkey from lineitem where l_orderkey <= 100

@@ -92,27 +92,44 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     is_vert = (vx != 0.0) | (vy != 0.0)
     size = np.where(is_vert, max_x - min_x, max_y - min_y)
 
+    # bulk-convert to Python scalars once (tolist) instead of per-field
+    # float() casts per char; CTMs are shared tuples — cache by identity
+    min_x_l = min_x.tolist()
+    max_x_l = max_x.tolist()
+    top_l = top.tolist()
+    bottom_l = bottom.tolist()
+    size_l = size.tolist()
+    upright_l = upright.tolist()
+    vert_l = is_vert.tolist()
+    dir_l = [dir_names[d] for d in direction.tolist()]
+    ctm_cache: dict[int, tuple] = {}
+
     out: list[dict] = []
     for i, ev in enumerate(events):
         uni = ev.unicode
         if uni is None:
             uni = "�"
+        raw_ctm = ev.ctm
+        ctm = ctm_cache.get(id(raw_ctm))
+        if ctm is None:
+            ctm = tuple(float(v) for v in raw_ctm)
+            ctm_cache[id(raw_ctm)] = ctm
         out.append(
             {
                 "text": uni,
-                "x0": float(min_x[i]),
-                "top": float(top[i]),
-                "x1": float(max_x[i]),
-                "bottom": float(bottom[i]),
+                "x0": min_x_l[i],
+                "top": top_l[i],
+                "x1": max_x_l[i],
+                "bottom": bottom_l[i],
                 "fontname": ev.font_name,
-                "size": float(size[i]),
-                "_wmode": 1 if is_vert[i] else 0,
-                "doctop": float(top[i]),
-                "upright": bool(upright[i]),
-                "direction": dir_names[int(direction[i])],
+                "size": size_l[i],
+                "_wmode": 1 if vert_l[i] else 0,
+                "doctop": top_l[i],
+                "upright": upright_l[i],
+                "direction": dir_l[i],
                 "stroking_color": ev.stroking_color,
                 "non_stroking_color": ev.non_stroking_color,
-                "ctm": tuple(float(v) for v in cmat[i]),
+                "ctm": ctm,
                 "char_code": int(ev.char_code),
                 "mcid": ev.mcid,
                 "tag": ev.tag,

@@ -43,6 +43,9 @@ class LoadedFont:
         "descent",
         "cid_widths",        # dict cid -> width
         "cid_default_width",
+        "cid_vertical",      # dict cid -> (w1y, vx, vy)  [/W2]
+        "dw2_vy",            # /DW2[0] default 880
+        "dw2_w1",            # /DW2[1] default -1000
         "cmap",              # ToUnicodeCMap | None
         "encoding",          # SimpleEncoding | None
     )
@@ -64,6 +67,9 @@ class LoadedFont:
         self.descent = DEFAULT_DESCENT
         self.cid_widths: dict[int, float] = {}
         self.cid_default_width = DEFAULT_CID_WIDTH
+        self.cid_vertical: dict[int, tuple] = {}
+        self.dw2_vy = 880.0
+        self.dw2_w1 = -1000.0
         self.cmap: ToUnicodeCMap | None = None
         self.encoding: SimpleEncoding | None = None
 
@@ -88,6 +94,17 @@ class LoadedFont:
         if self.ascent == 0.0 and self.descent == 0.0:
             return 1000.0, 0.0
         return 1000.0 + self.descent, self.descent
+
+    # -- vertical metrics (cid_font.rs:227-262, PDF 9.7.4.3) -----------------
+
+    def get_vertical_metric(self, cid: int) -> tuple[float, float, float]:
+        """(w1y, vx, vy): /W2 override, else DW2/defaults — vx defaults
+        to half the horizontal advance."""
+        vm = self.cid_vertical.get(cid)
+        if vm is not None:
+            return vm
+        w0 = self.cid_widths.get(cid, self.cid_default_width)
+        return self.dw2_w1, w0 / 2.0, self.dw2_vy
 
     # -- unicode chain (interpreter.rs:1259-1339) ----------------------------
 
@@ -244,6 +261,25 @@ def _load_type0(doc, fd: dict, font: LoadedFont) -> None:
                 font.cid_widths = _parse_w_array(doc, w_arr)
             asc, desc, _missing, _had = _descriptor_metrics(doc, df)
             font.ascent, font.descent = asc, desc
+            # vertical metrics: /DW2 [vy w1], /W2 overrides, and the
+            # embedded vmtx table (via /CIDToGIDMap) when /W2 is absent
+            # (cid_font.rs:440-478; W2/DW2 take precedence over vmtx)
+            dw2 = doc.resolve(df.get("DW2"))
+            if isinstance(dw2, list) and len(dw2) >= 2:
+                vy = doc.resolve(dw2[0])
+                w1 = doc.resolve(dw2[1])
+                if isinstance(vy, (int, float)):
+                    font.dw2_vy = float(vy)
+                if isinstance(w1, (int, float)):
+                    font.dw2_w1 = float(w1)
+            w2 = doc.resolve(df.get("W2"))
+            if isinstance(w2, list):
+                font.cid_vertical = _parse_w2_array(
+                    doc, w2, font.cid_default_width, font.dw2_vy, font.dw2_w1)
+            if not font.cid_vertical and font.writing_mode == 1:
+                vm = _vmtx_vertical_metrics(doc, df, font)
+                if vm:
+                    font.cid_vertical = vm
             sysinfo = doc.resolve(df.get("CIDSystemInfo"))
             if isinstance(sysinfo, dict):
                 ordering = doc.resolve(sysinfo.get("Ordering"))
@@ -317,6 +353,98 @@ def _embedded_widths(doc, fd: dict) -> list[float] | None:
         if w:
             return w
     return None
+
+
+def _parse_w2_array(doc, w2: list, default_w: float, dw2_vy: float,
+                    dw2_w1: float) -> dict[int, tuple]:
+    """Parse /W2 (cid_font.rs:321-386, PDF 9.7.4.3):
+    [c [w1y vx vy ...]] or [c_first c_last w1y vx vy]."""
+    out: dict[int, tuple] = {}
+    i = 0
+    n = len(w2)
+    while i < n:
+        first = doc.resolve(w2[i])
+        if not isinstance(first, (int, float)):
+            i += 1
+            continue
+        cid_start = int(first)
+        i += 1
+        if i >= n:
+            break
+        second = doc.resolve(w2[i])
+        if isinstance(second, list):
+            j = 0
+            cid = cid_start
+            while j + 3 <= len(second):
+                w1y = doc.resolve(second[j])
+                vx = doc.resolve(second[j + 1])
+                vy = doc.resolve(second[j + 2])
+                out[cid] = (
+                    float(w1y) if isinstance(w1y, (int, float)) else dw2_w1,
+                    float(vx) if isinstance(vx, (int, float)) else default_w / 2.0,
+                    float(vy) if isinstance(vy, (int, float)) else dw2_vy,
+                )
+                cid += 1
+                j += 3
+            i += 1
+        elif isinstance(second, (int, float)) and i + 3 < n:
+            cid_end = int(second)
+            w1y = doc.resolve(w2[i + 1])
+            vx = doc.resolve(w2[i + 2])
+            vy = doc.resolve(w2[i + 3])
+            metric = (
+                float(w1y) if isinstance(w1y, (int, float)) else dw2_w1,
+                float(vx) if isinstance(vx, (int, float)) else default_w / 2.0,
+                float(vy) if isinstance(vy, (int, float)) else dw2_vy,
+            )
+            if 0 <= cid_start <= cid_end and cid_end - cid_start < 65536:
+                for cid in range(cid_start, cid_end + 1):
+                    out[cid] = metric
+            i += 4
+        else:
+            i += 1
+    return out
+
+
+def _cid_to_gid_map(doc, df: dict):
+    """CIDToGIDMap (cid_font.rs:480-): 'Identity' (or absent) → cid==gid;
+    a stream of big-endian u16 per CID otherwise. Returns a callable."""
+    m = doc.resolve(df.get("CIDToGIDMap"))
+    if isinstance(m, Stream):
+        try:
+            data = decode_stream(m.dict, m.raw, doc.resolve)
+        except Exception:  # noqa: BLE001
+            return lambda cid: cid
+        def lookup(cid: int) -> int:
+            off = cid * 2
+            if off + 2 <= len(data):
+                return (data[off] << 8) | data[off + 1]
+            return 0
+        return lookup
+    return lambda cid: cid
+
+
+def _vmtx_vertical_metrics(doc, df: dict, font: LoadedFont) -> dict[int, tuple]:
+    """vmtx fallback for CIDFontType2 vertical fonts when /W2 is absent
+    (cid_font.rs:595-640): advance heights per glyph via CIDToGIDMap;
+    vertical advances are negative (downward)."""
+    data = _fontfile_bytes(doc, df, "FontFile2")
+    if data is None:
+        return {}
+    from .truetype import parse_truetype_vertical_metrics
+
+    heights = parse_truetype_vertical_metrics(data)
+    if not heights:
+        return {}
+    gid_of = _cid_to_gid_map(doc, df)
+    out: dict[int, tuple] = {}
+    for cid in range(len(heights)):
+        gid = gid_of(cid)
+        if gid < len(heights):
+            w1y = -heights[gid]
+            w0 = font.cid_widths.get(cid, font.cid_default_width)
+            out[cid] = (w1y, w0 / 2.0, font.dw2_vy)
+    return out
 
 
 def _descriptor_metrics(doc, fd: dict) -> tuple[float, float, float, bool]:

@@ -52,9 +52,28 @@ class CharEvent:
         "vertical_origin", "mcid", "tag", "stroking_color", "non_stroking_color",
     )
 
-    def __init__(self, **kw) -> None:
-        for k, v in kw.items():
-            setattr(self, k, v)
+    def __init__(self, char_code, unicode, font_name, font_size, h_scaling,
+                 rise, text_matrix, ctm, displacement, ascent, descent,
+                 vertical_origin, mcid, tag, stroking_color,
+                 non_stroking_color) -> None:
+        # positional, not **kwargs: this runs once per GLYPH — the
+        # setattr loop was ~10% of kernel time at profile
+        self.char_code = char_code
+        self.unicode = unicode
+        self.font_name = font_name
+        self.font_size = font_size
+        self.h_scaling = h_scaling
+        self.rise = rise
+        self.text_matrix = text_matrix
+        self.ctm = ctm
+        self.displacement = displacement
+        self.ascent = ascent
+        self.descent = descent
+        self.vertical_origin = vertical_origin
+        self.mcid = mcid
+        self.tag = tag
+        self.stroking_color = stroking_color
+        self.non_stroking_color = non_stroking_color
 
 
 class PaintedPath:
@@ -439,10 +458,13 @@ class Interpreter:
                 except ValueError:
                     uni = None
             if wmode == 1:
-                # vertical: advance along y by w1 (default -1000 → one em down)
-                w1 = -1000.0
+                # vertical: advance along y by w1 from /W2 → /DW2 → vmtx
+                # (cid_font.rs:227-250; defaults w1=-1000, vy=880, vx=w0/2)
+                if font is not None:
+                    w1, vx, vy = font.get_vertical_metric(code)
+                else:
+                    w1, vx, vy = -1000.0, w0 / 2.0, 880.0
                 ty = (w1 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)
-                vx, vy = w0 / 2.0, 880.0
                 self.chars.append(
                     CharEvent(
                         char_code=code, unicode=uni, font_name=fname,

@@ -414,6 +414,43 @@ def table_quality(table: dict) -> tuple[float, float]:
     return accuracy, whitespace
 
 
+def table_debug(edges: list[dict], words: list[dict],
+                settings: TableSettings | None = None) -> dict:
+    """T15 debug pipeline (table.rs:1546-1640): per-stage counters of
+    the same orchestration find_tables runs — raw/selected edges,
+    merged edges, intersections, cells, tables."""
+    if settings is None:
+        settings = TableSettings()
+    strategy = settings.strategy
+    if strategy == "lattice_strict":
+        sel = [e for e in edges if e["source"] == "line"]
+    elif strategy == "stream":
+        sel = words_to_edges_v(words, settings.min_words_vertical)
+        sel += words_to_edges_h(words, settings.min_words_horizontal)
+    else:
+        sel = list(edges)
+    n_selected = len(sel)
+    merged = merge_edges(
+        sel, settings.snap_x_tolerance, settings.snap_y_tolerance,
+        settings.join_x_tolerance, settings.join_y_tolerance,
+    )
+    merged = [e for e in merged if edge_length(e) >= settings.edge_min_length]
+    inter = edges_to_intersections(
+        merged, settings.intersection_x_tolerance,
+        settings.intersection_y_tolerance,
+    ) if merged else {}
+    cells = intersections_to_cells(inter) if inter else []
+    groups = cells_to_tables(cells)
+    return {
+        "n_edges_raw": len(edges),
+        "n_edges_selected": n_selected,
+        "n_edges_merged": len(merged),
+        "n_intersections": len(inter),
+        "n_cells": len(cells),
+        "n_tables": len(groups),
+    }
+
+
 # -- orchestration ----------------------------------------------------------------
 
 def find_tables(edges: list[dict], words: list[dict], chars: list[dict],

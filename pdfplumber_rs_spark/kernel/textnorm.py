@@ -49,28 +49,37 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
     # is O(n) with semantics identical to the full scan
     t = tolerance if tolerance > 0 else 1e-9
     kept: list[dict] = []
-    buckets: dict[tuple, list[dict]] = {}
+    # two-level hash: base key (text+attrs) once per char, then small
+    # (bx,by) tuples for the 3x3 probe — avoids 9 wide-tuple concats
+    buckets: dict[tuple, dict[tuple, list[dict]]] = {}
     for ch in chars:
         base = (ch["text"],) + tuple(ch.get(a) for a in extra_attrs)
         bx = int(ch["x0"] // t)
         by = int(ch["top"] // t)
+        grid = buckets.get(base)
         dup = False
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for k in buckets.get(base + (bx + dx, by + dy), ()):
-                    if (
-                        abs(k["x0"] - ch["x0"]) <= tolerance
-                        and abs(k["top"] - ch["top"]) <= tolerance
-                    ):
-                        dup = True
+        if grid is not None:
+            x0 = ch["x0"]
+            top = ch["top"]
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for k in grid.get((bx + dx, by + dy), ()):
+                        if (
+                            abs(k["x0"] - x0) <= tolerance
+                            and abs(k["top"] - top) <= tolerance
+                        ):
+                            dup = True
+                            break
+                    if dup:
                         break
                 if dup:
                     break
-            if dup:
-                break
         if not dup:
             kept.append(ch)
-            buckets.setdefault(base + (bx, by), []).append(ch)
+            if grid is None:
+                grid = {}
+                buckets[base] = grid
+            grid.setdefault((bx, by), []).append(ch)
     return kept
 
 

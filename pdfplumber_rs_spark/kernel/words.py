@@ -135,12 +135,13 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
         is_blank = not text or text.isspace()
         if is_blank and not options.keep_blank_chars:
             if current:
-                words.append(_make_word(current, options.expand_ligatures))
+                words.append(
+                    _make_word(current, options.expand_ligatures, bbox))
                 current = []
         elif current and char_begins_new_word(
             current, ch, options.x_tolerance, options.y_tolerance, bbox
         ):
-            words.append(_make_word(current, options.expand_ligatures))
+            words.append(_make_word(current, options.expand_ligatures, bbox))
             current = [ch]
             reset(ch)
         else:
@@ -150,22 +151,31 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
                 grow(ch)
             current.append(ch)
     if current:
-        words.append(_make_word(current, options.expand_ligatures))
+        words.append(_make_word(current, options.expand_ligatures, bbox))
     return words
 
 
-def _make_word(chars: list[dict], do_ligatures: bool) -> dict:
+def _make_word(chars: list[dict], do_ligatures: bool,
+               bbox: list | None = None) -> dict:
     text = "".join(c["text"] for c in chars)
     if do_ligatures:
         text = expand_ligatures(text)
+    if bbox is None:  # standalone callers without a tracked bbox
+        bbox = (
+            min(c["x0"] for c in chars),
+            min(c["top"] for c in chars),
+            max(c["x1"] for c in chars),
+            max(c["bottom"] for c in chars),
+        )
+    first = chars[0]
     return {
         "text": text,
-        "x0": min(c["x0"] for c in chars),
-        "top": min(c["top"] for c in chars),
-        "x1": max(c["x1"] for c in chars),
-        "bottom": max(c["bottom"] for c in chars),
+        "x0": bbox[0],
+        "top": bbox[1],
+        "x1": bbox[2],
+        "bottom": bbox[3],
         "doctop": min(c["doctop"] for c in chars),
-        "direction": chars[0]["direction"],
-        "upright": chars[0]["upright"],
+        "direction": first["direction"],
+        "upright": first["upright"],
         "chars": chars,
     }

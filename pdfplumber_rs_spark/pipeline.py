@@ -698,6 +698,43 @@ def images_table(pages: DataFrame) -> DataFrame:
                     "i.colorspace", "i.filter", "i.inline", "i.data")
 
 
+_FILTER_EXT = {
+    "DCTDecode": "jpg", "JPXDecode": "jp2", "CCITTFaxDecode": "tiff",
+    "JBIG2Decode": "jbig2",
+}
+
+
+def export_images(pages: DataFrame,
+                  pattern: str = "page{page}-img{index}-{hash}.{ext}") -> DataFrame:
+    """D11 image export with deterministic names (images.rs:284-330),
+    fully Spark-native: filename = pattern with {page}/{index}/{ext}/
+    {hash} substituted per image; hash is a 16-hex content prefix
+    (sha256 here — the reference's SipHash is Rust-internal, the
+    contract is 'deterministic content-derived name'), so identical
+    bytes dedupe to identical filenames. Images without data are
+    skipped (XObjects whose content was not extracted)."""
+    imgs = images_table(pages).filter(F.col("data").isNotNull())
+    ext = F.coalesce(
+        *[F.when(F.col("filter") == k, F.lit(v))
+          for k, v in _FILTER_EXT.items()],
+        F.lit("bin"),
+    )
+    h = F.substring(F.sha2(F.col("data"), 256), 1, 16)
+    filename = F.lit(pattern)
+    for var, col in (("{page}", F.col("page_number").cast("string")),
+                     ("{index}", F.col("seq").cast("string")),
+                     ("{ext}", ext), ("{hash}", h)):
+        filename = F.replace(filename, F.lit(var), col)
+    return imgs.select(
+        "url", "page_number", "seq",
+        filename.alias("filename"),
+        ext.alias("ext"),
+        h.alias("content_hash"),
+        F.length("data").alias("n_bytes"),
+        "data",
+    )
+
+
 BOOKMARK_TYPE = StructType(
     [
         StructField("title", StringType()),
@@ -1048,6 +1085,50 @@ def semantic_text(pages: DataFrame, structure: DataFrame) -> DataFrame:
             ).alias("semantic_text")
         )
     )
+
+
+TABLE_DEBUG_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("n_edges_raw", IntegerType()),
+        StructField("n_edges_selected", IntegerType()),
+        StructField("n_edges_merged", IntegerType()),
+        StructField("n_intersections", IntegerType()),
+        StructField("n_cells", IntegerType()),
+        StructField("n_tables", IntegerType()),
+    ]
+)
+
+
+def table_debug_table(df: DataFrame,
+                      settings: TableSettings | None = None,
+                      options: ExtractOptions | None = None) -> DataFrame:
+    """T15 table debug pipeline (table.rs:1546-1640): one row per page
+    with per-stage counters (raw→selected→merged edges, intersections,
+    cells, tables) — the lineage surface for tuning table settings."""
+    arrow_schema = _arrow_schema_for(TABLE_DEBUG_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.document import Document
+        from .kernel.tables import table_debug
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    doc = Document(html, options)
+                    for i in range(doc.page_count):
+                        page = doc.page(i)
+                        dbg = table_debug(page.edges(),
+                                          page.extract_words(), settings)
+                        out.append({"url": url, "page_number": i + 1, **dbg})
+                except Exception:  # noqa: BLE001 — lenient
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, TABLE_DEBUG_SCHEMA)
 
 
 SIGNATURE_SCHEMA = StructType(

@@ -577,3 +577,72 @@ def test_duplicate_merged_content():
         for r in res["pages"][0]["tables"][0]["rows"]
     ]
     assert rows == [["HDR", "HDR", "HDR"], ["A", "B", "C"]]
+
+
+def test_cid_vertical_metrics_w2_dw2_vmtx():
+    """W2/DW2 vertical metrics (cid_font.rs:227-262, PDF 9.7.4.3) and
+    the vmtx fallback via CIDToGIDMap when /W2 is absent."""
+    from pdfplumber_rs_spark.kernel.fonts.font import load_font
+    from pdfplumber_rs_spark.kernel.objects import Stream
+
+    class FakeDoc:
+        def resolve(self, o):
+            return o
+
+    doc = FakeDoc()
+    desc_font = {
+        "Subtype": Name("CIDFontType2"),
+        "DW": 1000, "W": [5, [500.0]],
+        "DW2": [900, -1100],
+        "W2": [10, [-800.0, 250.0, 880.0], 20, 22, -700, 300, 850],
+    }
+    font_dict = {
+        "Subtype": Name("Type0"), "BaseFont": Name("VertFont"),
+        "Encoding": Name("Identity-V"),
+        "DescendantFonts": [desc_font],
+    }
+    f = load_font(doc, font_dict)
+    assert f.writing_mode == 1
+    assert f.get_vertical_metric(10) == (-800.0, 250.0, 880.0)
+    assert f.get_vertical_metric(21) == (-700.0, 300.0, 850.0)
+    # default: DW2 w1y/vy, vx = half the horizontal advance
+    assert f.get_vertical_metric(5) == (-1100.0, 250.0, 900.0)
+    assert f.get_vertical_metric(99) == (-1100.0, 500.0, 900.0)
+
+    # vmtx fallback: vertical TrueType with vhea/vmtx, CIDToGIDMap stream
+    import struct as _s
+
+    n = 4
+    heights = [1000, 1200, 800, 600]
+    head = _s.pack(">IIIIHHqqhhhhHHhhh", 0x00010000, 0, 0, 0x5F0F3CF5,
+                   0, 1000, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    vhea = _s.pack(">IhhhHhhhhhhhhhhhH", 0x00010000, 0, 0, 0, 0, 0, 0,
+                   0, 0, 0, 0, 0, 0, 0, 0, 0, n)
+    maxp = _s.pack(">IH", 0x00005000, n)
+    vmtx = b"".join(_s.pack(">Hh", h, 0) for h in heights)
+    tables = [(b"head", head), (b"maxp", maxp), (b"vhea", vhea),
+              (b"vmtx", vmtx)]
+    out = bytearray(_s.pack(">IHHHH", 0x00010000, len(tables), 0, 0, 0))
+    body = bytearray()
+    off = 12 + len(tables) * 16
+    for tag, data in tables:
+        out += _s.pack(">4sIII", tag, 0, off, len(data))
+        body += data
+        off += len(data)
+    ttf = bytes(out) + bytes(body)
+    # CIDToGIDMap: cid0->gid1, cid1->gid0, cid2->gid3, cid3->gid2
+    c2g = _s.pack(">HHHH", 1, 0, 3, 2)
+    desc_font2 = {
+        "Subtype": Name("CIDFontType2"), "DW": 1000,
+        "FontDescriptor": {"FontFile2": Stream({}, ttf)},
+        "CIDToGIDMap": Stream({}, c2g),
+    }
+    font_dict2 = {
+        "Subtype": Name("Type0"), "BaseFont": Name("VertTT"),
+        "Encoding": Name("Identity-V"),
+        "DescendantFonts": [desc_font2],
+    }
+    f2 = load_font(doc, font_dict2)
+    assert f2.get_vertical_metric(0)[0] == -1200.0  # cid0 -> gid1
+    assert f2.get_vertical_metric(1)[0] == -1000.0  # cid1 -> gid0
+    assert f2.get_vertical_metric(2)[0] == -600.0   # cid2 -> gid3
