@@ -109,6 +109,7 @@ class ImageEvent:
 
 class _GState:
     __slots__ = ("ctm", "line_width", "stroke_color", "fill_color",
+                 "stroke_cs", "fill_cs",
                  "char_spacing", "word_spacing", "h_scaling", "leading",
                  "font", "font_name", "font_size", "rise", "render_mode")
 
@@ -117,6 +118,8 @@ class _GState:
         self.line_width = 1.0
         self.stroke_color = None
         self.fill_color = None
+        self.stroke_cs = None  # resolved ColorSpace for SC/SCN
+        self.fill_cs = None
         # text state lives here too: q/Q snapshots both (interpreter.rs:139-145)
         self.char_spacing = 0.0
         self.word_spacing = 0.0
@@ -169,6 +172,7 @@ class Interpreter:
 
         fonts_res = doc.resolve(resources.get("Font")) or {}
         xobj_res = doc.resolve(resources.get("XObject")) or {}
+        cs_res = doc.resolve(resources.get("ColorSpace")) or {}
 
         ops = tokenize(content, self.warnings)
 
@@ -216,12 +220,26 @@ class Interpreter:
                 elif name in ("SC", "SCN"):
                     vals = [float(v) for v in o if isinstance(v, (int, float))]
                     if vals:
-                        gs.stroke_color = ("other", vals)
+                        from .colorspace import resolve_color
+
+                        gs.stroke_color = resolve_color(
+                            gs.stroke_cs, vals, stroke=True)
                 elif name in ("sc", "scn"):
                     vals = [float(v) for v in o if isinstance(v, (int, float))]
                     if vals:
-                        gs.fill_color = ("other", vals)
-                elif name in ("CS", "cs", "ri", "i", "j", "J", "M", "d"):
+                        from .colorspace import resolve_color
+
+                        gs.fill_color = resolve_color(gs.fill_cs, vals)
+                elif name in ("CS", "cs"):
+                    # resolve named colorspace (device or /Resources
+                    # /ColorSpace entry; color_space.rs:153-172)
+                    if o and isinstance(o[-1], Name):
+                        cs = self._resolve_cs_name(str(o[-1]), cs_res)
+                        if name == "CS":
+                            gs.stroke_cs = cs
+                        else:
+                            gs.fill_cs = cs
+                elif name in ("ri", "i", "j", "J", "M", "d"):
                     pass
                 # ---- text object ----
                 elif name == "BT":
@@ -395,6 +413,21 @@ class Interpreter:
 
     # -- helpers ---------------------------------------------------------------
 
+    def _resolve_cs_name(self, name: str, cs_res: dict):
+        from .colorspace import _DEVICE, ColorSpace, resolve_colorspace
+
+        hit = _DEVICE.get(name)
+        if hit is not None:
+            return ColorSpace(*hit)
+        if isinstance(cs_res, dict) and name in cs_res:
+            key = ("cs", name)
+            cached = self._font_cache.get(key)
+            if cached is None:
+                cached = resolve_colorspace(self.doc, cs_res[name])
+                self._font_cache[key] = cached
+            return cached
+        return None
+
     def _load_font_cached(self, fonts_res: dict, name: str) -> LoadedFont:
         obj = fonts_res.get(name)
         key = (obj.num if isinstance(obj, Ref) else id(obj), name)
@@ -518,12 +551,22 @@ class Interpreter:
             h = self.doc.resolve(obj.dict.get("Height"))
             cs = self.doc.resolve(obj.dict.get("ColorSpace"))
             filt = self.doc.resolve(obj.dict.get("Filter"))
+            if isinstance(cs, Name) or cs is None:
+                cs_name = str(cs) if cs is not None else ""
+            else:
+                # array colorspace (ICCBased/Indexed/Separation/DeviceN):
+                # report the resolved family + component count
+                from .colorspace import resolve_colorspace
+
+                rcs = resolve_colorspace(self.doc, cs)
+                cs_name = (f"{rcs.family}({rcs.ncomp})" if rcs is not None
+                           else "unknown")
             self.images.append(
                 ImageEvent(
                     name, gs.ctm,
                     int(w) if isinstance(w, (int, float)) else 0,
                     int(h) if isinstance(h, (int, float)) else 0,
-                    str(cs) if cs is not None else "",
+                    cs_name,
                     str(filt) if filt is not None else "",
                     False,
                 )

@@ -646,3 +646,62 @@ def test_cid_vertical_metrics_w2_dw2_vmtx():
     assert f2.get_vertical_metric(0)[0] == -1200.0  # cid0 -> gid1
     assert f2.get_vertical_metric(1)[0] == -1000.0  # cid1 -> gid0
     assert f2.get_vertical_metric(2)[0] == -600.0   # cid2 -> gid3
+
+
+def test_colorspace_resolution():
+    """ICCBased / Indexed / Separation / DeviceN resolution and SC/SCN
+    interpretation through them (color_space.rs:66-360)."""
+    from pdfplumber_rs_spark.kernel.colorspace import (
+        resolve_color,
+        resolve_colorspace,
+    )
+    from pdfplumber_rs_spark.kernel.objects import Stream
+
+    class FakeDoc:
+        def resolve(self, o):
+            return o
+
+    doc = FakeDoc()
+    icc = resolve_colorspace(
+        doc, [Name("ICCBased"), Stream({"N": 3}, b"")])
+    assert icc.family == "iccbased" and icc.ncomp == 3
+    assert resolve_color(icc, [0.1, 0.2, 0.3]) == ("rgb", [0.1, 0.2, 0.3])
+
+    idx = resolve_colorspace(
+        doc, [Name("Indexed"), Name("DeviceRGB"), 1,
+              bytes([255, 0, 0, 0, 0, 255])])
+    assert idx.family == "indexed"
+    assert resolve_color(idx, [0]) == ("rgb", [1.0, 0.0, 0.0])
+    assert resolve_color(idx, [1]) == ("rgb", [0.0, 0.0, 1.0])
+    assert resolve_color(idx, [9]) == ("rgb", [0.0, 0.0, 1.0])  # clamped
+
+    sep = resolve_colorspace(
+        doc, [Name("Separation"), Name("Spot1"), Name("DeviceCMYK"), None])
+    assert sep.family == "separation"
+    assert resolve_color(sep, [0.25]) == ("cmyk", [0.0, 0.0, 0.0, 0.75])
+
+    dn = resolve_colorspace(
+        doc, [Name("DeviceN"), [Name("A"), Name("B"), Name("C")],
+              Name("DeviceRGB"), None])
+    assert dn.ncomp == 3
+    assert resolve_color(dn, [0.5, 0.6, 0.7]) == ("rgb", [0.5, 0.6, 0.7])
+
+    # fallback by component count when no CS was set
+    assert resolve_color(None, [0.5]) == ("gray", [0.5])
+    assert resolve_color(None, [1, 2, 3, 4.0]) == ("cmyk", [1, 2, 3, 4.0])
+
+
+def test_scn_through_named_colorspace():
+    """cs /Name + scn in a content stream resolves through /Resources
+    /ColorSpace (end-to-end through the interpreter)."""
+    from pdfplumber_rs_spark.kernel.document import Document
+
+    # build a PDF with an ICCBased-ish colorspace... the simple builder
+    # has no /ColorSpace resources, so use a DeviceCMYK name which needs
+    # no resource entry
+    pdf = pdfgen.build_pdf([
+        b"/DeviceCMYK cs 0.1 0.2 0.3 0.4 scn\n"
+        b"BT /F1 10 Tf 72 720 Td (X) Tj ET"
+    ])
+    ch = Document(pdf).page(0).chars[0]
+    assert ch["non_stroking_color"] == ("cmyk", [0.1, 0.2, 0.3, 0.4])
