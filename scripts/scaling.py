@@ -68,7 +68,12 @@ P.document_text(
                     num_partitions=cpus * 4)
 ).write.format("noop").mode("overwrite").save()
 t0 = time.time()
-pages = P.extract_pages(corpus, handle_skew=False, num_partitions=cpus * 4)
+# the flagship path (include=()): full parse + words + text per url,
+# object arrays pruned at the kernel — the north metric is byte-exact
+# extracted text per url; serializing 40KB/page of char rows is a
+# different (storage) workload measured by the object-table queries
+pages = P.extract_pages(corpus, handle_skew=False, num_partitions=cpus * 4,
+                        include=())
 P.document_text(pages).write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
 print(json.dumps({"cpus": cpus, "sec": round(dt, 2), "n_docs": n_docs,
