@@ -401,6 +401,28 @@ def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_cjk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 CJK unicode chain: Type0 font with the predefined
+    UniGB-UCS2-H CMap and NO /ToUnicode — 2-byte codes decode as UCS-2
+    (fonts/cjk.py); deterministic per-doc ideographs as the oracle."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import cjk_corpus_table
+
+    corpus = cjk_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
+    doc = P.document_text(pages)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://cjk.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_embedded_font(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 embedded font metrics (truetype.rs:160-210, cff.rs:38-99):
     fonts with NO /Widths — advance widths must come from the embedded
@@ -1265,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_crop_chars": q_pdf_crop_chars,
         "pdf_char_colors": q_pdf_char_colors,
         "pdf_embedded_font": q_pdf_embedded_font,
+        "pdf_cjk_text": q_pdf_cjk_text,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_table_debug": q_pdf_table_debug,
@@ -1798,6 +1821,15 @@ with toks as (
                         when rt = '' then lt
                         else lt || chr(10) || chr(10) || rt end as layout_text
             from cols order by doc_id""",
+        "pdf_cjk_text": """
+            select doc_id,
+                   array_to_string(list_transform(generate_series(0, 5),
+                     k -> chr(cast(19968 + (doc_id * 31 + k * 7) % 20000 as int))), '')
+                   || chr(10) ||
+                   array_to_string(list_transform(generate_series(0, 3),
+                     k -> chr(cast(19968 + (doc_id * 13 + k * 11) % 20000 as int))), '')
+                     as extracted_text
+            from documents order by doc_id""",
         "pdf_embedded_font": f"""
             with d as (
               select doc_id,

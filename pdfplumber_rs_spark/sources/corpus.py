@@ -634,6 +634,43 @@ def embedded_font_corpus_table(spark, sf_dir: str) -> DataFrame:
                                     CHROME_CORPUS_SCHEMA)
 
 
+def _cjk_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """CJK docs through a Type0 font with the predefined UniGB-UCS2-H
+    CMap (C3 surface): code bytes are UCS-2, shown as 2-byte hex
+    strings; char content is a deterministic function of doc_id."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, cjk_text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            line1 = "".join(chr(0x4E00 + (doc_id * 31 + k * 7) % 20000)
+                            for k in range(6))
+            line2 = "".join(chr(0x4E00 + (doc_id * 13 + k * 11) % 20000)
+                            for k in range(4))
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://cjk.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(
+                        [cjk_text_page_content([line1, line2])],
+                        fonts={"FC": {"base": "CJKGB",
+                                      "cid_encoding": "UniGB-UCS2-H"}},
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def cjk_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_cjk_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def _colored_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Docs whose text carries deterministic fill (rg) and stroke (RG)
     colors plus a `cm` translation, so chars expose stroking_color /

@@ -65,8 +65,13 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
     struct_mcids = struct_mcids or []
     # embedded fonts: dict values are specs {base, subtype, program,
     # program_key ('FontFile2'|'FontFile3'), file_subtype?, ascent?,
-    # descent?} — each needs a FontDescriptor + font-program stream
-    embedded = {n: v for n, v in fonts.items() if isinstance(v, dict)}
+    # descent?} — each needs a FontDescriptor + font-program stream.
+    # Type0 composite fonts: {base, cid_encoding, cid_subtype?, dw?,
+    # w?} — one descendant CIDFont object.
+    embedded = {n: v for n, v in fonts.items()
+                if isinstance(v, dict) and "cid_encoding" not in v}
+    type0 = {n: v for n, v in fonts.items()
+             if isinstance(v, dict) and "cid_encoding" in v}
 
     objects: list[bytes] = []
     n_pages = len(page_contents)
@@ -100,6 +105,8 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
         last_num = elem_start + n_elems - 1
     emb_nums = {name: (last_num + 1 + 2 * i, last_num + 2 + 2 * i)
                 for i, name in enumerate(embedded)}
+    t0_start = last_num + 2 * len(embedded) + 1
+    type0_nums = {name: t0_start + i for i, name in enumerate(type0)}
 
     def page_ref(idx: int) -> str:
         return f"{first_page + 2 * idx} 0 R"
@@ -158,6 +165,15 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
             )
         )
     for name, base in fonts.items():
+        if isinstance(base, dict) and "cid_encoding" in base:
+            body = (
+                f"<< /Type /Font /Subtype /Type0 "
+                f"/BaseFont /{base['base']} "
+                f"/Encoding /{base['cid_encoding']} "
+                f"/DescendantFonts [{type0_nums[name]} 0 R] >>"
+            )
+            objects.append(_obj(font_nums[name], body.encode()))
+            continue
         if isinstance(base, dict):
             desc_num, _file_num = emb_nums[name]
             subtype = base.get("subtype", "TrueType")
@@ -269,6 +285,19 @@ def build_pdf(page_contents: list[bytes], fonts: dict[str, str] | None = None,
                 + program + b"\nendstream",
             )
         )
+    for name, spec in type0.items():
+        registry = spec.get("registry", "Adobe")
+        ordering = spec.get("ordering", "GB1")
+        body = (
+            f"<< /Type /Font /Subtype /{spec.get('cid_subtype', 'CIDFontType0')} "
+            f"/BaseFont /{spec['base']} "
+            f"/CIDSystemInfo << /Registry ({registry}) /Ordering ({ordering}) "
+            f"/Supplement {spec.get('supplement', 5)} >> "
+            f"/DW {spec.get('dw', 1000):g}"
+            + (f" /W {spec['w']}" if spec.get("w") else "")
+            + " >>"
+        )
+        objects.append(_obj(type0_nums[name], body.encode()))
 
     header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     out = bytearray(header)
@@ -318,6 +347,23 @@ def text_page_content(lines: list[str], font: str = "F2", size: float = 10.0,
         if mcid:
             tj = f"/P << /MCID {i} >> BDC\n".encode() + tj + b"\nEMC"
         parts.append(tj)
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def cjk_text_page_content(lines: list[str], font: str = "FC",
+                          size: float = 10.0, x: float = 72.0,
+                          y: float = TOP_Y,
+                          leading: float = LEADING) -> bytes:
+    """Text shown through a 2-byte CMap font: each line is a UTF-16BE
+    HEX string (`<4E2D6587> Tj`) — the code bytes ARE UCS-2, matching
+    the UniXX-UCS2/UTF16 predefined CMaps."""
+    parts = [f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode()]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append(f"0 {-leading:g} Td".encode())
+        parts.append(
+            b"<" + line.encode("utf-16-be").hex().encode() + b"> Tj")
     parts.append(b"ET")
     return b"\n".join(parts)
 
