@@ -401,6 +401,26 @@ def q_pdf_layout_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_svg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 SVG rendering (svg.rs): deterministic per-page SVG —
+    shapes as rect/line/path elements, words as positioned text;
+    closed-form document for the fixture corpus."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import svg_corpus_table
+
+    corpus = svg_corpus_table(spark, sf_dir)
+    rendered = P.render_svg(corpus)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://svg.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        rendered.join(ids, "url")
+        .select("doc_id", "svg")
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_cjk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 CJK unicode chain: Type0 font with the predefined
     UniGB-UCS2-H CMap and NO /ToUnicode — 2-byte codes decode as UCS-2
@@ -1288,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_char_colors": q_pdf_char_colors,
         "pdf_embedded_font": q_pdf_embedded_font,
         "pdf_cjk_text": q_pdf_cjk_text,
+        "pdf_svg": q_pdf_svg,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
         "pdf_table_debug": q_pdf_table_debug,
@@ -1821,6 +1842,17 @@ with toks as (
                         when rt = '' then lt
                         else lt || chr(10) || chr(10) || rt end as layout_text
             from cols order by doc_id""",
+        "pdf_svg": """
+            select doc_id,
+              '<svg xmlns="http://www.w3.org/2000/svg" width="612" '
+              || 'height="792" viewBox="0 0 612 792">' || chr(10)
+              || '  <rect x="' || cast(100 + doc_id % 50 as varchar)
+              || '" y="152" width="80" height="40" '
+              || 'style="fill:none;stroke:#000;stroke-width:1"/>' || chr(10)
+              || '  <text x="72" y="73.57" font-size="10" '
+              || 'font-family="Courier">Doc' || cast(doc_id as varchar)
+              || '</text>' || chr(10) || '</svg>' as svg
+            from documents order by doc_id""",
         "pdf_cjk_text": """
             select doc_id,
                    array_to_string(list_transform(generate_series(0, 5),

@@ -1011,6 +1011,41 @@ def render_html(df: DataFrame,
     return df.select("url", "html").mapInArrow(kernel, HTML_SCHEMA)
 
 
+SVG_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("svg", StringType()),
+    ]
+)
+
+
+def render_svg(df: DataFrame,
+               options: ExtractOptions | None = None) -> DataFrame:
+    """D10 SVG rendering (svg.rs): one deterministic SVG document per
+    page — shapes as rect/line/path, words as positioned text."""
+    arrow_schema = _arrow_schema_for(SVG_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.document import Document
+        from .kernel.svg import page_to_svg
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    doc = Document(html, options)
+                    for i in range(doc.page_count):
+                        out.append({"url": url, "page_number": i + 1,
+                                    "svg": page_to_svg(doc.page(i))})
+                except Exception:  # noqa: BLE001 — lenient
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, SVG_SCHEMA)
+
+
 STRUCT_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),

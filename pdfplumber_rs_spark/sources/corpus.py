@@ -634,6 +634,37 @@ def embedded_font_corpus_table(spark, sf_dir: str) -> DataFrame:
                                     CHROME_CORPUS_SCHEMA)
 
 
+def _svg_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """One-page docs with a stroked rect (position keyed to doc_id) and
+    a single word — the D10 SVG-render surface."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            rx = 100 + doc_id % 50
+            content = (f"1 w {rx} 600 80 40 re S\n".encode()
+                       + text_page_content([f"Doc{doc_id}"]))
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://svg.example/{doc_id:08d}.pdf",
+                    "html": build_pdf([content]),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def svg_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_svg_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def _cjk_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """CJK docs through a Type0 font with the predefined UniGB-UCS2-H
     CMap (C3 surface): code bytes are UCS-2, shown as 2-byte hex
