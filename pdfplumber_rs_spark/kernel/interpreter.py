@@ -23,6 +23,7 @@ from .tokenizer import Operator, tokenize
 MAX_FORM_DEPTH = 12
 
 IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+_ZERO2 = (0.0, 0.0)
 
 
 def mat_mul(m1, m2):
@@ -500,30 +501,26 @@ class Interpreter:
                 ty = (w1 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)
                 self.chars.append(
                     CharEvent(
-                        char_code=code, unicode=uni, font_name=fname,
-                        font_size=tfs, h_scaling=th, rise=gs.rise,
-                        text_matrix=tm, ctm=gs.ctm, displacement=w0,
-                        ascent=asc, descent=desc, vertical_origin=(vx, vy),
-                        mcid=mcid, tag=tag,
-                        stroking_color=gs.stroke_color,
-                        non_stroking_color=gs.fill_color,
+                        code, uni, fname, tfs, th, gs.rise, tm, gs.ctm,
+                        w0, asc, desc, (vx, vy), mcid, tag,
+                        gs.stroke_color, gs.fill_color,
                     )
                 )
-                tm = mat_mul((1, 0, 0, 1, 0.0, ty), tm)
+                # tm = translate(0, ty) · tm, inlined (per-glyph hot path)
+                a2, b2, c2, d2, e2, f2 = tm
+                tm = (a2, b2, c2, d2, ty * c2 + e2, ty * d2 + f2)
             else:
                 tx = ((w0 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)) * th
                 self.chars.append(
                     CharEvent(
-                        char_code=code, unicode=uni, font_name=fname,
-                        font_size=tfs, h_scaling=th, rise=gs.rise,
-                        text_matrix=tm, ctm=gs.ctm, displacement=w0,
-                        ascent=asc, descent=desc, vertical_origin=(0.0, 0.0),
-                        mcid=mcid, tag=tag,
-                        stroking_color=gs.stroke_color,
-                        non_stroking_color=gs.fill_color,
+                        code, uni, fname, tfs, th, gs.rise, tm, gs.ctm,
+                        w0, asc, desc, _ZERO2, mcid, tag,
+                        gs.stroke_color, gs.fill_color,
                     )
                 )
-                tm = mat_mul((1, 0, 0, 1, tx, 0.0), tm)
+                # tm = translate(tx, 0) · tm, inlined
+                a2, b2, c2, d2, e2, f2 = tm
+                tm = (a2, b2, c2, d2, tx * a2 + e2, tx * b2 + f2)
         return tm
 
     def _show_tj(self, arr: list, gs: _GState, tm, mc_stack) -> tuple:
@@ -535,10 +532,12 @@ class Interpreter:
                 tm = self._show(el, gs, tm, mc_stack)
             elif isinstance(el, (int, float)):
                 adj = -(float(el) / 1000.0) * tfs
+                a2, b2, c2, d2, e2, f2 = tm
                 if wmode == 1:
-                    tm = mat_mul((1, 0, 0, 1, 0.0, adj), tm)
+                    tm = (a2, b2, c2, d2, adj * c2 + e2, adj * d2 + f2)
                 else:
-                    tm = mat_mul((1, 0, 0, 1, adj * th, 0.0), tm)
+                    ax = adj * th
+                    tm = (a2, b2, c2, d2, ax * a2 + e2, ax * b2 + f2)
         return tm
 
     def _do_xobject(self, name: str, xobj_res: dict, gs: _GState, depth: int) -> None:

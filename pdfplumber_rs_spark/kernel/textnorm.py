@@ -49,28 +49,29 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
     # is O(n) with semantics identical to the full scan
     t = tolerance if tolerance > 0 else 1e-9
     kept: list[dict] = []
-    # two-level hash: base key (text+attrs) once per char, then small
-    # (bx,by) tuples for the 3x3 probe — avoids 9 wide-tuple concats
-    buckets: dict[tuple, dict[tuple, list[dict]]] = {}
+    # two-level hash: base key (text+attrs) once per char, then single
+    # INT cell keys (bx*2^32+by) for the 3x3 probe — int dict lookups
+    # beat per-probe tuple allocation (this loop runs once per char)
+    default_attrs = extra_attrs == ("fontname", "size")
+    buckets: dict[tuple, dict[int, list]] = {}
+    shift = 1 << 32
     for ch in chars:
-        base = (ch["text"],) + tuple(ch.get(a) for a in extra_attrs)
-        bx = int(ch["x0"] // t)
-        by = int(ch["top"] // t)
+        if default_attrs:
+            base = (ch["text"], ch["fontname"], ch["size"])
+        else:
+            base = (ch["text"],) + tuple(ch.get(a) for a in extra_attrs)
+        x0 = ch["x0"]
+        top = ch["top"]
+        cell = int(x0 // t) * shift + int(top // t)
         grid = buckets.get(base)
         dup = False
         if grid is not None:
-            x0 = ch["x0"]
-            top = ch["top"]
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    for k in grid.get((bx + dx, by + dy), ()):
-                        if (
-                            abs(k["x0"] - x0) <= tolerance
-                            and abs(k["top"] - top) <= tolerance
-                        ):
-                            dup = True
-                            break
-                    if dup:
+            for dcell in (cell - shift - 1, cell - shift, cell - shift + 1,
+                          cell - 1, cell, cell + 1,
+                          cell + shift - 1, cell + shift, cell + shift + 1):
+                for kx, ktop in grid.get(dcell, ()):
+                    if abs(kx - x0) <= tolerance and abs(ktop - top) <= tolerance:
+                        dup = True
                         break
                 if dup:
                     break
@@ -79,7 +80,11 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
             if grid is None:
                 grid = {}
                 buckets[base] = grid
-            grid.setdefault((bx, by), []).append(ch)
+            lst = grid.get(cell)
+            if lst is None:
+                grid[cell] = [(x0, top)]
+            else:
+                lst.append((x0, top))
     return kept
 
 
