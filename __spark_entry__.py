@@ -1263,6 +1263,81 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "recall_at_5").orderBy("query_id")
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: the corpus is embeddings plus
+    a scaled copy of every vector (vec_id+100000, 2x components — same
+    direction, cosine 1.0), so every copy must dedup to its original
+    via the bucketed pipeline (true near-dups share all hyperplane
+    signs — never an all-pairs join)."""
+    from pdfplumber_rs_spark.functions.similarity import embedding_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return (
+        embedding_dedup(corpus, dim=64, threshold=0.999, n_planes=8)
+        .select("vec_id", F.col("keep_id").cast("long").alias("keep_id"))
+        .orderBy("vec_id")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token counts (compute-cost proxy): the
+    same lookaround-free regex runs on Java and RE2."""
+    from pdfplumber_rs_spark.functions.text import bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 grams, window=4): the
+    local fingerprint sets used for partial-overlap detection, as a
+    native posexplode + sliding-window MIN plan."""
+    from pdfplumber_rs_spark.functions.text import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=8, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fps"),
+             F.min("fp").alias("fp_min"),
+             F.max("fp").alias("fp_max"))
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured Streaming: tumbling 1-day event-time windows
+    with a 1-hour watermark in append mode over the events table —
+    only windows closed by the final watermark (max ts − 1h) are
+    emitted; the open tail window is withheld. Deterministic for a
+    static input, checked against a DuckDB time-bucket oracle."""
+    import tempfile
+
+    from pdfplumber_rs_spark.streaming import stream_windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix="ev_stream_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    # day-window boundaries must match the oracle's naive date_trunc
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _read(spark, sf_dir, "events").write.parquet(inp)
+    q = stream_windowed_counts(spark, inp, out, ckpt)
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select(F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+                "event_type", F.col("count").cast("long").alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -1341,6 +1416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "token_count": q_token_count,
+        "winnowing": q_winnowing,
+        "stream_windowed": q_stream_windowed,
         "image_meta": q_image_meta,
     }
 
@@ -2131,6 +2210,73 @@ with toks as (
             from ranked where rank <= 5 order by query_id, rank""",
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "embedding_dedup": f"""
+            with u as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 100000 as vec_id,
+                     list_transform(embedding, x -> x * 2.0) as embedding
+              from embeddings
+            ), b as (
+              select vec_id, embedding,
+                     cast({_lsh_bucket_expr(8)} as int) as bucket
+              from u
+            ), pairs as (
+              select a.vec_id as id_a, c.vec_id as id_b,
+                     round(list_dot_product(a.embedding, c.embedding) /
+                       greatest(sqrt(list_dot_product(a.embedding, a.embedding))
+                         * sqrt(list_dot_product(c.embedding, c.embedding)),
+                         1e-12), 4) as cs
+              from b a join b c
+                on a.bucket = c.bucket and a.vec_id < c.vec_id
+            )
+            select id_b as vec_id, cast(min(id_a) as bigint) as keep_id
+            from pairs where cs >= 0.999
+            group by id_b order by vec_id""",
+        "token_count": r"""
+            select doc_id,
+                   cast(len(list_filter(
+                     regexp_extract_all(coalesce(text, ''),
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                     x -> trim(x) <> '')) as bigint) as n_bpe_tokens
+            from documents order by doc_id""",
+        "winnowing": """
+            with s as (
+              select doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') as s
+              from documents
+            ), g as (
+              select doc_id, cast(t.i as int) as pos,
+                     length(s) - 8 + 1 as n_grams,
+                     ('0x' || substr(md5(substring(s, cast(t.i as int), 8)),
+                       1, 8))::bigint as h
+              from s, lateral unnest(generate_series(1, length(s) - 8 + 1))
+                as t(i)
+              where length(s) >= 8 + 4 - 1
+            ), w as (
+              select doc_id, pos, n_grams,
+                     min(h) over (partition by doc_id order by pos
+                       rows between current row and 3 following) as fp
+              from g
+            ), f as (
+              select distinct doc_id, fp from w
+              where pos <= n_grams - 4 + 1
+            )
+            select doc_id, cast(count(*) as bigint) as n_fps,
+                   min(fp) as fp_min, max(fp) as fp_max
+            from f group by doc_id order by doc_id""",
+        "stream_windowed": """
+            with m as (select max(ts) as mx from events),
+            c as (
+              select date_trunc('day', ts) as day, event_type,
+                     count(*) as n_events
+              from events group by 1, 2
+            )
+            select strftime(day, '%Y-%m-%d') as day, event_type,
+                   cast(n_events as bigint) as n_events
+            from c, m
+            where day + interval 1 day <= mx - interval 1 hour
+            order by day, event_type""",
         "image_meta": """
             select doc_id as media_id,
                    case doc_id % 3 when 0 then 'png'

@@ -84,6 +84,27 @@ def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
     return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def embedding_dedup(df: DataFrame, dim: int, threshold: float = 0.999,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate removal: one shuffle on the LSH
+    bucket, exact cosine ≥ threshold WITHIN buckets only (vectors with
+    cosine ≈ 1 share every hyperplane sign, so true near-dups always
+    land in the same bucket; never an all-pairs join). Returns
+    (vec_id, keep_id) for vectors that should be dropped, keep_id the
+    lowest near-duplicate id."""
+    b = lsh_buckets(df, dim, n_planes, id_col, vec_col) \
+        .withColumnRenamed("vec_id", "id")
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("vec")).join(b, "id")
+    a, c = v.alias("a"), v.alias("b")
+    pairs = a.join(c, "bucket").filter(F.col("a.id") < F.col("b.id"))
+    near = pairs.filter(
+        cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+    return near.groupBy(F.col("b.id").alias("vec_id")).agg(
+        F.min(F.col("a.id")).alias("keep_id"))
+
+
 def _multi_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
                    id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(out_id, table, bucket) memberships over n_tables independent

@@ -65,6 +65,58 @@ def word_tokens(text: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style minus lookarounds, so the
+# exact same regex runs on Java (Spark) and RE2 (DuckDB)): letter runs,
+# digit runs, punctuation runs — each with an optional leading space —
+# and whitespace runs
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer: number of non-
+    whitespace matches (a better compute-cost proxy than whitespace
+    splitting — '3.14' is 3 tokens, 'don't' is 3)."""
+    toks = F.regexp_extract_all(F.coalesce(text, F.lit("")),
+                                F.lit(BPE_PATTERN), F.lit(0))
+    return F.size(F.filter(toks, lambda t: F.trim(t) != ""))
+
+
+def winnow_fingerprints(df, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints (rolling hash): normalize to a
+    lowercase alnum string, hash every k-gram (portable md5-prefix),
+    take the minimum hash of each full window of `window` consecutive
+    k-grams, dedupe — the classic local fingerprint set whose overlap
+    detects partial plagiarism/near-dup content. Fully Spark-native:
+    posexplode over a position sequence + a sliding window MIN.
+    Returns (doc_id, fp) distinct rows."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+        .alias("s"),
+    ).filter(F.length("s") >= k + window - 1)
+    grams = d.select(
+        "doc_id",
+        F.length("s").alias("slen"),
+        F.posexplode(F.sequence(F.lit(1), F.length("s") - k + 1))
+        .alias("idx", "pos"),
+        "s",
+    ).select(
+        "doc_id", "pos",
+        (F.col("slen") - k + 1).alias("n_grams"),
+        F.conv(F.substring(F.md5(F.expr(f"substring(s, pos, {k})")), 1, 8),
+               16, 10).cast("long").alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, window - 1))
+    fps = grams.withColumn("fp", F.min("h").over(w)).filter(
+        F.col("pos") <= F.col("n_grams") - window + 1  # full windows only
+    )
+    return fps.select("doc_id", "fp").distinct()
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio / mean-token-length —
     the classic boilerplate-vs-content signals."""

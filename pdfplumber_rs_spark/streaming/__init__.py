@@ -61,3 +61,45 @@ def stream_extract(spark: SparkSession, input_path: str, output_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_SCHEMA = StructType.fromJson({
+    "type": "struct",
+    "fields": [
+        {"name": "event_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+        {"name": "user_id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "event_type", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "value", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "props", "type": "string", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def stream_windowed_counts(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint: str,
+                           window: str = "1 day",
+                           watermark: str = "1 hour"):
+    """Genuinely STATEFUL Structured Streaming: tumbling event-time
+    windows with a watermark, append output mode — a window row is
+    emitted only once its end passes the watermark (max event time −
+    delay), so late data within the delay is still counted and the
+    state store is bounded. With trigger(availableNow) the final
+    watermark is max(ts) − delay: every window closed by then lands in
+    the sink, the still-open tail window is withheld — deterministic
+    for a static input, which is what the driver oracle checks."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .count()
+        .select(F.col("win.start").alias("window_start"), "event_type",
+                "count")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", output_path)
+        .start()
+    )
