@@ -212,12 +212,22 @@ class PdfDocument:
         return int(prev) if isinstance(prev, int) else None
 
     def _repair_scan(self) -> None:
-        """Scan the whole file for `N G obj` patterns (repair path)."""
+        """Scan the file for `N G obj` patterns (repair path).
+
+        pdfminer's xref fallback stops collecting at the first `trailer`
+        line, so duplicate objects appended after it (fuzzed incremental
+        updates) are invisible — replicate that for golden parity
+        (oss-fuzz corpus: a post-trailer page copy adds /Rotate 90)."""
         self.repaired = True
         self._xref.clear()
-        for m in _OBJ_RE.finditer(self.data):
+        t = re.search(rb"(?m)^\s*trailer\b", self.data)
+        limit = t.start() if t else len(self.data)
+        for m in _OBJ_RE.finditer(self.data, 0, limit):
             # later occurrences win (incremental updates append)
             self._xref[int(m.group(1))] = (m.start(), int(m.group(2)))
+        if not self._xref:  # no object before the first trailer: scan all
+            for m in _OBJ_RE.finditer(self.data):
+                self._xref[int(m.group(1))] = (m.start(), int(m.group(2)))
         # find a trailer dict (last one wins) or any /Root
         for m in re.finditer(rb"trailer", self.data):
             lexer = Lexer(self.data, m.end())
@@ -258,7 +268,12 @@ class PdfDocument:
             elif data.startswith(b"\n", p) or data.startswith(b"\r", p):
                 p += 1
             length = self.resolve(obj.get("Length"))
-            if isinstance(length, (int, float)) and length >= 0:
+            if self.repaired:
+                # pdfminer's xref-fallback ignores /Length entirely and
+                # accumulates stream data until the endstream line — a
+                # fuzzed short Length must not truncate the stream
+                raw = self._scan_stream_end(p)
+            elif isinstance(length, (int, float)) and length >= 0:
                 raw = data[p : p + int(length)]
                 # validate: endstream should follow (within slack)
                 tail = data[p + int(length) : p + int(length) + 32]

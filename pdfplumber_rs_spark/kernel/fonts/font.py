@@ -156,7 +156,7 @@ def load_font(doc, font_obj) -> LoadedFont:
     if subtype == "Type0":
         _load_type0(doc, fd, font)
     else:
-        _load_simple(doc, fd, font)
+        _load_simple(doc, fd, font, subtype)
 
     # ToUnicode applies to both
     tu = doc.resolve(fd.get("ToUnicode"))
@@ -177,7 +177,7 @@ def _descriptor_font_name(doc, fd: dict) -> str | None:
     return None
 
 
-def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
+def _load_simple(doc, fd: dict, font: LoadedFont, subtype: str = "") -> None:
     dn = _descriptor_font_name(doc, fd)
     if dn:
         font.display_name = dn
@@ -204,13 +204,17 @@ def _load_simple(doc, fd: dict, font: LoadedFont) -> None:
         if emb is not None:
             widths = emb
             font.first_char, font.last_char = 0, len(emb) - 1
-    if not had_descriptor:
-        # No /FontDescriptor: pdfplumber falls back to the built-in AFM
-        # ascent/descent for standard-14 fonts (golden parity), then the
-        # 750/-250 defaults.
+    if not had_descriptor and subtype != "TrueType":
+        # No /FontDescriptor: pdfminer's PDFType1Font falls back to the
+        # built-in AFM ascent/descent for standard-14 fonts (golden
+        # parity), then the 750/-250 defaults. PDFTrueTypeFont has NO
+        # such fallback — it keeps ascent=descent=0, which our
+        # bbox_ascent_descent policy maps to (1000, 0).
         afm = lookup_afm_metrics(font.base_name)
         if afm is not None:
             asc, desc = afm
+    elif not had_descriptor and subtype == "TrueType":
+        asc, desc = 0.0, 0.0
     font.widths = widths
     if widths and font.last_char < font.first_char:
         font.last_char = font.first_char + len(widths) - 1

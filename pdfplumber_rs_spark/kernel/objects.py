@@ -135,8 +135,12 @@ class Lexer:
         if b == 0x5B:  # '['
             return self.read_array()
         if b == 0x5D:  # ']'
+            # consume: read_array detects ']' itself, so one reaching here
+            # is junk — leaving it unconsumed loops the lenient callers
+            self.pos += 1
             raise LexError("unexpected ]")
         if b == 0x3E:  # '>'
+            self.pos += 1  # same: read_dict detects '>>' itself
             raise LexError("unexpected >")
         if b == 0x7B or b == 0x7D:  # '{' '}' (PostScript funcs) — skip
             self.pos += 1
@@ -158,7 +162,13 @@ class Lexer:
                         return Ref(num, gen)
                 self.pos = save
             return num
-        # keyword (true/false/null/operator)
+        # keyword (true/false/null/operator) — pdfminer starts multi-byte
+        # keywords only on alphabetic bytes; any other byte becomes a
+        # single-byte keyword token (so a fuzzed b"\x1277" lexes as junk
+        # Kw(b"\x12") + number 77, and ' / " stay valid operators)
+        if not (0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A):
+            self.pos += 1
+            return Kw(bytes((b,)))
         run = self.read_regular_run()
         if not run:
             # lone delimiter we don't understand: consume one byte
@@ -271,13 +281,20 @@ class Lexer:
         data, end = self.data, self.end
         pos = self.pos + 1  # past '<'
         digits = bytearray()
-        while pos < end and data[pos] != 0x3E:
+        # pdfminer semantics: hex digits and whitespace only; ANY other
+        # byte terminates the string (consumed only when it is '>'), so
+        # a fuzzed "<000<>" lexes as <000> then an empty <> string
+        while pos < end:
             c = data[pos]
             if (0x30 <= c <= 0x39) or (0x41 <= c <= 0x46) or (0x61 <= c <= 0x66):
                 digits.append(c)
-            pos += 1
-        if pos < end:
-            pos += 1  # past '>'
+                pos += 1
+            elif _IS_WS[c]:
+                pos += 1
+            else:
+                if c == 0x3E:
+                    pos += 1  # past '>'
+                break
         self.pos = pos
         if len(digits) % 2:
             digits.append(0x30)  # pad with 0 per spec
@@ -294,11 +311,15 @@ class Lexer:
                 self.pos += 1
                 return out
             try:
-                out.append(self.next_object())
+                v = self.next_object()
             except LexError:
                 continue  # lenient: skip malformed element
             except StopIteration:
                 return out
+            # NB: stray keyword tokens stay as elements — pdfminer's
+            # do_keyword pushes unknown keywords onto the stack, so a
+            # fuzzed width array keeps them as (non-numeric → 0) entries
+            out.append(v)
 
     def read_dict(self) -> dict:
         self.pos += 2  # past '<<'
@@ -324,6 +345,12 @@ class Lexer:
                 continue  # lenient: skip non-name key
             try:
                 val = self.next_object()
+                # pdfminer's flat-stack dict build drops stray keyword
+                # tokens, so the value is the next real object after them
+                while isinstance(val, Kw):
+                    if self.data.startswith(b">>", self.pos):
+                        raise LexError("kw at dict end")
+                    val = self.next_object()
             except (LexError, StopIteration):
                 val = None
             out[str(key)] = val

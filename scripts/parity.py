@@ -148,11 +148,13 @@ def main() -> None:
     rows = []
     for s in sets:
         pdf_dir, gold_dir = SETS[s]
-        for gold_path in sorted(gold_dir.glob("*.json")):
+        for gold_path in sorted(gold_dir.rglob("*.json")):
+            rel = gold_path.relative_to(gold_dir)
             stem = gold_path.stem.replace(".golden", "")
-            pdf_path = pdf_dir / f"{stem}.pdf"
+            # suite goldens (pdfbox/pdfjs/poppler/oss-fuzz) mirror the
+            # pdfs/ subdirectory layout (accuracy_benchmark.rs golden_rel)
+            pdf_path = pdf_dir / rel.parent / f"{stem}.pdf"
             if not pdf_path.exists():
-                # crates golden may refer to pdfs in subdirs
                 hits = list(pdf_dir.rglob(f"{stem}.pdf"))
                 if not hits:
                     continue

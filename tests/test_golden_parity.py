@@ -36,6 +36,27 @@ CRATES = Path("/root/reference/crates/pdfplumber/tests/fixtures")
 
 
 @pytest.mark.skipif(not CRATES.exists(), reason="reference corpus not present")
+@pytest.mark.parametrize(
+    "stem",
+    [p.stem for p in sorted((CRATES / "golden" / "oss-fuzz").glob("*.json"))]
+    if CRATES.exists() else [],
+)
+def test_fuzz_corpus_parity(stem: str):
+    """oss-fuzz corpus: fuzzed documents must parse quickly (no lexer
+    hangs) and match the pdfminer-quirk goldens — junk-byte tokens,
+    fallback stream reads past a fuzzed /Length, first-trailer scan."""
+    import time
+
+    from parity import score_file
+
+    t0 = time.time()
+    r = score_file(CRATES / "pdfs" / "oss-fuzz" / f"{stem}.pdf",
+                   CRATES / "golden" / "oss-fuzz" / f"{stem}.json", tol=1.0)
+    assert time.time() - t0 < 20, f"slow parse {r}"
+    assert r["char_rate"] >= 0.95, r
+
+
+@pytest.mark.skipif(not CRATES.exists(), reason="reference corpus not present")
 def test_real_world_corpus_thresholds():
     """Full real-world/issue corpus: byte-identical extract_text on
     EVERY page (the north-rule invariant), chars/words/cells above the
