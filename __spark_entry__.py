@@ -443,6 +443,30 @@ def q_pdf_cjk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_cid_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 CID-keyed unicode (cid_font.rs + adobe_japan1_ucs2): Type0
+    Identity-H with CIDSystemInfo Adobe-Japan1 and NO /ToUnicode — raw
+    2-byte CIDs resolve through the packaged Adobe CID->UCS2 tables
+    (kernel/fonts/cid_tables.py). Linear hiragana + A..Z CID blocks give
+    a closed-form chr() oracle."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import cid_corpus_table
+
+    corpus = cid_corpus_table(spark, sf_dir)
+    pages = P.extract_pages(corpus, handle_skew=False, include=())
+    doc = P.document_text(pages)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://cid.example/%08d.pdf", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(doc, "url", "left")
+        .select("doc_id",
+                F.coalesce(F.col("text"), F.lit("")).alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
 def q_pdf_embedded_font(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 embedded font metrics (truetype.rs:160-210, cff.rs:38-99):
     fonts with NO /Widths — advance widths must come from the embedded
@@ -1383,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_char_colors": q_pdf_char_colors,
         "pdf_embedded_font": q_pdf_embedded_font,
         "pdf_cjk_text": q_pdf_cjk_text,
+        "pdf_cid_text": q_pdf_cid_text,
         "pdf_svg": q_pdf_svg,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
@@ -1939,6 +1964,15 @@ with toks as (
                    || chr(10) ||
                    array_to_string(list_transform(generate_series(0, 3),
                      k -> chr(cast(19968 + (doc_id * 13 + k * 11) % 20000 as int))), '')
+                     as extracted_text
+            from documents order by doc_id""",
+        "pdf_cid_text": """
+            select doc_id,
+                   array_to_string(list_transform(generate_series(0, 5),
+                     k -> chr(cast(12354 + (doc_id * 7 + k * 3) % 80 as int))), '')
+                   || chr(10) ||
+                   array_to_string(list_transform(generate_series(0, 3),
+                     k -> chr(cast(65 + (doc_id * 5 + k * 11) % 26 as int))), '')
                      as extracted_text
             from documents order by doc_id""",
         "pdf_embedded_font": f"""

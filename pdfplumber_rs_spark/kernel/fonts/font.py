@@ -48,6 +48,8 @@ class LoadedFont:
         "dw2_w1",            # /DW2[1] default -1000
         "cmap",              # ToUnicodeCMap | None
         "encoding",          # SimpleEncoding | None
+        "gid_unicode",       # dict gid->str | None (embedded ttf cmap)
+        "cid_gid",           # callable cid->gid | None
     )
 
     def __init__(self) -> None:
@@ -72,6 +74,8 @@ class LoadedFont:
         self.dw2_w1 = -1000.0
         self.cmap: ToUnicodeCMap | None = None
         self.encoding: SimpleEncoding | None = None
+        self.gid_unicode: dict[int, str] | None = None
+        self.cid_gid = None
 
     # -- widths -------------------------------------------------------------
 
@@ -98,13 +102,14 @@ class LoadedFont:
     # -- vertical metrics (cid_font.rs:227-262, PDF 9.7.4.3) -----------------
 
     def get_vertical_metric(self, cid: int) -> tuple[float, float, float]:
-        """(w1y, vx, vy): /W2 override, else DW2/defaults — vx defaults
-        to half the horizontal advance."""
+        """(w1y, vx, vy): /W2 override, else DW2/defaults — pdfminer uses
+        a CONSTANT vx of half an em (500/1000 = fontsize*0.5) when /W2
+        gives no position vector, NOT the spec's w0/2 (golden parity,
+        pdfbox-3127-vfont)."""
         vm = self.cid_vertical.get(cid)
         if vm is not None:
             return vm
-        w0 = self.cid_widths.get(cid, self.cid_default_width)
-        return self.dw2_w1, w0 / 2.0, self.dw2_vy
+        return self.dw2_w1, 500.0, self.dw2_vy
 
     # -- unicode chain (interpreter.rs:1259-1339) ----------------------------
 
@@ -118,15 +123,33 @@ class LoadedFont:
             if hit is not None:
                 return hit
         if self.is_cid:
-            # pdfminer: a CID font with no usable ToUnicode renders every
-            # code as (cid:N) — the Identity chr(code) shortcut applies
-            # only when an EXPLICIT full-range identity ToUnicode exists
+            # pdfminer: the Identity chr(code) shortcut applies only when
+            # an EXPLICIT full-range identity ToUnicode exists
             identity_fallback = self.cmap is not None and self.cmap.is_identity()
             if identity_fallback:
                 try:
                     return chr(code)
                 except ValueError:
                     return None
+            if self.cmap is None:
+                # no usable ToUnicode: pdfminer resolves Adobe-Identity /
+                # Adobe-UCS through the embedded TrueType cmap, and the
+                # predefined orderings through Adobe's CID->UCS2 tables
+                # (cid_font.rs + the generated adobe_*_ucs2 tables)
+                # only under Identity encodings is code == CID; with a
+                # predefined CMap (GBK-EUC…) the raw-byte charset decode
+                # in _show is the unicode source, not these tables
+                if self.gid_unicode is not None and self.is_identity_encoding:
+                    gid = self.cid_gid(code) if self.cid_gid else code
+                    hit = self.gid_unicode.get(gid)
+                    if hit is not None:
+                        return hit
+                elif self.cid_ordering and self.is_identity_encoding:
+                    from .cid_tables import cid_to_unicode
+
+                    hit = cid_to_unicode(self.cid_ordering, code)
+                    if hit is not None:
+                        return hit
             return f"(cid:{code})"
         if self.encoding is not None:
             # simple font whose encoding has no glyph at this code:
@@ -165,6 +188,34 @@ def load_font(doc, font_obj) -> LoadedFont:
             font.cmap = parse_tounicode(decode_stream(tu.dict, tu.raw, doc.resolve))
         except Exception:  # lenient
             font.cmap = None
+        if font.cmap is not None and not font.cmap.single and not font.cmap.ranges:
+            # EMPTY ToUnicode (e.g. an Identity-H CMap with cidranges but
+            # no bf entries, pdfbox-4322): pdfminer substitutes an
+            # IdentityUnicodeMap when anything about the font says
+            # Identity; otherwise treated as absent
+            if font.is_cid and font.cid_ordering in ("Identity", "UCS"):
+                ident = ToUnicodeCMap()
+                ident.ranges.append((0, 0xFFFF, 0, None))
+                ident.codespace_nbytes = 2
+                font.cmap = ident
+            # else: KEEP the empty cmap — pdfminer still considers the
+            # font "has a ToUnicode" and never falls back to the Adobe
+            # ordering tables (pdfjs/issue7696: Japan1 ordering + empty
+            # ToUnicode renders (cid:N), not table hits)
+    if font.is_cid and font.cmap is None and font.cid_ordering in ("Identity", "UCS"):
+        # Adobe-Identity ordering carries no CID semantics; pdfminer
+        # recovers unicode from the embedded TrueType cmap (gid->unichr)
+        desc_fonts = doc.resolve(fd.get("DescendantFonts"))
+        if isinstance(desc_fonts, list) and desc_fonts:
+            df = doc.resolve(desc_fonts[0])
+            if isinstance(df, dict):
+                data = _fontfile_bytes(doc, df, "FontFile2")
+                if data:
+                    from .truetype import parse_truetype_unicode_map
+
+                    font.gid_unicode = parse_truetype_unicode_map(data)
+                    if font.gid_unicode is not None:
+                        font.cid_gid = _cid_to_gid_map(doc, df)
     return font
 
 
@@ -446,8 +497,7 @@ def _vmtx_vertical_metrics(doc, df: dict, font: LoadedFont) -> dict[int, tuple]:
         gid = gid_of(cid)
         if gid < len(heights):
             w1y = -heights[gid]
-            w0 = font.cid_widths.get(cid, font.cid_default_width)
-            out[cid] = (w1y, w0 / 2.0, font.dw2_vy)
+            out[cid] = (w1y, 500.0, font.dw2_vy)
     return out
 
 

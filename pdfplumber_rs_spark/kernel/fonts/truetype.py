@@ -103,6 +103,91 @@ def parse_truetype_widths(data: bytes) -> list[float] | None:
     return [w * scale for w in adv]
 
 
+def parse_truetype_unicode_map(data: bytes) -> dict[int, str] | None:
+    """gid -> unicode from the embedded `cmap` table (formats 0/4/6/12),
+    preferring the Windows BMP (3,1) then symbol (3,0) then any subtable.
+
+    pdfminer's TrueTypeFont.create_unicode_map analog: used when a
+    CID-keyed font with Adobe-Identity ordering has no usable /ToUnicode
+    (pdfbox-4322-empty-tounicode-reduced.pdf)."""
+    t = _find_table(data, b"cmap")
+    if t is None:
+        return None
+    base = t[0]
+    n = _u16(data, base + 2)
+    if n is None:
+        return None
+    subtables: list[tuple[int, int, int]] = []
+    for i in range(n):
+        rec = base + 4 + i * 8
+        pid, eid, off = _u16(data, rec), _u16(data, rec + 2), _u32(data, rec + 4)
+        if pid is None or eid is None or off is None:
+            continue
+        subtables.append((pid, eid, base + off))
+    if not subtables:
+        return None
+    subtables.sort(key=lambda s: {(3, 1): 0, (3, 0): 1, (0, 3): 2, (0, 4): 3}
+                   .get((s[0], s[1]), 9))
+    for _pid, _eid, off in subtables:
+        fmt = _u16(data, off)
+        out: dict[int, str] = {}
+        if fmt == 0 and off + 262 <= len(data):
+            for ch in range(256):
+                gid = data[off + 6 + ch]
+                if gid:
+                    out[gid] = chr(ch)
+        elif fmt == 4:
+            segx2 = _u16(data, off + 6)
+            if not segx2:
+                continue
+            segs = segx2 // 2
+            ends = [_u16(data, off + 14 + i * 2) for i in range(segs)]
+            starts = [_u16(data, off + 16 + segx2 + i * 2) for i in range(segs)]
+            deltas = [_u16(data, off + 16 + 2 * segx2 + i * 2) for i in range(segs)]
+            ro_base = off + 16 + 3 * segx2
+            ros = [_u16(data, ro_base + i * 2) for i in range(segs)]
+            if None in ends or None in starts or None in deltas or None in ros:
+                continue
+            for i in range(segs):
+                s, e, delta, ro = starts[i], ends[i], deltas[i], ros[i]
+                if s == 0xFFFF:
+                    continue
+                for ch in range(s, min(e, 0xFFFE) + 1):
+                    if ro == 0:
+                        gid = (ch + delta) & 0xFFFF
+                    else:
+                        gi = ro_base + i * 2 + ro + (ch - s) * 2
+                        gid = _u16(data, gi)
+                        if not gid:
+                            continue
+                        gid = (gid + delta) & 0xFFFF
+                    if gid:
+                        out[gid] = chr(ch)
+        elif fmt == 6:
+            first, cnt = _u16(data, off + 6), _u16(data, off + 8)
+            if first is None or cnt is None:
+                continue
+            for i in range(cnt):
+                gid = _u16(data, off + 10 + i * 2)
+                if gid:
+                    out[gid] = chr(first + i)
+        elif fmt == 12:
+            ngroups = _u32(data, off + 12)
+            if not ngroups or ngroups > 100_000:
+                continue
+            for i in range(ngroups):
+                g = off + 16 + i * 12
+                sc, ec, sg = _u32(data, g), _u32(data, g + 4), _u32(data, g + 8)
+                if sc is None or ec is None or sg is None or ec < sc:
+                    break
+                for k in range(min(ec - sc + 1, 0x10000)):
+                    if sc + k <= 0x10FFFF:
+                        out[sg + k] = chr(sc + k)
+        if out:
+            return out
+    return None
+
+
 def parse_truetype_vertical_metrics(data: bytes) -> list[float] | None:
     """Per-glyph advance heights (vmtx), scaled to 1000 units/em."""
     if len(data) < 28:

@@ -702,6 +702,46 @@ def cjk_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_cjk_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _cid_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """CID-keyed docs: Type0 Identity-H, CIDSystemInfo Adobe-Japan1, NO
+    /ToUnicode — text resolves ONLY through the Adobe CID->UCS2 tables
+    (cid_font.rs + adobe_japan1 data; pdfjs/noembed-identity parity).
+    Line 1 uses the hiragana block (CID 842+k = U+3041+k), line 2 the
+    A..Z run (CID 34+k = U+0041+k) — both linear, so the DuckDB oracle
+    is closed-form chr() arithmetic."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, cid_text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            cids1 = [843 + (doc_id * 7 + k * 3) % 80 for k in range(6)]
+            cids2 = [34 + (doc_id * 5 + k * 11) % 26 for k in range(4)]
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://cid.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(
+                        [cid_text_page_content([cids1, cids2])],
+                        fonts={"FJ": {"base": "CIDJP",
+                                      "cid_encoding": "Identity-H",
+                                      "ordering": "Japan1",
+                                      "cid_subtype": "CIDFontType0"}},
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def cid_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_cid_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def _colored_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Docs whose text carries deterministic fill (rg) and stroke (RG)
     colors plus a `cm` translation, so chars expose stroking_color /

@@ -368,6 +368,23 @@ def cjk_text_page_content(lines: list[str], font: str = "FC",
     return b"\n".join(parts)
 
 
+def cid_text_page_content(cid_lines: list[list[int]], font: str = "FJ",
+                          size: float = 10.0, x: float = 72.0,
+                          y: float = TOP_Y,
+                          leading: float = LEADING) -> bytes:
+    """Text shown through Identity-H: each line is a hex string of raw
+    2-byte CIDs (`<034B...> Tj`) — unicode must come from the Adobe
+    CID->UCS2 ordering tables (cid_font.rs, fonts/cid_tables.py)."""
+    parts = [f"BT /{font} {size:g} Tf {x:g} {y:g} Td".encode()]
+    for i, cids in enumerate(cid_lines):
+        if i > 0:
+            parts.append(f"0 {-leading:g} Td".encode())
+        hexstr = "".join(f"{cid:04X}" for cid in cids)
+        parts.append(b"<" + hexstr.encode() + b"> Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
 def inline_image_content(x: float, y: float, w: float, h: float,
                          src_w: int = 2, src_h: int = 2) -> bytes:
     """`q w 0 0 h x y cm BI ... ID <gray bytes> EI Q` inline image

@@ -57,6 +57,23 @@ def test_fuzz_corpus_parity(stem: str):
 
 
 @pytest.mark.skipif(not CRATES.exists(), reason="reference corpus not present")
+@pytest.mark.parametrize("suite", ["pdfbox", "pdfjs", "poppler"])
+def test_suite_corpus_per_file(suite: str):
+    """pdfbox/pdfjs/poppler suites: every golden'd file >=95% chars —
+    these carry the CID-keyed fonts (Adobe ordering tables, identity
+    ToUnicode, vertical vx) the top-level corpus lacks."""
+    from parity import score_file
+
+    for gold in sorted((CRATES / "golden" / suite).glob("*.json")):
+        pdf = CRATES / "pdfs" / suite / f"{gold.stem}.pdf"
+        if not pdf.exists():  # orphan golden (pdfjs/issue9262_reduced)
+            continue
+        r = score_file(pdf, gold, tol=1.0)
+        assert r["char_rate"] >= 0.95, r
+        assert r["word_rate"] >= 0.95, r
+
+
+@pytest.mark.skipif(not CRATES.exists(), reason="reference corpus not present")
 def test_real_world_corpus_thresholds():
     """Full real-world/issue corpus: byte-identical extract_text on
     EVERY page (the north-rule invariant), chars/words/cells above the

@@ -605,8 +605,9 @@ def test_cid_vertical_metrics_w2_dw2_vmtx():
     assert f.writing_mode == 1
     assert f.get_vertical_metric(10) == (-800.0, 250.0, 880.0)
     assert f.get_vertical_metric(21) == (-700.0, 300.0, 850.0)
-    # default: DW2 w1y/vy, vx = half the horizontal advance
-    assert f.get_vertical_metric(5) == (-1100.0, 250.0, 900.0)
+    # default: DW2 w1y/vy, vx = constant half-em (pdfminer parity:
+    # LTChar vertical uses fontsize*0.5 when /W2 gives no vector)
+    assert f.get_vertical_metric(5) == (-1100.0, 500.0, 900.0)
     assert f.get_vertical_metric(99) == (-1100.0, 500.0, 900.0)
 
     # vmtx fallback: vertical TrueType with vhea/vmtx, CIDToGIDMap stream
