@@ -1337,6 +1337,72 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (webclean.py): deterministic synthetic
+    PII is appended to each document so the regexes are tested on known
+    positives; counts per class + md5 of the redacted text. Per-row map
+    only — no shuffle, pipelined into the scan at any scale."""
+    from pdfplumber_rs_spark.functions.webclean import pii_counts, redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
+        F.lit(" mail user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-4567 ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 done"),
+    )
+    c = pii_counts(t)
+    return docs.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_phones"].cast("long").alias("n_phones"),
+        c["n_ipv4"].cast("long").alias("n_ipv4"),
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (webclean.py): docs sharing word
+    4-grams with the benchmark slice (doc_id % 50 == 0). Plan: explode
+    n-grams, broadcast the benchmark gram set, equi-join, per-doc count
+    — no all-pairs; the benchmark side stays a broadcast hash table at
+    10^12-doc scale."""
+    from pdfplumber_rs_spark.functions.webclean import contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cand = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        contamination(cand, bench, n=4)
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + per-host aggregation (webclean.py):
+    canonicalize synthetic URLs (scheme/www/query stripped, lowercased)
+    and aggregate doc counts + char sums per registrable host — the
+    domain-level filtering signal; one bounded-cardinality shuffle."""
+    from pdfplumber_rs_spark.functions.webclean import normalize_url, url_host
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.format_string(
+        "https://WWW.host%02d.example.com/a/%d?utm_source=x",
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("int"), F.col("doc_id"))
+    return (
+        docs.select(url_host(url).alias("host"),
+                    normalize_url(url).alias("norm_url"),
+                    F.col("n_chars"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.count_distinct("norm_url").cast("long").alias("n_urls"))
+        .orderBy("host")
+    )
+
+
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful Structured Streaming: tumbling 1-day event-time windows
     with a 1-hour watermark in append mode over the events table —
@@ -1444,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "token_count": q_token_count,
         "winnowing": q_winnowing,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
+        "host_stats": q_host_stats,
         "stream_windowed": q_stream_windowed,
         "image_meta": q_image_meta,
     }
@@ -2274,6 +2343,72 @@ with toks as (
                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
                      x -> trim(x) <> '')) as bigint) as n_bpe_tokens
             from documents order by doc_id""",
+        "pii_redact": r"""
+            with t as (
+              select doc_id,
+                     substring(coalesce(text, ''), 1, 80)
+                     || ' mail user' || cast(doc_id as varchar)
+                     || '@example.com call 555-123-4567 ip 10.0.'
+                     || cast(doc_id % 256 as varchar) || '.7 done' as s
+              from documents
+            )
+            select doc_id,
+              cast(len(regexp_extract_all(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                as bigint) as n_emails,
+              cast(len(regexp_extract_all(s,
+                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) as bigint) as n_phones,
+              cast(len(regexp_extract_all(s,
+                '([0-9]{1,3}\.){3}[0-9]{1,3}')) as bigint) as n_ipv4,
+              md5(regexp_replace(regexp_replace(regexp_replace(s,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+                'g'),
+                '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+                '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) as redacted_md5
+            from t order by doc_id""",
+        "contamination": """
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as l
+              from documents
+            ), grams as (
+              select doc_id,
+                     array_to_string(l[cast(t.i as int):cast(t.i as int)+3],
+                       ' ') as gram
+              from toks, lateral unnest(generate_series(1, len(l) - 3))
+                as t(i)
+              where len(l) >= 4
+            ), bench as (
+              select distinct gram from grams where doc_id % 50 = 0
+            ), cand as (
+              select distinct doc_id, gram from grams where doc_id % 50 <> 0
+            )
+            select c.doc_id, cast(count(*) as bigint) as n_hits
+            from cand c join bench b on c.gram = b.gram
+            group by c.doc_id order by c.doc_id""",
+        "host_stats": """
+            with u as (
+              select doc_id, n_chars,
+                     'https://WWW.host' || lpad(cast(doc_id % 7 as varchar),
+                       2, '0') || '.example.com/a/' || cast(doc_id as varchar)
+                     || '?utm_source=x' as url
+              from documents
+            ), n as (
+              select doc_id, n_chars,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(lower(url),
+                         '^[a-z][a-z0-9+.-]*://', ''),
+                       '^www\\.', ''),
+                       '[?#].*$', ''),
+                       '/$', '') as norm_url
+              from u
+            )
+            select regexp_extract(norm_url, '^([^/]+)', 1) as host,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_chars) as bigint) as sum_chars,
+                   cast(count(distinct norm_url) as bigint) as n_urls
+            from n group by 1 order by host""",
         "winnowing": """
             with s as (
               select doc_id,

@@ -144,3 +144,61 @@ def test_lsh_topk_multi_table_recall(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 > 0.3  # 3 tables must find a real fraction of true top-5
+
+
+def test_pii_redact_and_counts(spark):
+    from pdfplumber_rs_spark.functions import webclean
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c%d@sub.example.org or 555-123-4567, host 10.0.0.1"),
+         (2, "no pii here"), (3, None)],
+        "doc_id long, text string",
+    )
+    c = webclean.pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id", c["n_emails"].alias("e"), c["n_phones"].alias("p"),
+        c["n_ipv4"].alias("i"),
+        webclean.redact_pii(F.col("text")).alias("red"),
+    ).orderBy("doc_id").collect()
+    assert (out[0].e, out[0].p, out[0].i) == (1, 1, 1)
+    assert out[0].red == "mail <EMAIL> or <PHONE>, host <IP>"
+    assert (out[1].e, out[1].p, out[1].i) == (0, 0, 0)
+    assert out[2].red == ""  # null-safe
+
+
+def test_contamination_broadcast_join(spark):
+    from pdfplumber_rs_spark.functions import webclean
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six"),
+         (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zzz alpha beta gamma delta qqq")], "doc_id long, text string")
+    hits = webclean.contamination(docs, bench, n=4)
+    rows = {r.doc_id: r.n_hits for r in hits.collect()}
+    assert rows == {1: 1}  # shared gram: 'alpha beta gamma delta'
+    # plan must broadcast the benchmark side (no shuffle of candidates' grams)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_url_normalization(spark):
+    from pdfplumber_rs_spark.functions import webclean
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Example.COM/Path/?q=1#frag"),
+         (2, "http://sub.example.com/x/"),
+         (3, "example.com")],
+        "doc_id long, url string",
+    )
+    out = df.select(
+        webclean.normalize_url(F.col("url")).alias("n"),
+        webclean.url_host(F.col("url")).alias("h"),
+    ).orderBy("n").collect()
+    vals = {(r.n, r.h) for r in out}
+    assert ("example.com/path", "example.com") in vals
+    assert ("sub.example.com/x", "sub.example.com") in vals
+    assert ("example.com", "example.com") in vals
