@@ -340,17 +340,46 @@ def extract_table(cells: list[tuple], chars: list[dict],
         options = WordOptions()
     rows = table_rows(cells)
     bbox = _cells_bbox(cells)
+    # vectorized char->cell assignment: mid-point arrays once per table,
+    # one boolean mask per row / per cell (the per-char Python predicate
+    # was the kernel's hottest table loop — O(page_chars x rows) calls)
+    import numpy as np
+
+    if chars:
+        v_mid = np.fromiter(
+            ((ch["top"] + ch["bottom"]) for ch in chars), float, len(chars)
+        ) * 0.5
+        h_mid = np.fromiter(
+            ((ch["x0"] + ch["x1"]) for ch in chars), float, len(chars)
+        ) * 0.5
     out_rows: list[list[dict | None]] = []
     cell_objs: list[dict] = []
     for row in rows:
         row_bbox = _cells_bbox(row)
-        row_chars = [ch for ch in chars if _char_in_bbox(ch, row_bbox)]
+        if chars:
+            rx0, rtop, rx1, rbot = row_bbox
+            ridx = np.nonzero(
+                (v_mid >= rtop) & (v_mid < rbot)
+                & (h_mid >= rx0) & (h_mid < rx1)
+            )[0]
+            row_chars = [chars[i] for i in ridx]
+            row_h = h_mid[ridx]
+            row_v = v_mid[ridx]
+        else:
+            row_chars = []
         out_row: list[dict | None] = []
         for cell in row:
             if cell is None:
                 out_row.append(None)
                 continue
-            cell_chars = [ch for ch in row_chars if _char_in_bbox(ch, cell)]
+            if row_chars:
+                cidx = np.nonzero(
+                    (row_h >= cell[0]) & (row_h < cell[2])
+                    & (row_v >= cell[1]) & (row_v < cell[3])
+                )[0]
+                cell_chars = [row_chars[i] for i in cidx]
+            else:
+                cell_chars = []
             text = _extract_cell_text(cell_chars, options) if cell_chars else ""
             obj = {"x0": cell[0], "top": cell[1], "x1": cell[2],
                    "bottom": cell[3], "text": text}
