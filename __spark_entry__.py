@@ -1256,6 +1256,61 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics (text.py): token
+    count, distinct-token fraction, top-bigram occurrence count — the
+    signals behind repetition quality filters."""
+    from pdfplumber_rs_spark.functions.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_token_frac",
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+    ).orderBy("doc_id")
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule document filter: keep docs with a sane
+    token count, enough lexical diversity, and no dominating bigram —
+    the pipeline-composition form of the repetition metrics (one pass,
+    filters fused by Catalyst)."""
+    from pdfplumber_rs_spark.functions.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = repetition_features(docs)
+    return (
+        feats.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("distinct_token_frac") >= 0.2)
+            & (F.col("top_bigram_count") * 2 <= F.col("n_tokens"))
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio/video metadata: codec-free WAV RIFF and MP4
+    moov/mvhd header parsing over Arrow-batched binary columns — real
+    containers, exact-integer rate/units/channels from the id."""
+    from pdfplumber_rs_spark.functions.multimodal import av_features
+    from pdfplumber_rs_spark.sources.corpus import av_corpus_table
+
+    media = av_corpus_table(spark, sf_dir)
+    feats = av_features(media)
+    return (
+        feats.select(
+            "media_id", "kind",
+            F.col("rate").cast("long").alias("rate"),
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("channels").cast("int").alias("channels"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path, verified: lsh_topk (bucketed approximate
     top-k) per query, plus recall@5 against the exact cosine_topk
@@ -1515,6 +1570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "stream_windowed": q_stream_windowed,
         "image_meta": q_image_meta,
+        "av_meta": q_av_meta,
+        "doc_repetition": q_doc_repetition,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -2452,5 +2510,77 @@ with toks as (
                         when 1 then 'jpeg' else 'gif' end as format,
                    cast(doc_id % 31 + 1 as int) as width,
                    cast(doc_id % 17 + 1 as int) as height
+            from documents order by doc_id""",
+        "doc_repetition": """
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as l
+              from documents
+            ), uni as (
+              select doc_id, cast(len(l) as bigint) as n_tokens,
+                     cast(len(list_distinct(l)) as bigint) as n_distinct
+              from toks
+            ), bi as (
+              select doc_id,
+                     l[cast(t.i as int)] || ' ' || l[cast(t.i as int) + 1]
+                       as gram
+              from toks, lateral unnest(generate_series(1, len(l) - 1))
+                as t(i)
+              where len(l) >= 2
+            ), topbi as (
+              select doc_id, cast(max(c) as bigint) as top_bigram_count
+              from (select doc_id, gram, count(*) as c
+                    from bi group by doc_id, gram)
+              group by doc_id
+            )
+            select u.doc_id, u.n_tokens,
+                   round(u.n_distinct / greatest(u.n_tokens, 1), 6)
+                     as distinct_token_frac,
+                   coalesce(t.top_bigram_count, 0) as top_bigram_count
+            from uni u left join topbi t using (doc_id)
+            order by u.doc_id""",
+        "gopher_filter": """
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as l
+              from documents
+            ), uni as (
+              select doc_id, cast(len(l) as bigint) as n_tokens,
+                     cast(len(list_distinct(l)) as bigint) as n_distinct
+              from toks
+            ), bi as (
+              select doc_id,
+                     l[cast(t.i as int)] || ' ' || l[cast(t.i as int) + 1]
+                       as gram
+              from toks, lateral unnest(generate_series(1, len(l) - 1))
+                as t(i)
+              where len(l) >= 2
+            ), topbi as (
+              select doc_id, cast(max(c) as bigint) as top_bigram_count
+              from (select doc_id, gram, count(*) as c
+                    from bi group by doc_id, gram)
+              group by doc_id
+            )
+            select u.doc_id
+            from uni u left join topbi t using (doc_id)
+            where u.n_tokens >= 20
+              and round(u.n_distinct / greatest(u.n_tokens, 1), 6) >= 0.2
+              and coalesce(t.top_bigram_count, 0) * 2 <= u.n_tokens
+            order by u.doc_id""",
+        "av_meta": """
+            select doc_id as media_id,
+                   case when doc_id % 2 = 0 then 'audio' else 'video' end
+                     as kind,
+                   cast(case when doc_id % 2 = 0
+                        then 8000 + (doc_id % 4) * 4000
+                        else 1000 * (1 + doc_id % 3) end as bigint) as rate,
+                   cast(case when doc_id % 2 = 0
+                        then (doc_id % 50 + 1) * 400
+                        else (doc_id % 9000) + 1000 end as bigint) as n_units,
+                   cast(case when doc_id % 2 = 0
+                        then 1 + (doc_id % 4) // 2
+                        else null end as int) as channels
             from documents order by doc_id""",
     }

@@ -192,6 +192,121 @@ def make_gif_header(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
 
 
+def parse_av_meta(data: bytes) -> dict | None:
+    """Codec-free audio/video container metadata: WAV RIFF (fmt/data
+    chunks → channels, sample rate, sample count) and MP4 (moov/mvhd →
+    timescale, duration units). None when unrecognized. `rate` is the
+    WAV sample rate or the MP4 timescale; `n_units` the sample count or
+    mvhd duration — exact integers, no float duration math."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        ch = rate = bits = None
+        data_size = None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = data[pos + 8 : pos + 8 + size]
+            if tag == b"fmt " and len(body) >= 16:
+                _f, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate:
+            n = None
+            if data_size is not None and ch and bits:
+                n = data_size // (ch * bits // 8)
+            return {"kind": "audio", "rate": int(rate), "n_units": n,
+                    "channels": int(ch) if ch else None}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        pos = 0
+        while pos + 8 <= len(data):
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            tag = data[pos + 4 : pos + 8]
+            if tag == b"moov":
+                inner = data[pos + 8 : pos + max(size, 8)]
+                q = 0
+                while q + 8 <= len(inner):
+                    isz = struct.unpack(">I", inner[q : q + 4])[0]
+                    if inner[q + 4 : q + 8] == b"mvhd" and q + 28 <= len(inner):
+                        ver = inner[q + 8]
+                        if ver == 0:
+                            ts, dur = struct.unpack(">II", inner[q + 20 : q + 28])
+                        elif q + 40 <= len(inner):
+                            ts = struct.unpack(">I", inner[q + 28 : q + 32])[0]
+                            dur = struct.unpack(">Q", inner[q + 32 : q + 40])[0]
+                        else:
+                            break
+                        return {"kind": "video", "rate": int(ts),
+                                "n_units": int(dur), "channels": None}
+                    q += max(isz, 8)
+            pos += max(size, 8)
+    return None
+
+
+def make_wav(sample_rate: int, channels: int, n_samples: int,
+             bits: int = 16) -> bytes:
+    """Deterministic valid WAV container (silence payload)."""
+    frame = channels * bits // 8
+    payload = b"\x00" * (n_samples * frame)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * frame, frame, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_mp4_header(timescale: int, duration: int) -> bytes:
+    """Deterministic minimal MP4: ftyp + moov/mvhd(v0) — enough for
+    codec-free duration metadata, not a playable file."""
+    mvhd = (b"\x00\x00\x00\x00"            # version+flags
+            + struct.pack(">II", 0, 0)       # ctime mtime
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80)                  # rate/volume/matrix/next_track
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
+AV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType()),
+        StructField("rate", LongType()),
+        StructField("n_units", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def av_features(df: DataFrame, data_col: str = "data",
+                id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched audio/video metadata over binary columns (WAV /
+    MP4 headers; codec-free). Errors become a column, never task
+    failures — the poison-doc rule that matters at 10^12 rows."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                row = {"media_id": int(mid), "kind": None, "rate": None,
+                       "n_units": None, "channels": None, "parse_error": None}
+                try:
+                    meta = parse_av_meta(data)
+                    if meta is None:
+                        row["parse_error"] = "unrecognized container"
+                    else:
+                        row.update(meta)
+                except Exception as e:  # noqa: BLE001
+                    row["parse_error"] = f"corrupt: {e}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(extract, AV_SCHEMA)
+
+
 def resize_images(df: DataFrame, max_side: int,
                   data_col: str = "data", id_col: str = "media_id") -> DataFrame:
     """Resize plumbing (nearest-neighbor on the FAKE format; stub for

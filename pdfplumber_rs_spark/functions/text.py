@@ -149,6 +149,58 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_features(df, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Gopher/MassiveText-style within-document repetition signals:
+    token count, distinct-token fraction, and the occurrence count of
+    the most frequent word bigram. Plan: explode tokens/bigrams →
+    partial-aggregated groupBys on (doc, gram) — one uniform shuffle,
+    no skew (the key carries the doc id). Returns
+    (doc_id, n_tokens, distinct_token_frac, top_bigram_count)."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("tok"),
+    )
+    uni = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
+    # bigrams from the token ARRAY (order-stable, no window needed)
+    arr = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                 lambda t: t != "").alias("l"),
+    )
+    bigrams = arr.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("l") - 2, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.element_at("l", i + 1),
+                                      F.element_at("l", i + 2)),
+            )
+        ).alias("gram"),
+    )
+    topbi = (
+        bigrams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        uni.join(topbi, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("n_distinct") / F.greatest("n_tokens", F.lit(1)), 6)
+            .alias("distinct_token_frac"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercased, whitespace collapsed, trimmed)."""

@@ -860,6 +860,38 @@ def media_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_media_gen_kernel, MEDIA_CORPUS_SCHEMA)
 
 
+def _av_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Deterministic audio/video rows: valid WAV containers (even ids;
+    rate/channels/samples from the id) and minimal MP4 moov/mvhd (odd
+    ids; timescale/duration from the id)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..functions.multimodal import make_mp4_header, make_wav
+
+    schema = to_arrow_schema(MEDIA_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            if doc_id % 2 == 0:
+                rate = 8000 + (doc_id % 4) * 4000
+                ch = 1 + (doc_id % 4) // 2
+                n = (doc_id % 50 + 1) * 400
+                mime, data = "audio/wav", make_wav(rate, ch, n)
+            else:
+                ts = 1000 * (1 + doc_id % 3)
+                dur = (doc_id % 9000) + 1000
+                mime, data = "video/mp4", make_mp4_header(ts, dur)
+            out.append({"media_id": doc_id, "mime": mime, "data": data})
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def av_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_av_gen_kernel, MEDIA_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

