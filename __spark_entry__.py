@@ -1483,6 +1483,32 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup: dropDuplicatesWithinWatermark
+    over the events stream keyed on (user_id, event_type) — one state
+    entry per key within the watermark horizon, first occurrence
+    emitted. The watermark here exceeds the static table's time span,
+    so the drained output is exactly the distinct key set (the oracle);
+    production uses a finite horizon for bounded state."""
+    import tempfile
+
+    from pdfplumber_rs_spark.streaming import stream_dedup
+
+    tmp = tempfile.mkdtemp(prefix="ev_dedup_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    _read(spark, sf_dir, "events").write.parquet(inp)
+    q = stream_dedup(spark, inp, out, ckpt,
+                     keys=["user_id", "event_type"],
+                     watermark="36500 days")
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_type"))
+        .orderBy("user_id", "event_type")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -1569,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "host_stats": q_host_stats,
         "stream_windowed": q_stream_windowed,
+        "stream_dedup": q_stream_dedup,
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
         "doc_repetition": q_doc_repetition,
@@ -2492,6 +2519,9 @@ with toks as (
             select doc_id, cast(count(*) as bigint) as n_fps,
                    min(fp) as fp_min, max(fp) as fp_max
             from f group by doc_id order by doc_id""",
+        "stream_dedup": """
+            select distinct user_id, event_type
+            from events order by user_id, event_type""",
         "stream_windowed": """
             with m as (select max(ts) as mx from events),
             c as (

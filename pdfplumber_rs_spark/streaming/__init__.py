@@ -76,6 +76,31 @@ EVENTS_SCHEMA = StructType.fromJson({
 })
 
 
+def stream_dedup(spark: SparkSession, input_path: str, output_path: str,
+                 checkpoint: str, keys: list[str],
+                 watermark: str = "1 hour"):
+    """Stateful streaming EXACT-DEDUP: `dropDuplicatesWithinWatermark`
+    keeps one state entry per key for the watermark horizon and emits
+    only the first occurrence — the streaming twin of the batch
+    dedup_exact operator, with bounded state (keys older than the
+    watermark are evicted, so a crawl stream can run forever). Emits
+    the key columns only, so the output is a deterministic SET for a
+    static availableNow drain."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_path)
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", output_path)
+        .start()
+    )
+
+
 def stream_windowed_counts(spark: SparkSession, input_path: str,
                            output_path: str, checkpoint: str,
                            window: str = "1 day",
