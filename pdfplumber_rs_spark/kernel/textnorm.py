@@ -40,6 +40,57 @@ def normalize_chars(chars: list[dict], form: str | None) -> list[dict]:
     return chars
 
 
+def _dedupe_collision_flags(chars, t, extra_attrs, default_attrs):
+    """Vectorized prescreen: True where a char COULD be within tolerance
+    of another char with the same base key (same or 3×3-adjacent grid
+    cell). Chars not flagged can never be dropped — and can never drop
+    anyone — so the exact sequential pass below only needs to visit
+    flagged chars. Returns None when the coordinates don't fit the
+    packed-int layout (fallback to the full pass)."""
+    import numpy as np
+
+    n = len(chars)
+    gids = np.empty(n, dtype=np.int64)
+    seen: dict = {}
+    for i, ch in enumerate(chars):
+        if default_attrs:
+            base = (ch["text"], ch["fontname"], ch["size"])
+        else:
+            base = (ch["text"],) + tuple(ch.get(a) for a in extra_attrs)
+        gid = seen.get(base)
+        if gid is None:
+            gid = len(seen)
+            seen[base] = gid
+        gids[i] = gid
+    if len(seen) >= 1 << 20:
+        return None
+    x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
+    top = np.fromiter((c["top"] for c in chars), np.float64, n)
+    if not (np.isfinite(x0).all() and np.isfinite(top).all()):
+        return None
+    bx = np.floor(x0 / t)
+    by = np.floor(top / t)
+    bx -= bx.min()
+    by -= by.min()
+    if bx.max() >= (1 << 20) - 2 or by.max() >= (1 << 20) - 2:
+        return None
+    key = (gids << 42) | (bx.astype(np.int64) + 1 << 21) | (
+        by.astype(np.int64) + 1)
+    a = np.sort(key)
+    # own-cell duplicates
+    left = np.searchsorted(a, key, "left")
+    right = np.searchsorted(a, key, "right")
+    flag = (right - left) > 1
+    # 8 neighbor cells
+    sx, sy = 1 << 21, 1
+    for off in (-sx - sy, -sx, -sx + sy, -sy, sy, sx - sy, sx, sx + sy):
+        tgt = key + off
+        pos = np.searchsorted(a, tgt)
+        hit = (pos < n) & (a[np.minimum(pos, n - 1)] == tgt)
+        flag |= hit
+    return flag
+
+
 def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
                  extra_attrs: tuple[str, ...] = ("fontname", "size")) -> list[dict]:
     """Drop a char if an earlier kept char has identical text, matching
@@ -48,6 +99,23 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
     # tolerance always lives in one of the 3×3 neighbor buckets, so this
     # is O(n) with semantics identical to the full scan
     t = tolerance if tolerance > 0 else 1e-9
+    default_attrs_pre = extra_attrs == ("fontname", "size")
+    if len(chars) >= 64:
+        # vectorized prescreen: in the common no-duplicate case the
+        # 9-probe dict walk below never runs at all
+        try:
+            flags = _dedupe_collision_flags(chars, t, extra_attrs,
+                                            default_attrs_pre)
+        except (TypeError, ValueError):  # odd coord types: full pass
+            flags = None
+        if flags is not None:
+            if not flags.any():
+                return list(chars)
+            return _dedupe_pass(chars, tolerance, t, extra_attrs, flags)
+    return _dedupe_pass(chars, tolerance, t, extra_attrs, None)
+
+
+def _dedupe_pass(chars, tolerance, t, extra_attrs, flags):
     kept: list[dict] = []
     # two-level hash: base key (text+attrs) once per char, then single
     # INT cell keys (bx*2^32+by) for the 3x3 probe — int dict lookups
@@ -55,7 +123,11 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
     default_attrs = extra_attrs == ("fontname", "size")
     buckets: dict[tuple, dict[int, list]] = {}
     shift = 1 << 32
-    for ch in chars:
+    for i, ch in enumerate(chars):
+        if flags is not None and not flags[i]:
+            # prescreen proved nothing is within tolerance of this char
+            kept.append(ch)
+            continue
         if default_attrs:
             base = (ch["text"], ch["fontname"], ch["size"])
         else:
