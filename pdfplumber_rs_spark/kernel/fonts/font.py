@@ -50,6 +50,7 @@ class LoadedFont:
         "encoding",          # SimpleEncoding | None
         "gid_unicode",       # dict gid->str | None (embedded ttf cmap)
         "cid_gid",           # callable cid->gid | None
+        "code_cache",        # per-font memo: code -> (width, unicode)
     )
 
     def __init__(self) -> None:
@@ -76,6 +77,7 @@ class LoadedFont:
         self.encoding: SimpleEncoding | None = None
         self.gid_unicode: dict[int, str] | None = None
         self.cid_gid = None
+        self.code_cache: dict[int, tuple] = {}
 
     # -- widths -------------------------------------------------------------
 

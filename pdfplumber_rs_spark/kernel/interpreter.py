@@ -475,16 +475,26 @@ class Interpreter:
         else:
             pairs = [(b, None) for b in data]
 
+        cache = font.code_cache if font is not None else None
         for code, raw in pairs:
             if font is not None:
-                w0 = font.get_width(code)
-                uni = font.to_unicode(code)
-                if raw is not None and (uni is None or uni.startswith("(cid:")):
-                    from .fonts.cjk import decode_cjk
+                # per-font memo: width + unicode are pure functions of
+                # the code (raw bytes are derived from it), and codes
+                # repeat heavily — one dict hit replaces the whole
+                # width/unicode/cjk chain on the per-glyph hot path
+                hit = cache.get(code)
+                if hit is not None:
+                    w0, uni = hit
+                else:
+                    w0 = font.get_width(code)
+                    uni = font.to_unicode(code)
+                    if raw is not None and (uni is None or uni.startswith("(cid:")):
+                        from .fonts.cjk import decode_cjk
 
-                    dec = decode_cjk(raw, font.cjk_codec)
-                    if dec:
-                        uni = dec
+                        dec = decode_cjk(raw, font.cjk_codec)
+                        if dec:
+                            uni = dec
+                    cache[code] = (w0, uni)
             else:
                 w0 = 600.0
                 try:
