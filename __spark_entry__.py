@@ -1256,6 +1256,29 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip (north rule: DOM heuristics): jusText-lite
+    block scoring drops nav/header/footer/aside/script chrome and
+    link-dense or too-short blocks; the h1 + real content paragraphs
+    survive. Closed-form oracle from documents.text words."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    stripped = P.html_main_content(corpus)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://page.example/%08d.html", "doc_id").alias("url"),
+    )
+    return (
+        ids.join(stripped, "url", "left")
+        .select("doc_id",
+                F.coalesce("main_text", F.lit("")).alias("main_text"),
+                F.col("n_blocks_kept").cast("int").alias("n_blocks_kept"))
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition metrics (text.py): token
     count, distinct-token fraction, top-bigram occurrence count — the
@@ -1598,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
+        "html_main_content": q_html_main_content,
         "doc_repetition": q_doc_repetition,
         "gopher_filter": q_gopher_filter,
     }
@@ -2541,6 +2565,22 @@ with toks as (
                    cast(doc_id % 31 + 1 as int) as width,
                    cast(doc_id % 17 + 1 as int) as height
             from documents order by doc_id""",
+        "html_main_content": r"""
+            with w as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') as l
+              from documents
+            )
+            select doc_id,
+                   'Document ' || cast(doc_id as varchar) || chr(10)
+                   || array_to_string(l[1:8], ' ')
+                   || case when len(l) >= 13
+                        then chr(10) || array_to_string(l[9:18], ' ')
+                        else '' end as main_text,
+                   cast(case when len(l) >= 13 then 3 else 2 end as int)
+                     as n_blocks_kept
+            from w order by doc_id""",
         "doc_repetition": """
             with toks as (
               select doc_id,

@@ -1304,6 +1304,46 @@ def search_pages(df: DataFrame, pattern: str, regex: bool = True,
     return df.select("url", "html").mapInArrow(kernel, SEARCH_SCHEMA)
 
 
+HTML_MAIN_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("main_text", StringType()),
+        StructField("n_blocks_kept", IntegerType()),
+        StructField("n_blocks_total", IntegerType()),
+    ]
+)
+
+
+def html_main_content(df: DataFrame, min_words: int = 5,
+                      max_link_density: float = 0.33) -> DataFrame:
+    """HTML boilerplate strip (north rule): jusText-lite DOM block
+    heuristics over an Arrow-batched kernel — (url, html) → main text +
+    strip diagnostics. Per-row map, no shuffle; malformed markup yields
+    an empty row, never a task failure."""
+    arrow_schema = _arrow_schema_for(HTML_MAIN_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.htmlstrip import extract_main_content
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                r = extract_main_content(html or b"", min_words,
+                                         max_link_density)
+                out.append(
+                    {
+                        "url": url,
+                        "main_text": r["text"],
+                        "n_blocks_kept": r["n_blocks_kept"],
+                        "n_blocks_total": r["n_blocks_total"],
+                    }
+                )
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, HTML_MAIN_SCHEMA)
+
+
 def lineage(pages: DataFrame) -> DataFrame:
     """Per-partition lineage rows (north-rule D12/D13): url/page/char/
     error counts and kernel wall time by Spark partition."""

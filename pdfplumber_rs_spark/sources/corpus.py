@@ -892,6 +892,57 @@ def av_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_av_gen_kernel, MEDIA_CORPUS_SCHEMA)
 
 
+def _html_page_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Deterministic web pages for the boilerplate-strip surface: nav /
+    header / link-dense sidebar / short promo / footer chrome around
+    two real content paragraphs built from documents.text (words 1-8
+    and 9-18) plus an <h1>. The oracle reconstructs the kept blocks in
+    closed form."""
+    import html as _html
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            words = (text or "").split()
+            para1 = _html.escape(" ".join(words[:8]))
+            para2 = _html.escape(" ".join(words[8:18]))
+            page = (
+                "<html><head><title>t</title><script>var x=1;</script>"
+                "<style>p{color:red}</style></head><body>"
+                "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                "<a href='/c'>Contact</a></nav>"
+                "<header>Site chrome banner words here</header>"
+                f"<h1>Document {doc_id}</h1>"
+                f"<p>{para1}</p>"
+                "<div><a href='/x'>Link one here</a> <a href='/y'>Link two"
+                " there</a></div>"
+                "<div>Subscribe now</div>"
+                f"<p>{para2}</p>"
+                "<aside>Related links and junk</aside>"
+                "<footer>Copyright footer boilerplate text</footer>"
+                "</body></html>"
+            )
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://page.example/{doc_id:08d}.html",
+                    "html": page.encode("utf-8"),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def html_page_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return _spread(docs).mapInArrow(_html_page_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

@@ -231,3 +231,37 @@ def test_repetition_features(spark):
     assert rows[1].top_bigram_count == 3  # 'a b' x3
     assert rows[2].top_bigram_count == 1
     assert abs(rows[2].distinct_token_frac - 1.0) < 1e-6
+
+
+def test_html_main_content_kernel():
+    from pdfplumber_rs_spark.kernel.htmlstrip import extract_main_content
+
+    r = extract_main_content(
+        "<body><nav><a>A</a><a>B</a></nav>"
+        "<h2>Title Here</h2>"
+        "<p>real content paragraph with many good words inside</p>"
+        "<div><a>pure link soup junk wall</a></div>"
+        "<footer>bottom</footer></body>")
+    assert r["text"] == ("Title Here\n"
+                         "real content paragraph with many good words inside")
+    # malformed / hostile inputs degrade to empty, never raise
+    assert extract_main_content(b"\xff\xfe<<<>><p")["text"] == ""
+    assert extract_main_content("")["text"] == ""
+    # entity round-trip
+    r2 = extract_main_content("<p>a &amp; b &lt;c&gt; d e f g</p>")
+    assert r2["text"] == "a & b <c> d e f g"
+
+
+def test_html_main_content_spark(spark):
+    from pdfplumber_rs_spark import pipeline as P
+
+    df = spark.createDataFrame(
+        [("u1", b"<body><p>six words of real body content</p>"
+                b"<div><a>l1</a> <a>l2</a></div></body>"),
+         ("u2", None)],
+        "url string, html binary",
+    )
+    out = {r.url: r for r in P.html_main_content(df).collect()}
+    assert out["u1"].main_text == "six words of real body content"
+    assert out["u1"].n_blocks_kept == 1
+    assert out["u2"].main_text == ""
