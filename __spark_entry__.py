@@ -1268,7 +1268,9 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = P.html_main_content(corpus)
     ids = _read(spark, sf_dir, "documents").select(
         "doc_id",
-        F.format_string("https://page.example/%08d.html", "doc_id").alias("url"),
+        F.format_string("https://host%02d.example.com/%08d.html",
+                        F.pmod(F.col("doc_id"), F.lit(7)).cast("int"),
+                        "doc_id").alias("url"),
     )
     return (
         ids.join(stripped, "url", "left")
@@ -1277,6 +1279,39 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_blocks_kept").cast("int").alias("n_blocks_kept"))
         .orderBy("doc_id")
     )
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (graph.py): explode every <a href> from
+    the chrome-page corpus, keep absolute cross-host links, aggregate
+    (src_host, dst_host) edge weights — one host-keyed shuffle that
+    collapses the page-level explosion immediately."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.functions.graph import host_link_graph
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    return (
+        host_link_graph(P.html_links(corpus))
+        .select("src_host", "dst_host",
+                F.col("n_links").cast("long").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (5 damped power iterations) over the host
+    link graph, as pure DataFrame joins/aggs per iteration — the
+    iterative-algorithm surface; the DuckDB oracle unrolls the same
+    five iterations in SQL."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.functions.graph import host_link_graph, pagerank
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    ranks = pagerank(host_link_graph(P.html_links(corpus)), n_iter=5)
+    return ranks.select(
+        "host", F.round("rank", 6).alias("rank")).orderBy("host")
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
         "html_main_content": q_html_main_content,
+        "link_graph": q_link_graph,
+        "pagerank_hosts": q_pagerank_hosts,
         "doc_repetition": q_doc_repetition,
         "gopher_filter": q_gopher_filter,
     }
@@ -2565,6 +2602,74 @@ with toks as (
                    cast(doc_id % 31 + 1 as int) as width,
                    cast(doc_id % 17 + 1 as int) as height
             from documents order by doc_id""",
+        "link_graph": """
+            with e as (
+              select 'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com' as src_host,
+                     'host' || lpad(cast((doc_id + 1) % 7 as varchar), 2, '0')
+                       || '.example.com' as dst_host
+              from documents
+              union all
+              select 'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com',
+                     'host' || lpad(cast((doc_id * 3 + 2) % 7 as varchar),
+                       2, '0') || '.example.com'
+              from documents
+            )
+            select src_host, dst_host, cast(count(*) as bigint) as n_links
+            from e group by 1, 2 order by src_host, dst_host""",
+        "pagerank_hosts": """
+            with e0 as (
+              select doc_id % 7 as s, (doc_id + 1) % 7 as t from documents
+              union all
+              select doc_id % 7, (doc_id * 3 + 2) % 7 from documents
+            ), e as (
+              select s, t, cast(count(*) as double) as w from e0 group by 1, 2
+            ), nodes as (
+              select distinct s as h from e union select distinct t from e
+            ), nn as (select cast(count(*) as double) as n from nodes),
+            ow as (select s, sum(w) as ow from e group by 1),
+            p as (select e.s, e.t, e.w / ow.ow as p from e join ow using (s)),
+            pr0 as (select h, 1.0 / nn.n as r from nodes, nn),
+            pr1 as (select nodes.h,
+                      (select 0.15 / nn.n from nn)
+                      + 0.85 * coalesce(m.im, 0) as r
+                    from nodes left join (
+                      select p.t as h, sum(pr0.r * p.p) as im
+                      from p join pr0 on pr0.h = p.s group by 1) m
+                      using (h)),
+            pr2 as (select nodes.h,
+                      (select 0.15 / nn.n from nn)
+                      + 0.85 * coalesce(m.im, 0) as r
+                    from nodes left join (
+                      select p.t as h, sum(pr1.r * p.p) as im
+                      from p join pr1 on pr1.h = p.s group by 1) m
+                      using (h)),
+            pr3 as (select nodes.h,
+                      (select 0.15 / nn.n from nn)
+                      + 0.85 * coalesce(m.im, 0) as r
+                    from nodes left join (
+                      select p.t as h, sum(pr2.r * p.p) as im
+                      from p join pr2 on pr2.h = p.s group by 1) m
+                      using (h)),
+            pr4 as (select nodes.h,
+                      (select 0.15 / nn.n from nn)
+                      + 0.85 * coalesce(m.im, 0) as r
+                    from nodes left join (
+                      select p.t as h, sum(pr3.r * p.p) as im
+                      from p join pr3 on pr3.h = p.s group by 1) m
+                      using (h)),
+            pr5 as (select nodes.h,
+                      (select 0.15 / nn.n from nn)
+                      + 0.85 * coalesce(m.im, 0) as r
+                    from nodes left join (
+                      select p.t as h, sum(pr4.r * p.p) as im
+                      from p join pr4 on pr4.h = p.s group by 1) m
+                      using (h))
+            select 'host' || lpad(cast(h as varchar), 2, '0')
+                     || '.example.com' as host,
+                   round(r, 6) as rank
+            from pr5 order by host""",
         "html_main_content": r"""
             with w as (
               select doc_id,

@@ -36,6 +36,7 @@ class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int, bool]] = []
+        self.links: list[str] = []  # every href, incl. dropped subtrees
         # current block accumulators
         self._parts: list[str] = []
         self._link_words = 0
@@ -58,6 +59,11 @@ class _Extractor(HTMLParser):
     # -- parser hooks ------------------------------------------------------
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
         if tag in _DROP:
             self._drop_depth += 1
             return
@@ -117,4 +123,5 @@ def extract_main_content(html: bytes | str, min_words: int = 5,
         "text": "\n".join(kept),
         "n_blocks_kept": len(kept),
         "n_blocks_total": len(p.blocks),
+        "links": p.links,
     }

@@ -1344,6 +1344,34 @@ def html_main_content(df: DataFrame, min_words: int = 5,
     return df.select("url", "html").mapInArrow(kernel, HTML_MAIN_SCHEMA)
 
 
+HTML_LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("href", StringType()),
+    ]
+)
+
+
+def html_links(df: DataFrame) -> DataFrame:
+    """Outgoing links per page: (url, href) exploded rows from every
+    <a href> (including chrome subtrees — the link graph wants them
+    all). Per-row map + in-kernel explode, no shuffle."""
+    arrow_schema = _arrow_schema_for(HTML_LINKS_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.htmlstrip import extract_main_content
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                for href in extract_main_content(html or b"")["links"]:
+                    out.append({"url": url, "href": href})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, HTML_LINKS_SCHEMA)
+
+
 def lineage(pages: DataFrame) -> DataFrame:
     """Per-partition lineage rows (north-rule D12/D13): url/page/char/
     error counts and kernel wall time by Spark partition."""

@@ -911,10 +911,14 @@ def _html_page_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
             words = (text or "").split()
             para1 = _html.escape(" ".join(words[:8]))
             para2 = _html.escape(" ".join(words[8:18]))
+            d1 = (doc_id + 1) % 7
+            d2 = (doc_id * 3 + 2) % 7
             page = (
                 "<html><head><title>t</title><script>var x=1;</script>"
                 "<style>p{color:red}</style></head><body>"
                 "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+                f"<a href='https://host{d1:02d}.example.com/p'>Partner</a> "
+                f"<a href='https://host{d2:02d}.example.com/q'>Mirror</a> "
                 "<a href='/c'>Contact</a></nav>"
                 "<header>Site chrome banner words here</header>"
                 f"<h1>Document {doc_id}</h1>"
@@ -930,7 +934,8 @@ def _html_page_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
             out.append(
                 {
                     "doc_id": doc_id,
-                    "url": f"https://page.example/{doc_id:08d}.html",
+                    "url": (f"https://host{doc_id % 7:02d}.example.com/"
+                            f"{doc_id:08d}.html"),
                     "html": page.encode("utf-8"),
                 }
             )

@@ -265,3 +265,22 @@ def test_html_main_content_spark(spark):
     assert out["u1"].main_text == "six words of real body content"
     assert out["u1"].n_blocks_kept == 1
     assert out["u2"].main_text == ""
+
+
+def test_host_link_graph_and_pagerank(spark):
+    from pdfplumber_rs_spark.functions.graph import host_link_graph, pagerank
+
+    links = spark.createDataFrame(
+        [("https://a.com/1", "https://b.com/x"),
+         ("https://a.com/1", "https://b.com/y"),
+         ("https://a.com/2", "/relative/ignored"),
+         ("https://b.com/1", "https://a.com/z")],
+        "url string, href string",
+    )
+    edges = host_link_graph(links)
+    got = {(r.src_host, r.dst_host): r.n_links for r in edges.collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+    ranks = {r.host: r.rank for r in pagerank(edges, n_iter=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # rank mass conserved
+    # symmetric 2-cycle converges to equal ranks
+    assert abs(ranks["a.com"] - ranks["b.com"]) < 1e-6
