@@ -1717,13 +1717,15 @@ def _lang_markers_sql() -> str:
 
 
 def _simhash_sql() -> str:
-    bits = []
-    for bit in range(16):
-        bits.append(
-            f"case when sum(case when (h >> {bit}) & 1 = 1 then 1 else -1 end) > 0 "
-            f"then {2 ** bit} else 0 end"
-        )
-    total = " + ".join(bits)
+    halves = {}
+    for half, rng in (("hi", "h_hi"), ("lo", "h_lo")):
+        bits = []
+        for bit in range(32):
+            bits.append(
+                f"case when sum(case when ({rng} >> {bit}) & 1 = 1 "
+                f"then 1 else -1 end) > 0 then {2 ** bit} else 0 end"
+            )
+        halves[half] = " + ".join(bits)
     return f"""
 with toks as (
   select doc_id, unnest(list_filter(
@@ -1731,10 +1733,12 @@ with toks as (
   from documents
 ), h as (
   select doc_id,
-         ('0x' || substr(md5(tok), 9, 8))::bigint as h
+         ('0x' || substr(md5(tok), 1, 8))::bigint as h_hi,
+         ('0x' || substr(md5(tok), 9, 8))::bigint as h_lo
   from toks
 )
-select doc_id, cast({total} as bigint) as simhash
+select doc_id, cast({halves['hi']} as bigint) as simhash_hi,
+       cast({halves['lo']} as bigint) as simhash_lo
 from h group by doc_id order by doc_id
 """
 

@@ -185,27 +185,40 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per-token md5-derived 64-bit value; per-bit
-    weighted vote via sum(±1) per bit position, sign → bit. Expressed as
-    explode + groupBy + bit aggregation (shuffle carries 64 ints/doc)."""
+    """Full 64-bit SimHash: per-token md5-derived bits, per-bit weighted
+    vote via sum(±1), sign → bit. Expressed as explode + groupBy + 64
+    bit aggregations (the shuffle carries 64 small ints per doc). The
+    hash is returned as two 32-bit halves (simhash_hi from md5 hex
+    chars 1-8, simhash_lo from 9-16) so every value stays positive in a
+    signed 64-bit column on both Spark and the SQL oracle."""
     n = df.sparkSession.sparkContext.defaultParallelism * 2
     toks = df.repartition(n, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(F.col(text_col))).alias("tok"),
     )
-    # low 32 bits of the md5 (hex chars 9..16): enough for the 16 vote
-    # bits, and parses identically in ANSI SQL engines
-    h = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
-    toks = toks.withColumn("h", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(1) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{bit}")
-        for bit in range(16)  # 16 bits is plenty for bucketing demo
-    ]
+    md5 = F.md5(F.col("tok"))
+    toks = toks.withColumn(
+        "h_hi", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "h_lo", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    )
+    votes = []
+    for half in ("hi", "lo"):
+        for bit in range(32):
+            votes.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"h_{half}"), bit).bitwiseAND(1) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"{half}{bit}")
+            )
     agg = toks.groupBy("doc_id").agg(*votes)
-    sim = F.lit(0).cast("long")
-    for bit in range(16):
-        sim = sim + F.when(F.col(f"b{bit}") > 0, F.lit(2 ** bit)).otherwise(0)
-    return agg.select("doc_id", sim.alias("simhash"))
+    outs = []
+    for half in ("hi", "lo"):
+        sim = F.lit(0).cast("long")
+        for bit in range(32):
+            sim = sim + F.when(F.col(f"{half}{bit}") > 0,
+                               F.lit(2 ** bit)).otherwise(0)
+        outs.append(sim.alias(f"simhash_{half}"))
+    return agg.select("doc_id", *outs)

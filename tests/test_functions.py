@@ -53,10 +53,12 @@ def test_simhash_similar_docs_close(spark):
          (3, "completely unrelated words about spark engines")],
         "doc_id long, text string",
     )
-    h = {r.doc_id: r.simhash for r in dedup.simhash64(df).collect()}
+    h = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+         for r in dedup.simhash64(df).collect()}
     def hamming(a, b):
         return bin(a ^ b).count("1")
     assert hamming(h[1], h[2]) <= hamming(h[1], h[3])
+    assert all(0 <= v < 1 << 64 for v in h.values())
 
 
 def test_cosine_topk_exact(spark):
