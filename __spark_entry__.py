@@ -1198,6 +1198,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).orderBy("doc_id")
 
 
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 16-bit banding (pigeonhole over the
+    64-bit hash) + Hamming verification — LSH-shaped, never all-pairs."""
+    from pdfplumber_rs_spark.functions.dedup import simhash_candidates
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        simhash_candidates(docs, max_hamming=8)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.text import lang_guess
 
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2423,6 +2437,30 @@ with toks as (
         group by b.doc_id having min(r.rep) < b.doc_id
         order by doc_id""",
         "simhash": _simhash_sql(),
+        "simhash_near": f"""
+            with base as ({_simhash_sql().replace("order by doc_id", "")}
+            ), bands as (
+              select doc_id, simhash_hi, simhash_lo, 0 as band_id,
+                     simhash_hi >> 16 as band_val from base
+              union all
+              select doc_id, simhash_hi, simhash_lo, 1,
+                     simhash_hi & 65535 from base
+              union all
+              select doc_id, simhash_hi, simhash_lo, 2,
+                     simhash_lo >> 16 from base
+              union all
+              select doc_id, simhash_hi, simhash_lo, 3,
+                     simhash_lo & 65535 from base
+            ), pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b,
+                     bit_count(xor(a.simhash_hi, b.simhash_hi))
+                     + bit_count(xor(a.simhash_lo, b.simhash_lo)) as hamming
+              from bands a join bands b
+                on a.band_id = b.band_id and a.band_val = b.band_val
+                and a.doc_id < b.doc_id
+            )
+            select id_a, id_b, cast(hamming as bigint) as hamming
+            from pairs where hamming <= 8 order by id_a, id_b""",
         "lang_guess": f"""
             select doc_id, {_lang_markers_sql()} as lang_guess
             from documents""",

@@ -183,6 +183,40 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_candidates(df: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Charikar-style near-dup candidates: band the 64-bit SimHash into
+    four 16-bit chunks — any pair within Hamming distance 3 shares at
+    least one identical band (pigeonhole), so banding finds all close
+    pairs without an all-pairs join; the Hamming filter then verifies.
+    Scale: one shuffle on (band_id, band_value) — the same bucketed
+    shape as MinHash LSH, never quadratic in the corpus."""
+    sh = simhash64(df, id_col, text_col)
+    bands = None
+    for i, expr in enumerate((
+        F.shiftright("simhash_hi", 16), F.col("simhash_hi").bitwiseAND(0xFFFF),
+        F.shiftright("simhash_lo", 16), F.col("simhash_lo").bitwiseAND(0xFFFF),
+    )):
+        b = sh.select("doc_id", "simhash_hi", "simhash_lo",
+                      F.lit(i).alias("band_id"), expr.alias("band_val"))
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                (F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+                 + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo"))))
+                .alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Full 64-bit SimHash: per-token md5-derived bits, per-bit weighted

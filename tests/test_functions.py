@@ -286,3 +286,18 @@ def test_host_link_graph_and_pagerank(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # rank mass conserved
     # symmetric 2-cycle converges to equal ranks
     assert abs(ranks["a.com"] - ranks["b.com"]) < 1e-6
+
+
+def test_simhash_candidates_banding(spark):
+    from pdfplumber_rs_spark.functions.dedup import simhash_candidates
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),  # identical
+         (3, "entirely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_candidates(df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: distance 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
