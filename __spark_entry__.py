@@ -1198,6 +1198,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).orderBy("doc_id")
 
 
+def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl recrawl dedup: several snapshots of the same page (url =
+    doc_id // 3, warc_ts strictly increasing with doc_id) — keep the
+    NEWEST per url via a window top-1. One url-keyed shuffle; at
+    10^12 rows this is the standard snapshot-compaction pass."""
+    from pyspark.sql import Window as W
+
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    c = corpus_table(spark, sf_dir).select(
+        (F.col("doc_id") / 3).cast("long").alias("page_key"),
+        "doc_id", "warc_ts")
+    w = W.partitionBy("page_key").orderBy(F.col("warc_ts").desc(),
+                                          F.col("doc_id").desc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("page_key", F.col("doc_id").alias("latest_doc_id"))
+        .orderBy("page_key")
+    )
+
+
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 16-bit banding (pigeonhole over the
     64-bit hash) + Hamming verification — LSH-shaped, never all-pairs."""
@@ -1654,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
+        "url_latest": q_url_latest,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2437,6 +2460,10 @@ with toks as (
         group by b.doc_id having min(r.rep) < b.doc_id
         order by doc_id""",
         "simhash": _simhash_sql(),
+        "url_latest": """
+            select doc_id // 3 as page_key,
+                   cast(max(doc_id) as bigint) as latest_doc_id
+            from documents group by 1 order by page_key""",
         "simhash_near": f"""
             with base as ({_simhash_sql().replace("order by doc_id", "")}
             ), bands as (
