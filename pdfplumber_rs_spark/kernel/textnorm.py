@@ -25,8 +25,17 @@ _LIGATURES = {
 }
 
 
+import re as _re
+
+_LIG_RE = _re.compile("[" + "".join(_LIGATURES) + "]")
+# strong-RTL presence prescreen (mirrors _is_strong_rtl's ranges) — a
+# compiled character-class search is C-speed vs a per-char genexpr
+_RTL_RE = _re.compile(
+    "[\u0590-\u08ff\ufb1d-\ufdff\ufe70-\ufeff\U0001ee00-\U0001eeff]")
+
+
 def expand_ligatures(text: str) -> str:
-    if not any(ch in _LIGATURES for ch in text):
+    if _LIG_RE.search(text) is None:
         return text
     return "".join(_LIGATURES.get(ch, ch) for ch in text)
 
@@ -197,7 +206,7 @@ def is_arabic_diacritic_text(text: str) -> bool:
 def apply_bidi_directions(chars: list[dict], y_tolerance: float = 3.0) -> list[dict]:
     if not chars:
         return chars
-    if not any(any(_is_strong_rtl(c) for c in ch["text"]) for ch in chars):
+    if _RTL_RE.search("".join(ch["text"] for ch in chars)) is None:
         return chars
 
     # group into lines by vertical center (bidi.rs:159-191)
