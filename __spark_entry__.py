@@ -1743,14 +1743,14 @@ def _lang_markers_sql() -> str:
         lang: " + ".join(hits(w) for w in ws)
         for lang, ws in LANG_MARKERS.items()
     }
-    # same fold as the Spark side: iterate langs sorted, strict >
-    expr_best = "'und'"
-    expr_score = "0"
-    for lang in sorted(scores):
-        s = f"({scores[lang]})"
-        expr_best = f"case when {s} > {expr_score} then '{lang}' else {expr_best} end"
-        expr_score = f"case when {s} > {expr_score} then {s} else {expr_score} end"
-    return expr_best
+    # linear argmax (the Spark side is array_max over structs): the max
+    # score once, then the first lang (sorted asc = tie-break) hitting it
+    langs = sorted(scores)
+    g = "greatest(" + ", ".join(f"({scores[lang]})" for lang in langs) + ")"
+    branches = " ".join(
+        f"when ({scores[lang]}) = ({g}) then '{lang}'" for lang in langs
+    )
+    return f"case when ({g}) = 0 then 'und' {branches} else 'und' end"
 
 
 def _simhash_sql() -> str:

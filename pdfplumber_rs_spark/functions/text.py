@@ -17,6 +17,9 @@ LANG_MARKERS = {
     "de": ("der", "und", "die"),
     "fr": ("le", "et", "les"),
     "es": ("el", "de", "que"),
+    "it": ("il", "di", "che"),
+    "nl": ("het", "een", "niet"),
+    "pt": ("não", "uma", "com"),
 }
 
 
@@ -39,15 +42,24 @@ def lang_score(text: Column, lang: str) -> Column:
 
 def lang_guess(text: Column) -> Column:
     """argmax over LANG_MARKERS scores; ties broken by language-code
-    order; 'und' when all scores are zero."""
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(LANG_MARKERS):
-        s = lang_score(text, lang)
-        better = s > best_score
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_score = F.when(better, s).otherwise(best_score)
-    return best
+    order (smallest code wins); 'und' when all scores are zero.
+
+    Built as array_max over (score, rank, lang) structs so each score
+    expression appears exactly ONCE — the naive when/otherwise fold
+    embeds the running best twice per language and grows 3^n, blowing
+    the JVM's 64 KB codegen method limit past ~5 languages."""
+    langs = sorted(LANG_MARKERS)
+    n = len(langs)
+    entries = [
+        F.struct(
+            lang_score(text, lang).alias("s"),
+            F.lit(n - 1 - i).alias("r"),  # ties → smallest lang code
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def token_count(text: Column) -> Column:
