@@ -1198,6 +1198,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).orderBy("doc_id")
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean −log p(token) under the
+    corpus's own unigram distribution (CCNet shape with the LM replaced
+    by corpus stats). Vocab aggregated once and broadcast back."""
+    from pdfplumber_rs_spark.functions.text import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "neg_logprob").orderBy("doc_id")
+
+
 def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl recrawl dedup: several snapshots of the same page (url =
     doc_id // 3, warc_ts strictly increasing with doc_id) — keep the
@@ -1677,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "url_latest": q_url_latest,
+        "unigram_logprob": q_unigram_logprob,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -2464,6 +2477,22 @@ with toks as (
             select doc_id // 3 as page_key,
                    cast(max(doc_id) as bigint) as latest_doc_id
             from documents group by 1 order by page_key""",
+        "unigram_logprob": """
+            with toks as (
+              select doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '')) as tok
+              from documents
+            ), vocab as (
+              select tok, count(*) as cnt from toks group by tok
+            ), total as (
+              select sum(cnt)::double as t from vocab
+            )
+            select toks.doc_id,
+                   cast(count(*) as bigint) as n_tokens,
+                   round(avg(-ln(vocab.cnt / total.t)), 6) as neg_logprob
+            from toks join vocab using (tok), total
+            group by toks.doc_id order by toks.doc_id""",
         "simhash_near": f"""
             with base as ({_simhash_sql().replace("order by doc_id", "")}
             ), bands as (

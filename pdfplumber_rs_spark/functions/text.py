@@ -213,6 +213,36 @@ def repetition_features(df, id_col: str = "doc_id",
     )
 
 
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style perplexity proxy: mean negative log-probability of a
+    document's tokens under the corpus's own unigram distribution —
+    high scores flag rare-token/garbage documents the way a KenLM
+    perplexity filter would, with the LM replaced by corpus statistics.
+
+    Plan: one token explode feeds BOTH the vocabulary count (groupBy
+    token — vocab-sized, tiny relative to the corpus) and the per-doc
+    average; the vocab is broadcast back onto the token stream. The
+    only driver scalar is the total token count (an aggregate, like
+    pagerank's node count). Returns (doc_id, n_tokens, neg_logprob)."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
+    scored = toks.join(F.broadcast(vocab), "tok").select(
+        "doc_id", (-F.log(F.col("cnt") / F.lit(float(total)))).alias("nlp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("neg_logprob"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercased, whitespace collapsed, trimmed)."""
