@@ -101,6 +101,72 @@ def char_begins_new_word(current: list[dict], next_char: dict,
     )
 
 
+def _extract_words_vectorized(ordered: list[dict],
+                              options: WordOptions) -> list[dict]:
+    """Vectorized twin of the sequential splitter for the common
+    (keep_blank_chars=False) case: the per-char begins-new-word
+    predicate only looks at the IMMEDIATE predecessor, so the split
+    mask, word boundaries, and per-word bboxes all vectorize (shifted
+    comparisons + minimum/maximum.reduceat). Semantics identical: a
+    blank drops and forces the next char to start a word."""
+    import numpy as np
+
+    n = len(ordered)
+    x0 = np.fromiter((c["x0"] for c in ordered), np.float64, n)
+    x1 = np.fromiter((c["x1"] for c in ordered), np.float64, n)
+    top = np.fromiter((c["top"] for c in ordered), np.float64, n)
+    bot = np.fromiter((c["bottom"] for c in ordered), np.float64, n)
+    doctop = np.fromiter((c["doctop"] for c in ordered), np.float64, n)
+    up = np.fromiter((bool(c["upright"]) for c in ordered), np.bool_, n)
+    blank = np.fromiter(
+        ((not c["text"]) or c["text"].isspace() for c in ordered), np.bool_, n)
+    xt, yt = options.x_tolerance, options.y_tolerance
+    px0, px1, ptop, pbot, pup = x0[:-1], x1[:-1], top[:-1], bot[:-1], up[:-1]
+    cx0, ctop = x0[1:], top[1:]
+    split_h = ((cx0 < px0) | (cx0 > px1 + xt)
+               | (ctop > ptop + yt) | (ctop < ptop - yt))
+    split_v = ((ctop < ptop) | (ctop > pbot + yt)
+               | (cx0 > px0 + xt) | (cx0 < px0 - xt))
+    begins = np.empty(n, np.bool_)
+    begins[0] = True
+    begins[1:] = blank[:-1] | np.where(pup, split_h, split_v)
+    nb = np.nonzero(~blank)[0]
+    if nb.size == 0:
+        return []
+    starts_mask = begins[nb]
+    starts_mask[0] = True
+    seg_starts = np.nonzero(starts_mask)[0]  # offsets into nb
+    wx0 = np.minimum.reduceat(x0[nb], seg_starts)
+    wtop = np.minimum.reduceat(top[nb], seg_starts)
+    wx1 = np.maximum.reduceat(x1[nb], seg_starts)
+    wbot = np.maximum.reduceat(bot[nb], seg_starts)
+    wdoc = np.minimum.reduceat(doctop[nb], seg_starts)
+    nb_l = nb.tolist()
+    seg_l = seg_starts.tolist() + [nb.size]
+    do_lig = options.expand_ligatures
+    words: list[dict] = []
+    for k in range(len(seg_l) - 1):
+        members = [ordered[nb_l[j]] for j in range(seg_l[k], seg_l[k + 1])]
+        text = "".join(c["text"] for c in members)
+        if do_lig:
+            text = expand_ligatures(text)
+        first = members[0]
+        words.append(
+            {
+                "text": text,
+                "x0": float(wx0[k]),
+                "top": float(wtop[k]),
+                "x1": float(wx1[k]),
+                "bottom": float(wbot[k]),
+                "doctop": float(wdoc[k]),
+                "direction": first["direction"],
+                "upright": first["upright"],
+                "chars": members,
+            }
+        )
+    return words
+
+
 def extract_words(chars: list[dict], options: WordOptions | None = None) -> list[dict]:
     if options is None:
         options = WordOptions()
@@ -115,6 +181,8 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
             vertical_ttb=options.text_direction != "btt",
         )
     )
+    if not options.keep_blank_chars and len(ordered) >= 64:
+        return _extract_words_vectorized(ordered, options)
     words: list[dict] = []
     current: list[dict] = []
     bbox: list = [0.0, 0.0, 0.0, 0.0]
