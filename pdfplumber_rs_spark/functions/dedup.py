@@ -183,13 +183,53 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def simhash_candidates(df: DataFrame, max_hamming: int = 8,
+def dedup_components(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", num_hashes: int = 8,
+                     band_size: int = 4, n_rounds: int = 3) -> DataFrame:
+    """Bounded label-propagation connected components over the LSH
+    bucket-membership graph — the transitive closure minhash_dedup's
+    single-pass union approximation skips. Label = min doc_id reachable
+    through shared buckets; each round propagates labels doc→bucket→doc
+    (two keyed aggregations), so round r covers bucket-paths of length
+    r and n_rounds=3 closes chains like A~B~C~D that single-pass
+    keep-the-representative misses.
+
+    Scale (10^12 docs): every round is exactly two shuffles — one on
+    (band, key), one on doc_id — both uniform (band keys are minhash
+    values, doc_ids are arbitrary); no pair enumeration, no driver
+    state, mega-buckets cost their size, not their square. At cluster
+    scale, checkpoint the label frame every few rounds to truncate the
+    growing lineage (same note as pagerank). Returns (doc_id,
+    component) for every document that produced at least one token."""
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
+    labels = bands.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("label"))
+    for _ in range(n_rounds):
+        bucket_min = (
+            bands.join(labels, "doc_id")
+            .groupBy("band", "key").agg(F.min("label").alias("bmin"))
+        )
+        # a doc is a member of each of its buckets, so min(bmin) over
+        # its buckets is <= its previous label: monotone, no max needed
+        labels = (
+            bands.join(bucket_min, ["band", "key"])
+            .groupBy("doc_id").agg(F.min("bmin").alias("label"))
+        )
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def simhash_candidates(df: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Charikar-style near-dup candidates: band the 64-bit SimHash into
     four 16-bit chunks — any pair within Hamming distance 3 shares at
-    least one identical band (pigeonhole), so banding finds all close
-    pairs without an all-pairs join; the Hamming filter then verifies.
+    least one identical band (pigeonhole), so banding finds ALL pairs
+    up to distance 3 without an all-pairs join; the Hamming filter then
+    verifies. RECALL CONTRACT: complete only for max_hamming <= 3 (the
+    default). Callers may pass a larger max_hamming, but pairs at
+    distance 4+ are returned best-effort — only when they happen to
+    share a band; full recall at distance d needs d+1 bands (pass more
+    bands or re-band wider upstream).
     Scale: one shuffle on (band_id, band_value) — the same bucketed
     shape as MinHash LSH, never quadratic in the corpus."""
     sh = simhash64(df, id_col, text_col)
@@ -217,14 +257,29 @@ def simhash_candidates(df: DataFrame, max_hamming: int = 8,
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+# Packed-counter layout for simhash64: each 64-bit sum() lane carries
+# _SH_PER independent _SH_FIELD-bit counters (shifted adds commute with
+# sum), so the per-doc agg buffer is 22 longs + a count instead of 64
+# conditional sums. A counter saturates at 2^21-1 = 2,097,151 tokens per
+# document (~10 MB of text) — far past any real web page.
+_SH_FIELD = 21
+_SH_PER = 3
+_SH_GROUPS = (64 + _SH_PER - 1) // _SH_PER  # 22
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Full 64-bit SimHash: per-token md5-derived bits, per-bit weighted
-    vote via sum(±1), sign → bit. Expressed as explode + groupBy + 64
-    bit aggregations (the shuffle carries 64 small ints per doc). The
-    hash is returned as two 32-bit halves (simhash_hi from md5 hex
-    chars 1-8, simhash_lo from 9-16) so every value stays positive in a
-    signed 64-bit column on both Spark and the SQL oracle."""
+    vote via sum(±1), sign → bit. The ±1 vote over n tokens equals
+    2*count_set - n, so only the per-bit SET counts are aggregated —
+    and those are packed three 21-bit counters per 64-bit long (shifted
+    adds), cutting the groupBy from 64 aggregate expressions to 23.
+    The bit extraction per row stays a pure projection inside
+    whole-stage codegen. The hash is returned as two 32-bit halves
+    (simhash_hi from md5 hex chars 1-8, simhash_lo from 9-16) so every
+    value stays positive in a signed 64-bit column on both Spark and
+    the SQL oracle; results are bit-identical to the unpacked form
+    (vote > 0 ⇔ 2*count_set > n, ties → 0)."""
     n = df.sparkSession.sparkContext.defaultParallelism * 2
     toks = df.repartition(n, id_col).select(
         F.col(id_col).alias("doc_id"),
@@ -236,23 +291,34 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     ).withColumn(
         "h_lo", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
     )
-    votes = []
-    for half in ("hi", "lo"):
-        for bit in range(32):
-            votes.append(
-                F.sum(
-                    F.when(
-                        F.shiftright(F.col(f"h_{half}"), bit).bitwiseAND(1) == 1,
-                        1,
-                    ).otherwise(-1)
-                ).alias(f"{half}{bit}")
-            )
-    agg = toks.groupBy("doc_id").agg(*votes)
+
+    def _bit(i):
+        # logical bit index i in 0..63: 0-31 → hi half, 32-63 → lo half
+        col = "h_hi" if i < 32 else "h_lo"
+        return F.shiftright(F.col(col), i % 32).bitwiseAND(1)
+
+    aggs = [F.count("*").alias("n_tok")]
+    for g in range(_SH_GROUPS):
+        packed = F.lit(0).cast("long")
+        for k in range(_SH_PER):
+            i = g * _SH_PER + k
+            if i >= 64:
+                break
+            packed = packed + _bit(i).cast("long") * F.lit(1 << (_SH_FIELD * k))
+        aggs.append(F.sum(packed).alias(f"p{g}"))
+    agg = toks.groupBy("doc_id").agg(*aggs)
+
+    def _count(i):
+        g, k = divmod(i, _SH_PER)
+        return F.shiftright(F.col(f"p{g}"), _SH_FIELD * k).bitwiseAND(
+            (1 << _SH_FIELD) - 1)
+
     outs = []
-    for half in ("hi", "lo"):
+    for half_idx, half in enumerate(("hi", "lo")):
         sim = F.lit(0).cast("long")
         for bit in range(32):
-            sim = sim + F.when(F.col(f"{half}{bit}") > 0,
+            cnt = _count(half_idx * 32 + bit)
+            sim = sim + F.when(cnt * 2 > F.col("n_tok"),
                                F.lit(2 ** bit)).otherwise(0)
         outs.append(sim.alias(f"simhash_{half}"))
     return agg.select("doc_id", *outs)

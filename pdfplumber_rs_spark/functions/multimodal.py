@@ -102,27 +102,118 @@ def make_fake_image(media_id: int, width: int = 8, height: int = 8) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + body
 
 
-def _decode_image_stub(data: bytes):
-    """Stub decode: real codecs (JPEG/PNG/...) are NOT available in this
-    environment — only the deterministic FAKE format decodes. Returns
-    (width, height, pixel bytes)."""
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG pixel decode → (width, height, 8-bit luma bytes).
+
+    No codec library: chunk walk + zlib (stdlib) + the same PNG
+    un-filtering the PDF Flate predictor path uses
+    (kernel/filters.py:_apply_png_predictor — filter types 0-4 incl.
+    Paeth). Supports 8-bit depth, color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), interlace 0; color is collapsed to luma
+    via integer Rec.601 (299R+587G+114B)/1000. Raises ValueError on
+    unsupported variants (16-bit, palette, Adam7) so callers surface a
+    decode_error column instead of failing the task."""
+    import zlib
+
+    import numpy as np
+
+    from ..kernel.filters import _apply_png_predictor
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    w = h = None
+    depth = ctype = interlace = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + crc
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {ctype} (palette?)")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace unsupported")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    expect = h * (1 + w * ch)
+    if len(raw) < expect:
+        raise ValueError(f"truncated IDAT ({len(raw)} < {expect})")
+    px = _apply_png_predictor(raw[:expect], ch, 8, w)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    if ctype == 0:
+        luma = arr[:, :, 0]
+    elif ctype == 4:
+        luma = arr[:, :, 0]  # gray+alpha: luma is channel 0
+    else:  # RGB / RGBA -> integer Rec.601
+        a32 = arr[:, :, :3].astype(np.uint32)
+        luma = ((299 * a32[:, :, 0] + 587 * a32[:, :, 1]
+                 + 114 * a32[:, :, 2]) // 1000).astype(np.uint8)
+    return int(w), int(h), luma.tobytes()
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit grayscale PNG writer (filter 0 rows, stdlib zlib) — the
+    re-encode half of the codec-free PNG path."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def decode_image(data: bytes) -> tuple[int, int, bytes]:
+    """Decode to (width, height, 8-bit luma bytes). Real path: PNG via
+    decode_png (no codec library needed). FAKE test format decodes its
+    own grid. JPEG/GIF/BMP pixel decode still needs an external codec
+    (Pillow/libvips in production) → NotImplementedError."""
     if data[:8] == FAKE_MAGIC:
         w, h = struct.unpack("<II", data[8:16])
         return w, h, data[16 : 16 + w * h]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
     raise NotImplementedError(
-        "real image decoding requires a codec library not present in this "
-        "container; plug Pillow/libvips here in production"
+        "JPEG/GIF/BMP pixel decoding requires a codec library not present "
+        "in this container; plug Pillow/libvips here in production"
     )
+
+
+# back-compat alias (pre-r3 name; PNG now really decodes)
+_decode_image_stub = decode_image
 
 
 def image_features(df: DataFrame, data_col: str = "data",
                    id_col: str = "media_id") -> DataFrame:
     """Arrow-batched feature extraction over binary media columns. The
     UDF sees pandas batches (never rows); errors become a column, not
-    task failures. Real PNG/JPEG/GIF/BMP containers get format + pixel
-    dimensions via codec-free header parsing; only the FAKE test format
-    decodes pixels (mean_luma) — full decode plugs in here (Pillow/
-    libvips) in production."""
+    task failures. PNG rows get a REAL pixel decode (decode_png — pure
+    Python, no codec library) → mean_luma; JPEG/GIF/BMP get format +
+    dimensions via codec-free header parsing (pixel decode there plugs
+    in Pillow/libvips in production); the FAKE test format decodes its
+    own grid."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,10 +231,18 @@ def image_features(df: DataFrame, data_col: str = "data",
                 if dims is not None:
                     row["format"], w, h = dims[0], dims[1], dims[2]
                     row["width"], row["height"] = int(w), int(h)
+                    if dims[0] == "png":
+                        try:
+                            _w, _h, px = decode_png(data)
+                            row["mean_luma"] = (
+                                round(sum(px) / max(len(px), 1) / 255.0, 6)
+                            )
+                        except Exception as e:  # noqa: BLE001
+                            row["decode_error"] = f"corrupt: {e}"
                     out.append(row)
                     continue
                 try:
-                    w, h, px = _decode_image_stub(data)
+                    w, h, px = decode_image(data)
                     row["format"] = "fake"
                     row["width"], row["height"] = int(w), int(h)
                     row["mean_luma"] = (
@@ -309,8 +408,13 @@ def av_features(df: DataFrame, data_col: str = "data",
 
 def resize_images(df: DataFrame, max_side: int,
                   data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Resize plumbing (nearest-neighbor on the FAKE format; stub for
-    real codecs). Output schema mirrors the input binary column."""
+    """Nearest-neighbor resize over binary image columns: PNG decodes
+    (decode_png) and re-encodes as a REAL grayscale PNG; the FAKE test
+    format round-trips its own container. JPEG/GIF/BMP surface a
+    resize_error until a codec plugs in. Vectorized per image via
+    numpy index grids — no per-pixel Python loop."""
+    import numpy as np
+
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -326,15 +430,21 @@ def resize_images(df: DataFrame, max_side: int,
                 data = bytes(data) if data is not None else b""
                 row = {"media_id": int(mid), "data": None, "resize_error": None}
                 try:
-                    w, h, px = _decode_image_stub(data)
+                    is_png = data[:8] == b"\x89PNG\r\n\x1a\n"
+                    w, h, px = decode_image(data)
                     scale = max(w, h) / max_side if max(w, h) > max_side else 1.0
                     nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
-                    npx = bytes(
-                        px[min(int(y * scale), h - 1) * w + min(int(x * scale), w - 1)]
-                        for y in range(nh)
-                        for x in range(nw)
-                    )
-                    row["data"] = FAKE_MAGIC + struct.pack("<II", nw, nh) + npx
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    ys = np.minimum((np.arange(nh) * scale).astype(np.int64),
+                                    h - 1)
+                    xs = np.minimum((np.arange(nw) * scale).astype(np.int64),
+                                    w - 1)
+                    npx = arr[np.ix_(ys, xs)].tobytes()
+                    if is_png:
+                        row["data"] = encode_png_gray(nw, nh, npx)
+                    else:
+                        row["data"] = (FAKE_MAGIC
+                                       + struct.pack("<II", nw, nh) + npx)
                 except Exception as e:  # noqa: BLE001
                     row["resize_error"] = str(e)
                 out.append(row)

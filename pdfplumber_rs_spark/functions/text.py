@@ -188,11 +188,17 @@ def repetition_features(df, id_col: str = "doc_id",
         F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
                  lambda t: t != "").alias("l"),
     )
+    # Guard: sequence(0, -1) in Spark auto-steps DOWN and yields [0, -1],
+    # so a <2-token doc would throw ArrayIndexOutOfBounds in element_at.
+    # Short docs must contribute an empty gram array instead.
+    bigram_idx = F.when(
+        F.size("l") >= 2, F.sequence(F.lit(0), F.size("l") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = arr.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("l") - 2, F.lit(-1))),
+                bigram_idx,
                 lambda i: F.concat_ws(" ", F.element_at("l", i + 1),
                                       F.element_at("l", i + 2)),
             )
@@ -222,8 +228,10 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     Plan: one token explode feeds BOTH the vocabulary count (groupBy
     token — vocab-sized, tiny relative to the corpus) and the per-doc
     average; the vocab is broadcast back onto the token stream. The
-    only driver scalar is the total token count (an aggregate, like
-    pagerank's node count). Returns (doc_id, n_tokens, neg_logprob)."""
+    corpus-total token count is a 1-row aggregate broadcast-crossJoined
+    into the vocab (NOT collected to the driver), so the whole query is
+    one lazy DAG with no eager job. Returns (doc_id, n_tokens,
+    neg_logprob)."""
     from pyspark.sql import functions as F
 
     toks = df.select(
@@ -234,9 +242,11 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
         ).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
-    scored = toks.join(F.broadcast(vocab), "tok").select(
-        "doc_id", (-F.log(F.col("cnt") / F.lit(float(total)))).alias("nlp"))
+    total = vocab.agg(
+        F.greatest(F.sum("cnt"), F.lit(1)).cast("double").alias("total"))
+    vocab_p = vocab.crossJoin(F.broadcast(total))
+    scored = toks.join(F.broadcast(vocab_p), "tok").select(
+        "doc_id", (-F.log(F.col("cnt") / F.col("total"))).alias("nlp"))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("nlp"), 6).alias("neg_logprob"),

@@ -48,10 +48,18 @@ def redact_pii(text: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams over lowercase alnum tokens."""
+    """Array of space-joined word n-grams over lowercase alnum tokens.
+
+    Documents with fewer than n tokens yield an EMPTY array: Spark's
+    sequence(0, size-n) auto-steps DOWN when size-n < 0 (producing
+    [0, -1]) and F.slice then throws INVALID_PARAMETER_VALUE.START, so
+    the index sequence must be guarded, not clamped."""
     toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        idx,
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
 

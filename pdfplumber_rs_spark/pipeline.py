@@ -1011,6 +1011,42 @@ def render_html(df: DataFrame,
     return df.select("url", "html").mapInArrow(kernel, HTML_SCHEMA)
 
 
+MARKDOWN_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("markdown", StringType()),
+        StructField("meta_json", StringType()),
+    ]
+)
+
+
+def render_markdown(df: DataFrame,
+                    options: ExtractOptions | None = None) -> DataFrame:
+    """US-099 PDF→Markdown per document (anytomd fixtures): headings by
+    font-size ratio (#/##/###), paragraph merge by line pitch, GFM pipe
+    tables, '---' page separators, plus a metadata JSON struct
+    {image_count, image_filenames, page_count, title, warning_count}.
+    Arrow-batched kernel, one pass per document — pages of one doc run
+    inside the batch, documents parallelize across partitions."""
+    arrow_schema = _arrow_schema_for(MARKDOWN_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.markdown import markdown_json
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                try:
+                    md, meta = markdown_json(html)
+                except Exception:  # noqa: BLE001 — lenient
+                    md, meta = None, None
+                out.append({"url": url, "markdown": md, "meta_json": meta})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, MARKDOWN_SCHEMA)
+
+
 SVG_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),

@@ -960,3 +960,58 @@ def expected_text_col(text):
         lines, lambda l: F.trim(F.regexp_replace(l, " +", " "))
     )
     return F.array_join(F.filter(cleaned, lambda l: l != ""), "\n")
+
+
+def _markdown_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Two-page docs for the PDF→Markdown sink (US-099 / anytomd
+    fixtures): page 1 carries a 24pt Helvetica-Bold 'Doc N Title' (→ #)
+    over the 10pt body paragraph; page 2 a 15pt 'Doc N Section' (→ ###,
+    ratio 1.5 like technical-doc's 18/12) over one fixed body line —
+    exercising heading levels, paragraph merging, and the '---' page
+    separator, all closed-form for the SQL oracle."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .pdfgen import build_pdf, sanitize_for_pdf, text_page_content
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            doc_id = int(doc_id)
+            body_lines = sanitize_for_pdf(text or "").split("\n")
+            page1 = b"\n".join(
+                [
+                    text_page_content([f"Doc {doc_id} Title"], font="F3",
+                                      size=24.0, y=750.0),
+                    text_page_content(body_lines, y=700.0),
+                ]
+            )
+            page2 = b"\n".join(
+                [
+                    text_page_content([f"Doc {doc_id} Section"], font="F3",
+                                      size=15.0, y=750.0),
+                    text_page_content(
+                        [f"Markdown section body for doc {doc_id}."],
+                        y=700.0),
+                ]
+            )
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "url": f"https://md.example/{doc_id:08d}.pdf",
+                    "html": build_pdf(
+                        [page1, page2],
+                        fonts={"F1": "Helvetica", "F2": "Courier",
+                               "F3": "Helvetica-Bold"},
+                        info={"Title": f"Doc {doc_id} Title"},
+                    ),
+                }
+            )
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+def markdown_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return _spread(docs).mapInArrow(_markdown_gen_kernel, CHROME_CORPUS_SCHEMA)

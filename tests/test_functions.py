@@ -301,3 +301,48 @@ def test_simhash_candidates_banding(spark):
              for r in simhash_candidates(df, max_hamming=3).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs: distance 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_png_pixel_decode_roundtrip():
+    """Real PNG pixel decode — no codec library: make_png's closed-form
+    pattern must survive chunk-walk + inflate + un-filter exactly."""
+    for w, h, seed in ((5, 3, 7), (31, 17, 123), (1, 1, 0)):
+        ww, hh, px = multimodal.decode_png(multimodal.make_png(w, h, seed=seed))
+        assert (ww, hh) == (w, h)
+        assert px == bytes(((seed + i) * 31) % 256 for i in range(w * h))
+
+
+def test_png_encode_decode_inverse():
+    px = bytes(range(0, 250, 10))
+    data = multimodal.encode_png_gray(5, 5, px)
+    assert multimodal.decode_png(data)[2] == px
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.make_jpeg_header(4, 4))
+
+
+def test_image_features_real_png_luma(spark):
+    rows = [(i, multimodal.make_png(6, 4, seed=i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    feats = {r.media_id: r for r in multimodal.image_features(df).collect()}
+    for i in range(3):
+        exp = sum(((i + k) * 31) % 256 for k in range(24)) / 24 / 255.0
+        assert feats[i].format == "png"
+        assert feats[i].decode_error is None
+        assert abs(feats[i].mean_luma - exp) < 1e-6
+
+
+def test_resize_images_png_reencodes_real_png(spark):
+    rows = [(0, multimodal.make_png(16, 8, seed=5))]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    out = multimodal.resize_images(df, max_side=4).collect()[0]
+    assert out.resize_error is None
+    data = bytes(out.data)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, px = multimodal.decode_png(data)
+    assert max(w, h) == 4 and len(px) == w * h
