@@ -2911,12 +2911,17 @@ with toks as (
               from documents
             )
             select doc_id,
-                   'Document ' || cast(doc_id as varchar) || chr(10)
-                   || array_to_string(l[1:8], ' ')
+                   'Document ' || cast(doc_id as varchar)
+                   -- jusText-lite keeps a non-heading block only when it
+                   -- has >= min_words=5 words: para1 = words 1-8 (needs
+                   -- len >= 5), para2 = words 9-18 (needs len-8 >= 5)
+                   || case when len(l) >= 5
+                        then chr(10) || array_to_string(l[1:8], ' ')
+                        else '' end
                    || case when len(l) >= 13
                         then chr(10) || array_to_string(l[9:18], ' ')
                         else '' end as main_text,
-                   cast(case when len(l) >= 13 then 3 else 2 end as int)
+                   cast(1 + (len(l) >= 5)::int + (len(l) >= 13)::int as int)
                      as n_blocks_kept
             from w order by doc_id""",
         "doc_repetition": """

@@ -107,7 +107,11 @@ class LoadedFont:
         """(w1y, vx, vy): /W2 override, else DW2/defaults — pdfminer uses
         a CONSTANT vx of half an em (500/1000 = fontsize*0.5) when /W2
         gives no position vector, NOT the spec's w0/2 (golden parity,
-        pdfbox-3127-vfont)."""
+        pdfbox-3127-vfont). Deliberate divergence from the reference:
+        cid_font.rs:227-262 uses default_width/2 (DW2 fallback) and
+        hw/2 (vmtx path) — identical only when /DW is the default 1000.
+        Our golden oracle is pdfplumber/pdfminer byte parity, so the
+        constant half-em wins."""
         vm = self.cid_vertical.get(cid)
         if vm is not None:
             return vm
