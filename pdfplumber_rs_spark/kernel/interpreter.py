@@ -94,10 +94,10 @@ class PaintedPath:
 
 class ImageEvent:
     __slots__ = ("name", "ctm", "src_width", "src_height", "colorspace",
-                 "filter", "inline", "data")
+                 "filter", "inline", "data", "bits")
 
     def __init__(self, name, ctm, src_width, src_height, colorspace,
-                 filt, inline, data=None) -> None:
+                 filt, inline, data=None, bits=0) -> None:
         self.name = name
         self.ctm = ctm
         self.src_width = src_width
@@ -106,6 +106,7 @@ class ImageEvent:
         self.filter = filt
         self.inline = inline
         self.data = data
+        self.bits = bits
 
 
 class _GState:
@@ -403,6 +404,7 @@ class Interpreter:
                                 str(img.get("ColorSpace", "") or ""),
                                 str(img.get("Filter", "") or ""),
                                 True, raw,
+                                int(img.get("BitsPerComponent", 0) or 0),
                             )
                         )
                 else:
@@ -570,6 +572,7 @@ class Interpreter:
                 rcs = resolve_colorspace(self.doc, cs)
                 cs_name = (f"{rcs.family}({rcs.ncomp})" if rcs is not None
                            else "unknown")
+            bits = self.doc.resolve(obj.dict.get("BitsPerComponent"))
             self.images.append(
                 ImageEvent(
                     name, gs.ctm,
@@ -578,6 +581,7 @@ class Interpreter:
                     cs_name,
                     str(filt) if filt is not None else "",
                     False,
+                    bits=int(bits) if isinstance(bits, (int, float)) else 0,
                 )
             )
         elif subtype == "Form":

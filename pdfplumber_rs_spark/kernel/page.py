@@ -250,6 +250,7 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
                 ]
 
     images: list[dict] = []
+    n_inline = 0
     for ev in image_events:
         # bbox = CTM unit-square transform (images.rs:71)
         a, b, c, d, e, f = ev.ctm
@@ -271,9 +272,18 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
                     data = f(data)
                 except Exception:  # noqa: BLE001 — keep raw on failure
                     pass
-        img = {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
+        if ev.inline:
+            # inline images get a synthetic counter name (images.rs:
+            # inline-N convention, matched by real_world_integration.rs)
+            name = f"inline-{n_inline}"
+            n_inline += 1
+        else:
+            name = ev.name
+        img = {"name": name,
+               "x0": x0, "top": top, "x1": x1, "bottom": bottom,
                "src_width": ev.src_width, "src_height": ev.src_height,
                "colorspace": ev.colorspace, "filter": ev.filter,
+               "bits_per_component": ev.bits,
                "inline": ev.inline, "data": data}
         if needs_rotation:
             _rotate_bbox(img, raw_page_height, geom)

@@ -123,6 +123,7 @@ LINK_FIELDS = [
     ("uri", StringType()),
 ]
 IMAGE_FIELDS = [
+    ("name", StringType()),
     ("x0", DoubleType()),
     ("top", DoubleType()),
     ("x1", DoubleType()),
@@ -131,6 +132,7 @@ IMAGE_FIELDS = [
     ("src_height", IntegerType()),
     ("colorspace", StringType()),
     ("filter", StringType()),
+    ("bits_per_component", IntegerType()),
     ("inline", BooleanType()),
     ("data", BinaryType()),  # decoded content (S9); None for XObjects
 ]
@@ -693,9 +695,10 @@ def hyperlinks_table(pages: DataFrame) -> DataFrame:
 def images_table(pages: DataFrame) -> DataFrame:
     i = pages.select("url", "page_number",
                      F.posexplode("images").alias("seq", "i"))
-    return i.select("url", "page_number", "seq", "i.x0", "i.top", "i.x1",
-                    "i.bottom", "i.src_width", "i.src_height",
-                    "i.colorspace", "i.filter", "i.inline", "i.data")
+    return i.select("url", "page_number", "seq", "i.name", "i.x0", "i.top",
+                    "i.x1", "i.bottom", "i.src_width", "i.src_height",
+                    "i.colorspace", "i.filter", "i.bits_per_component",
+                    "i.inline", "i.data")
 
 
 _FILTER_EXT = {

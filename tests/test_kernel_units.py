@@ -321,9 +321,10 @@ def test_inline_image_bbox_and_mcid():
     )
     page = Document(pdf).page(0)
     assert page.images == [{
+        "name": "inline-0",
         "x0": 100.0, "top": 792.0 - 225.0, "x1": 150.0, "bottom": 792.0 - 200.0,
         "src_width": 2, "src_height": 2, "colorspace": "DeviceGray",
-        "filter": "ASCIIHexDecode", "inline": True,
+        "filter": "ASCIIHexDecode", "bits_per_component": 8, "inline": True,
         "data": bytes((0x11, 0x22, 0x33, 0x44)),  # decoded AHx payload
     }]
     # mcid 0 on 'abc' chars, mcid 2 on 'xy 9'; the empty line emits none
