@@ -1472,6 +1472,23 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the inverted-list scale path alongside LSH):
+    corpus binned once to its nearest coarse centroid (deterministic
+    first-8 codebook → SQL-expressible), queries probe their 2 closest
+    cells, exact cosine rank inside the probed lists. Plan shape:
+    broadcast centroids, ONE cell-keyed corpus shuffle, broadcast
+    probes — FAISS IVF semantics on DataFrames."""
+    from pdfplumber_rs_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        "cos_sim",
+    ).orderBy("query_id", "rank")
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path, verified: lsh_topk (bucketed approximate
     top-k) per query, plus recall@5 against the exact cosine_topk
@@ -1713,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dedup": q_embedding_dedup,
         "token_count": q_token_count,
         "winnowing": q_winnowing,
@@ -2679,6 +2697,48 @@ with toks as (
             from ranked where rank <= 5 order by query_id, rank""",
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": """
+            with cents as (
+              select vec_id as cell, embedding as cvec
+              from embeddings where vec_id < 8
+            ), ascore as (
+              select v.vec_id, c.cell,
+                     round(list_dot_product(v.embedding, c.cvec) /
+                       greatest(sqrt(list_dot_product(v.embedding, v.embedding))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)),
+                         1e-12), 4) as cos_c
+              from embeddings v, cents c
+            ), assigned as (
+              select vec_id, cell from (
+                select *, row_number() over (partition by vec_id
+                  order by cos_c desc, cell asc) as rn from ascore)
+              where rn = 1
+            ), probes as (
+              select vec_id as query_id, cell from (
+                select *, row_number() over (partition by vec_id
+                  order by cos_c desc, cell asc) as rn from ascore
+                where vec_id < 10)
+              where rn <= 2
+            ), cand as (
+              select p.query_id, a.vec_id as neighbor_id
+              from probes p join assigned a using (cell)
+              where a.vec_id <> p.query_id
+            ), scored as (
+              select cand.query_id, cand.neighbor_id,
+                     round(list_dot_product(c.embedding, q.embedding) /
+                       greatest(sqrt(list_dot_product(c.embedding, c.embedding))
+                         * sqrt(list_dot_product(q.embedding, q.embedding)),
+                         1e-12), 4) as cos_sim
+              from cand
+              join embeddings c on c.vec_id = cand.neighbor_id
+              join embeddings q on q.vec_id = cand.query_id
+            ), ranked as (
+              select *, row_number() over (partition by query_id
+                order by cos_sim desc, neighbor_id asc) as rank
+              from scored
+            )
+            select query_id, neighbor_id, cast(rank as int) as rank, cos_sim
+            from ranked where rank <= 5 order by query_id, rank""",
         "embedding_dedup": f"""
             with u as (
               select vec_id, embedding from embeddings

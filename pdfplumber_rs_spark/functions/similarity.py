@@ -105,6 +105,78 @@ def embedding_dedup(df: DataFrame, dim: int, threshold: float = 0.999,
         F.min(F.col("a.id")).alias("keep_id"))
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: (vec_id, cell) = nearest centroid by
+    cosine (4dp; ties → lowest cell id). Centroids are broadcast (they
+    are tiny by construction), scoring happens map-side, and max_by
+    partial aggregation reduces the k-amplified rows back to one per
+    vector BEFORE the vec_id-keyed shuffle — uniform key, no blowup at
+    10^12 rows."""
+    c = centroids.select(F.col("cell"), F.col("cvec"))
+    scored = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cell",
+            cosine(F.col("vec"), F.col("cvec")).alias("cos_c"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("cos_c"), -F.col("cell")))
+        .alias("cell")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 8,
+             nprobe: int = 2, k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k (the inverted-list ANN shape, FAISS
+    IVF semantics): corpus vectors are binned to their nearest coarse
+    centroid once; each query probes only its nprobe closest cells and
+    ranks candidates by exact cosine. Returns (query_id, neighbor_id,
+    cos_sim, rank).
+
+    The coarse codebook here is training-free and deterministic — the
+    first n_cells corpus vectors by id — so the whole index has a
+    closed-form SQL oracle. In production the codebook comes from
+    k-means (or is shipped with the model); everything downstream —
+    broadcast centroids, one cell-keyed corpus shuffle (the inverted
+    lists), broadcast query probes — is identical and is the part that
+    must scale."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    # inverted lists: one cell per corpus vector
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec2")) \
+        .join(assigned.withColumnRenamed("vec_id", "neighbor_id"),
+              "neighbor_id")
+    # probes: nprobe cells per query
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    qscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_c"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cell").asc())
+    probes = (qscored.withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= nprobe)
+              .select("query_id", "qvec", "cell"))
+    # candidate generation: same-cell join, queries broadcast
+    cand = c.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("cvec2"), F.col("qvec")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _multi_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
                    id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(out_id, table, bucket) memberships over n_tables independent
