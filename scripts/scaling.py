@@ -108,8 +108,10 @@ def main() -> None:
         "target": 0.8,
         "pass": efficiency >= 0.8,
     }
-    # MERGE into the evidence file: keep the saturation/control sections,
-    # replace the north-rule pairing and archive the previous run
+    # MERGE into the evidence file, keyed by N: the headline north-rule
+    # pairing is the 2->8 run; other N (e.g. the 8->32 single-host
+    # saturation diagnostic) update their own section and never clobber
+    # the headline or its prior-run history
     path = REPO / "BENCH_SCALING.json"
     doc: dict = {}
     if path.exists():
@@ -117,17 +119,20 @@ def main() -> None:
             doc = json.loads(path.read_text())
         except ValueError:
             doc = {}
-    prev = doc.get("north_rule_pairing")
+    key = ("north_rule_pairing" if n == 2
+           else f"saturated_pairing_{n}_to_{4 * n}")
+    prev = doc.get(key)
     prior = (prev or {}).get("prior_runs", [])
     if prev and "low" in prev:
         prior = prior + [{
             "low_sec": prev["low"]["sec"], "high_sec": prev["high"]["sec"],
             "scaling_efficiency": prev["scaling_efficiency"],
         }]
-    doc["north_rule_pairing"] = {**result, "prior_runs": prior}
-    doc["scaling_efficiency"] = efficiency
-    doc["target"] = 0.8
-    doc["pass"] = efficiency >= 0.8
+    doc[key] = {**result, "prior_runs": prior}
+    if n == 2:
+        doc["scaling_efficiency"] = efficiency
+        doc["target"] = 0.8
+        doc["pass"] = efficiency >= 0.8
     path.write_text(json.dumps(doc, indent=2))
     print(json.dumps(result))
 
