@@ -1661,6 +1661,40 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization with the open session carried in state
+    across micro-batches. Events are fed as 4 time-ranged files with
+    maxFilesPerTrigger=1, so sessions genuinely span batch boundaries;
+    the drained output is every CLOSED session (each user's final open
+    session stays in state — the oracle excludes each user's last)."""
+    import tempfile
+
+    from pdfplumber_rs_spark.streaming import stream_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="ev_sess_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    # epoch arithmetic in the Arrow kernel must see UTC-naive timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events")
+    n = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    # 4 sequential time-ranged appends → 4 micro-batches in time order
+    for i in range(4):
+        (ranked.filter(
+            (F.col("rn") > i * n / 4) & (F.col("rn") <= (i + 1) * n / 4))
+         .drop("rn").coalesce(1)
+         .write.mode("append").parquet(inp))
+    q = stream_sessionize(spark, inp, out, ckpt)
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact-dedup: dropDuplicatesWithinWatermark
     over the events stream keyed on (user_id, event_type) — one state
@@ -1739,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "stream_windowed": q_stream_windowed,
         "stream_dedup": q_stream_dedup,
+        "stream_sessionize": q_stream_sessionize,
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
         "html_main_content": q_html_main_content,
@@ -2875,6 +2910,36 @@ with toks as (
             from c, m
             where day + interval 1 day <= mx - interval 1 hour
             order by day, event_type""",
+        "stream_sessionize": """
+            -- gap sessionization on epoch-microsecond diffs (> 1800 s),
+            -- each user's LAST session excluded (it stays open in the
+            -- streaming operator's state at drain time)
+            with g as (
+              select user_id, event_id, ts, epoch_us(ts) as us,
+                     case when epoch_us(ts)
+                            - lag(epoch_us(ts)) over (partition by user_id
+                                order by ts, event_id) > 1800000000
+                          then 1 else 0 end as brk
+              from events
+            ), s as (
+              select user_id, us,
+                     sum(brk) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as session_id
+              from g
+            ), agg as (
+              select user_id, session_id,
+                     min(us) as start_us, max(us) as end_us,
+                     count(*) as n_events
+              from s group by user_id, session_id
+            )
+            select user_id, start_us, end_us,
+                   cast(n_events as bigint) as n_events
+            from agg a
+            where session_id < (select max(session_id) from agg
+                                where user_id = a.user_id)
+            order by user_id, start_us""",
         "image_luma": """
             with p as (
               select doc_id as media_id,

@@ -101,6 +101,84 @@ def stream_dedup(spark: SparkSession, input_path: str, output_path: str,
     )
 
 
+def stream_sessionize(spark: SparkSession, input_path: str,
+                      output_path: str, checkpoint: str,
+                      gap_seconds: int = 1800):
+    """CUSTOM stateful streaming operator via `applyInPandasWithState`
+    (the escape hatch for semantics Structured Streaming's built-in
+    windows can't express): per-user gap-based sessionization. State =
+    the one open session (start_us, last_us, n_events) per user_id; a
+    micro-batch's events merge into it in (ts, event_id) order, every
+    gap > gap_seconds CLOSES a session (emitted downstream) and opens
+    the next. Only closed sessions are emitted — with an availableNow
+    drain the final open session per user stays in state, so the
+    deterministic oracle is "all sessions except each user's last".
+
+    Scale shape: state is one tiny tuple per active user, partitioned
+    by user_id (uniform key); each micro-batch shuffles once on
+    user_id. Micro-batches must arrive time-ordered per user (the
+    Kafka-partition-by-user contract); the test feeds time-ranged
+    files with maxFilesPerTrigger=1."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("cnt", LongType()),
+    ])
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start = last = cnt = None
+        uid = key[0]
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, cnt = t, t, 1
+            elif t - last > gap_us:
+                closed.append((uid, start, last, cnt))
+                start, last, cnt = t, t, 1
+            else:
+                last = t
+                cnt += 1
+        state.update((start, last, cnt))
+        out = pd.DataFrame(
+            closed, columns=["user_id", "start_us", "end_us", "n_events"])
+        yield out.astype("int64") if len(out) else out
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_path)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet").option("path", output_path)
+        .start()
+    )
+
+
 def stream_windowed_counts(spark: SparkSession, input_path: str,
                            output_path: str, checkpoint: str,
                            window: str = "1 day",

@@ -66,3 +66,43 @@ def test_stream_dedup_stateful(spark, tmp_path):
     got = sorted((r.user_id, r.event_type)
                  for r in spark.read.parquet(out).collect())
     assert got == [(10, "click"), (10, "view"), (11, "view")]
+
+
+def test_stream_sessionize_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session whose events are
+    split across two micro-batch files must come out as ONE session
+    (state carries the open session across batches); each user's final
+    open session is withheld."""
+    import datetime as dt
+
+    from pdfplumber_rs_spark.streaming import stream_sessionize
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click",
+                1.0, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # batch 1: user 1 session A starts (2 events, 10 min apart)
+    spark.createDataFrame([ev(0, 0, 1), ev(1, 10, 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+    # batch 2: session A CONTINUES (gap 20 min < 30), then a >30 min gap
+    # opens session B, which stays open (never emitted)
+    spark.createDataFrame([ev(2, 30, 1), ev(3, 120, 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_sessionize(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1, rows  # one closed session, open tail withheld
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 3  # events 0,1,2 merged
+    assert (r.end_us - r.start_us) == 30 * 60 * 1_000_000
