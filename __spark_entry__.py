@@ -1472,6 +1472,52 @@ def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: per VIDEO row, a 1-per-second
+    timestamp grid derived from the real MP4 mvhd duration
+    (duration_s = n_units / rate) — the decode-free half of
+    frame extraction; at scale one narrow explode, no shuffle."""
+    from pdfplumber_rs_spark.functions.multimodal import (
+        av_features, frame_sample_plan)
+    from pdfplumber_rs_spark.sources.corpus import av_corpus_table
+
+    media = av_corpus_table(spark, sf_dir)
+    feats = av_features(media).filter(F.col("kind") == "video")
+    with_dur = feats.withColumn(
+        "duration_s", F.col("n_units") / F.col("rate"))
+    return (
+        frame_sample_plan(with_dur, every_s=1.0)
+        .select("media_id",
+                F.round("sample_ts", 4).alias("sample_ts"))
+        .orderBy("media_id", "sample_ts")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing: deterministic md5-ordered quota of 25
+    documents per language — reproducible sampling with per-stratum
+    caps, one lang-keyed shuffle."""
+    from pdfplumber_rs_spark.functions.sampling import stratified_take
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        stratified_take(docs, "lang", quota=25)
+        .select("doc_id", "lang",
+                F.col("sample_rank").cast("int").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard manifest: documents in id order packed into
+    contiguous ~50k-token shards via the distributed two-phase prefix
+    sum (no global-window single-task bottleneck)."""
+    from pdfplumber_rs_spark.functions.sampling import shard_by_token_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    return shard_by_token_budget(docs, budget=50_000).orderBy("doc_id")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the inverted-list scale path alongside LSH):
     corpus binned once to its nearest coarse centroid (deterministic
@@ -1776,6 +1822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
+        "frame_sample": q_frame_sample,
+        "stratified_sample": q_stratified_sample,
+        "token_shards": q_token_shards,
         "html_main_content": q_html_main_content,
         "link_graph": q_link_graph,
         "pagerank_hosts": q_pagerank_hosts,
@@ -3107,6 +3156,52 @@ with toks as (
               and round(u.n_distinct / greatest(u.n_tokens, 1), 6) >= 0.2
               and coalesce(t.top_bigram_count, 0) * 2 <= u.n_tokens
             order by u.doc_id""",
+        "frame_sample": """
+            with v as (
+              select doc_id as media_id,
+                     1000 * (1 + doc_id % 3) as rate,
+                     (doc_id % 9000) + 1000 as n_units
+              from documents where doc_id % 2 = 1
+            ), n as (
+              select media_id,
+                     greatest(cast(ceil((n_units * 1.0 / rate) / 1.0)
+                                   as bigint), 1) as n_frames
+              from v
+            )
+            select media_id,
+                   round(cast(unnest(range(0, n_frames)) as double)
+                         * 1.0, 4) as sample_ts
+            from n order by media_id, sample_ts""",
+        "stratified_sample": """
+            with r as (
+              select doc_id, lang,
+                     row_number() over (partition by lang
+                       order by md5(cast(doc_id as varchar)), doc_id)
+                       as sample_rank
+              from documents
+            )
+            select doc_id, lang, cast(sample_rank as int) as sample_rank
+            from r where sample_rank <= 25
+            order by lang, sample_rank""",
+        "token_shards": """
+            with t as (
+              select doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) as n_tokens
+              from documents
+            ), c as (
+              select doc_id, n_tokens,
+                     sum(n_tokens) over (order by doc_id
+                       rows between unbounded preceding and current row)
+                       as cum_tokens
+              from t
+            )
+            select doc_id, cast(n_tokens as bigint) as n_tokens,
+                   cast(cum_tokens as bigint) as cum_tokens,
+                   cast(floor((cum_tokens - n_tokens) / 50000.0)
+                        as bigint) as shard
+            from c order by doc_id""",
         "av_meta": """
             select doc_id as media_id,
                    case when doc_id % 2 = 0 then 'audio' else 'video' end

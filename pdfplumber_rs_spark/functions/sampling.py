@@ -1,0 +1,81 @@
+"""Data-mixing / batching operators for training-data pipelines.
+
+- stratified_take: deterministic per-stratum quota sampling (domain /
+  language mixing weights) — hash-ordered row_number per stratum, so
+  the sample is reproducible and SQL-expressible (no RNG state).
+- shard_by_token_budget: contiguous token-budget sharding (the
+  sequence-packing / shard-manifest pass before tokenizer workers) via
+  a DISTRIBUTED two-phase prefix sum — a naive global window would
+  funnel 10^12 rows through one task; here partition-local cumsums get
+  per-partition offsets from a tiny broadcast side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def stratified_take(df: DataFrame, strata_col: str, quota: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keep at most `quota` rows per stratum, chosen by md5(id) order
+    (a uniform, reproducible pseudo-random draw — the shape of
+    language/domain mixing with per-stratum caps). One shuffle keyed on
+    the stratum; skewed strata are bounded by the quota itself after
+    the rank filter. Output adds `sample_rank` (1-based within
+    stratum)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def shard_by_token_budget(docs: DataFrame, budget: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Assign documents (in deterministic id order) to contiguous
+    shards of ~`budget` tokens: shard = floor(tokens_before / budget).
+    A document starting inside shard k belongs to shard k even if it
+    crosses the boundary (next-fit sharding — the manifest convention
+    for feeding fixed-budget tokenizer/packing workers).
+
+    Scale shape: global prefix sum WITHOUT a global window —
+    repartitionByRange(id) gives ordered partitions, each computes its
+    local cumsum; per-partition totals (one row per partition) get
+    offsets via a single tiny window and broadcast back. The big side
+    shuffles once (the range partition); no single-task bottleneck.
+
+    Returns (id, n_tokens, cum_tokens, shard)."""
+    spark = docs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    t = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    part = (
+        t.repartitionByRange(n, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (Window.partitionBy("_pid").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = part.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    # one row per partition → a single-partition window over ~n rows
+    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_total"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_total").over(w_off), F.lit(0)))
+    cum = (
+        local.join(F.broadcast(offsets.select("_pid", "_offset")), "_pid")
+        .withColumn("cum_tokens", F.col("_local_cum") + F.col("_offset"))
+    )
+    return cum.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(budget)).cast("long").alias("shard"),
+    )

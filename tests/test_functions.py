@@ -346,3 +346,35 @@ def test_resize_images_png_reencodes_real_png(spark):
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     w, h, px = multimodal.decode_png(data)
     assert max(w, h) == 4 and len(px) == w * h
+
+
+def test_shard_by_token_budget_next_fit(spark):
+    """A document STARTING inside shard k belongs to k even if it
+    crosses the boundary; empty docs take the shard of their position."""
+    from pdfplumber_rs_spark.functions.sampling import shard_by_token_budget
+
+    rows = [
+        (0, "a b c"),          # 3 tokens, cum 3  -> shard 0
+        (1, "d e f g"),        # 4 tokens, cum 7  -> starts at 3 -> shard 0
+        (2, ""),               # 0 tokens, cum 7  -> starts at 7 -> shard 1
+        (3, "h i"),            # 2 tokens, cum 9  -> starts at 7 -> shard 1
+        (4, "j k l m n o"),    # 6 tokens, cum 15 -> starts at 9 -> shard 1
+        (5, "p"),              # 1 token,  cum 16 -> starts at 15 -> shard 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens, r.shard)
+           for r in shard_by_token_budget(df, budget=5).collect()}
+    assert got == {0: (3, 3, 0), 1: (4, 7, 0), 2: (0, 7, 1),
+                   3: (2, 9, 1), 4: (6, 15, 1), 5: (1, 16, 3)}
+
+
+def test_stratified_take_deterministic(spark):
+    from pdfplumber_rs_spark.functions.sampling import stratified_take
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted((r.doc_id, r.sample_rank)
+               for r in stratified_take(df, "lang", 5).collect())
+    b = sorted((r.doc_id, r.sample_rank)
+               for r in stratified_take(df, "lang", 5).collect())
+    assert a == b and len(a) == 10  # 5 per stratum, repeatable
