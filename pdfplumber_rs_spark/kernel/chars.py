@@ -1,11 +1,16 @@
-"""Char assembly: CharEvents -> positioned Char dicts (numpy-vectorized).
+"""Char assembly: CharRuns -> positioned Char dicts (numpy-vectorized).
 
 Port of the reference bbox math
 (crates/pdfplumber-parse/src/char_extraction.rs:28-128):
 Trm = [Tfs*Th, 0, 0, Tfs, 0, Trise] x Tm x CTM; bbox = AABB of the four
 transformed corners of (ox, oy+descent)-(ox+w0/1000, oy+ascent);
 y-flip top = page_height - max_y; upright iff no shear; direction from
-the dominant Trm axis. Vectorized across all chars of a page.
+the dominant Trm axis.
+
+The interpreter emits COLUMNAR CharRuns (one per show op: constants on
+the run, per-glyph lists) so the numpy columns here build from
+list.extend + np.repeat over run lengths — no per-glyph object or
+per-event attribute scan exists anywhere on this path.
 """
 
 from __future__ import annotations
@@ -13,28 +18,61 @@ from __future__ import annotations
 import numpy as np
 
 
-def chars_from_events(events: list, page_height: float) -> list[dict]:
-    n = len(events)
-    if n == 0:
+def chars_from_events(runs: list, page_height: float) -> list[dict]:
+    """runs: list[interpreter.CharRun] for one page."""
+    runs = [r for r in runs if r.codes]
+    if not runs:
         return []
+    nruns = len(runs)
+    lens = np.fromiter((len(r.codes) for r in runs), np.int64, nruns)
+    n = int(lens.sum())
 
-    tfs = np.fromiter((e.font_size for e in events), dtype=np.float64, count=n)
-    th = np.fromiter((e.h_scaling for e in events), dtype=np.float64, count=n)
-    rise = np.fromiter((e.rise for e in events), dtype=np.float64, count=n)
-    disp = np.fromiter((e.displacement for e in events), dtype=np.float64, count=n)
-    asc = np.fromiter((e.ascent for e in events), dtype=np.float64, count=n)
-    desc = np.fromiter((e.descent for e in events), dtype=np.float64, count=n)
-    vx = np.fromiter((e.vertical_origin[0] for e in events), dtype=np.float64, count=n)
-    vy = np.fromiter((e.vertical_origin[1] for e in events), dtype=np.float64, count=n)
+    # per-run constants -> per-glyph via repeat
+    rscal = np.array(
+        [(r.font_size, r.h_scaling, r.rise, r.ascent, r.descent)
+         for r in runs],
+        dtype=np.float64,
+    )
+    tfs, th, rise, asc, desc = np.repeat(rscal, lens, axis=0).T
+    abcd = np.repeat(
+        np.array([r.tm_abcd for r in runs], dtype=np.float64), lens, axis=0)
+    a2, b2, c2, d2 = abcd.T
+    cmat = np.repeat(
+        np.array([r.ctm for r in runs], dtype=np.float64), lens, axis=0)
 
-    tmat = np.array([e.text_matrix for e in events], dtype=np.float64)  # (n,6)
-    cmat = np.array([e.ctm for e in events], dtype=np.float64)
+    # per-glyph columns -> flat lists (C-speed extend), one np.array each
+    disp_l: list = []
+    e_l: list = []
+    f_l: list = []
+    any_vert = False
+    for r in runs:
+        disp_l.extend(r.w0s)
+        e_l.extend(r.es)
+        f_l.extend(r.fs)
+        if r.vxs is not None:
+            any_vert = True
+    disp = np.asarray(disp_l, dtype=np.float64)
+    e2 = np.asarray(e_l, dtype=np.float64)
+    f2 = np.asarray(f_l, dtype=np.float64)
+    if any_vert:
+        vx_l: list = []
+        vy_l: list = []
+        for r, ln in zip(runs, lens):
+            if r.vxs is None:
+                vx_l.extend([0.0] * int(ln))
+                vy_l.extend([0.0] * int(ln))
+            else:
+                vx_l.extend(r.vxs)
+                vy_l.extend(r.vys)
+        vx = np.asarray(vx_l, dtype=np.float64)
+        vy = np.asarray(vy_l, dtype=np.float64)
+    else:
+        vx = vy = np.zeros(n, dtype=np.float64)
 
     # fm = [tfs*th, 0, 0, tfs, 0, rise]; trm1 = fm x Tm
     A1 = tfs * th
     D1 = tfs
     F1 = rise
-    a2, b2, c2, d2, e2, f2 = (tmat[:, i] for i in range(6))
     t_a = A1 * a2
     t_b = A1 * b2
     t_c = D1 * c2
@@ -43,7 +81,7 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     t_f = F1 * d2 + f2
 
     # trm = trm1 x CTM
-    a3, b3, c3, d3, e3, f3 = (cmat[:, i] for i in range(6))
+    a3, b3, c3, d3, e3, f3 = cmat.T
     a = t_a * a3 + t_b * c3
     b = t_a * b3 + t_b * d3
     c = t_c * a3 + t_d * c3
@@ -92,8 +130,8 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     is_vert = (vx != 0.0) | (vy != 0.0)
     size = np.where(is_vert, max_x - min_x, max_y - min_y)
 
-    # bulk-convert to Python scalars once (tolist) instead of per-field
-    # float() casts per char; CTMs are shared tuples — cache by identity
+    # bulk-convert to Python scalars once (tolist); run constants
+    # (fontname, colors, ctm tuple, mcid/tag) are reused per run
     min_x_l = min_x.tolist()
     max_x_l = max_x.tolist()
     top_l = top.tolist()
@@ -101,38 +139,45 @@ def chars_from_events(events: list, page_height: float) -> list[dict]:
     size_l = size.tolist()
     upright_l = upright.tolist()
     vert_l = is_vert.tolist()
-    dir_l = [dir_names[d] for d in direction.tolist()]
+    dir_l = [dir_names[di] for di in direction.tolist()]
     ctm_cache: dict[int, tuple] = {}
 
     out: list[dict] = []
-    for i, ev in enumerate(events):
-        uni = ev.unicode
-        if uni is None:
-            uni = "�"
-        raw_ctm = ev.ctm
+    i = 0
+    for r in runs:
+        raw_ctm = r.ctm
         ctm = ctm_cache.get(id(raw_ctm))
         if ctm is None:
             ctm = tuple(float(v) for v in raw_ctm)
             ctm_cache[id(raw_ctm)] = ctm
-        out.append(
-            {
-                "text": uni,
-                "x0": min_x_l[i],
-                "top": top_l[i],
-                "x1": max_x_l[i],
-                "bottom": bottom_l[i],
-                "fontname": ev.font_name,
-                "size": size_l[i],
-                "_wmode": 1 if vert_l[i] else 0,
-                "doctop": top_l[i],
-                "upright": upright_l[i],
-                "direction": dir_l[i],
-                "stroking_color": ev.stroking_color,
-                "non_stroking_color": ev.non_stroking_color,
-                "ctm": ctm,
-                "char_code": int(ev.char_code),
-                "mcid": ev.mcid,
-                "tag": ev.tag,
-            }
-        )
+        fname = r.font_name
+        mcid = r.mcid
+        tag = r.tag
+        sc = r.stroking_color
+        nsc = r.non_stroking_color
+        for code, uni in zip(r.codes, r.unis):
+            if uni is None:
+                uni = "�"
+            out.append(
+                {
+                    "text": uni,
+                    "x0": min_x_l[i],
+                    "top": top_l[i],
+                    "x1": max_x_l[i],
+                    "bottom": bottom_l[i],
+                    "fontname": fname,
+                    "size": size_l[i],
+                    "_wmode": 1 if vert_l[i] else 0,
+                    "doctop": top_l[i],
+                    "upright": upright_l[i],
+                    "direction": dir_l[i],
+                    "stroking_color": sc,
+                    "non_stroking_color": nsc,
+                    "ctm": ctm,
+                    "char_code": int(code),
+                    "mcid": mcid,
+                    "tag": tag,
+                }
+            )
+            i += 1
     return out

@@ -46,35 +46,45 @@ def transform_point(m, x, y):
     return (a * x + c * y + e, b * x + d * y + f)
 
 
-class CharEvent:
+class CharRun:
+    """One Tj/TJ-segment's glyphs as COLUMNS: the text state (font,
+    size, colors, mcid, Tm a-d, CTM …) is constant across a show
+    operation — only (code, unicode, width, Tm e/f) vary per glyph, and
+    within a run Tm changes by pure translation. Storing one run object
+    + per-glyph lists replaces a per-glyph CharEvent object, and lets
+    char assembly build its numpy columns with list.extend + np.repeat
+    instead of per-event attribute scans (chars.py)."""
+
     __slots__ = (
-        "char_code", "unicode", "font_name", "font_size", "h_scaling",
-        "rise", "text_matrix", "ctm", "displacement", "ascent", "descent",
-        "vertical_origin", "mcid", "tag", "stroking_color", "non_stroking_color",
+        "font_name", "font_size", "h_scaling", "rise", "tm_abcd", "ctm",
+        "ascent", "descent", "mcid", "tag",
+        "stroking_color", "non_stroking_color",
+        "codes", "unis", "w0s", "es", "fs", "vxs", "vys",
     )
 
-    def __init__(self, char_code, unicode, font_name, font_size, h_scaling,
-                 rise, text_matrix, ctm, displacement, ascent, descent,
-                 vertical_origin, mcid, tag, stroking_color,
-                 non_stroking_color) -> None:
-        # positional, not **kwargs: this runs once per GLYPH — the
-        # setattr loop was ~10% of kernel time at profile
-        self.char_code = char_code
-        self.unicode = unicode
+    def __init__(self, font_name, font_size, h_scaling, rise, tm_abcd,
+                 ctm, ascent, descent, mcid, tag, stroking_color,
+                 non_stroking_color, codes, unis, w0s, es, fs,
+                 vxs=None, vys=None) -> None:
         self.font_name = font_name
         self.font_size = font_size
         self.h_scaling = h_scaling
         self.rise = rise
-        self.text_matrix = text_matrix
+        self.tm_abcd = tm_abcd
         self.ctm = ctm
-        self.displacement = displacement
         self.ascent = ascent
         self.descent = descent
-        self.vertical_origin = vertical_origin
         self.mcid = mcid
         self.tag = tag
         self.stroking_color = stroking_color
         self.non_stroking_color = non_stroking_color
+        self.codes = codes
+        self.unis = unis
+        self.w0s = w0s
+        self.es = es
+        self.fs = fs
+        self.vxs = vxs  # None for horizontal runs (vx = vy = 0)
+        self.vys = vys
 
 
 class PaintedPath:
@@ -146,7 +156,7 @@ class Interpreter:
         self.doc = doc
         self.warnings = warnings if warnings is not None else []
         self.max_objects = max_objects
-        self.chars: list[CharEvent] = []
+        self.chars: list[CharRun] = []
         self.paths: list[PaintedPath] = []
         self.images: list[ImageEvent] = []
         self._font_cache: dict[int, LoadedFont] = {}
@@ -477,7 +487,19 @@ class Interpreter:
         else:
             pairs = [(b, None) for b in data]
 
+        if not pairs:
+            return tm
         cache = font.code_cache if font is not None else None
+        # per-glyph columns; text-state constants live once on the run
+        codes: list = []
+        unis: list = []
+        w0s: list = []
+        es: list = []
+        fs: list = []
+        a2, b2, c2, d2, te, tf = tm
+        vxs = vys = None
+        if wmode == 1:
+            vxs, vys = [], []
         for code, raw in pairs:
             if font is not None:
                 # per-font memo: width + unicode are pure functions of
@@ -503,6 +525,11 @@ class Interpreter:
                     uni = chr(code)
                 except ValueError:
                     uni = None
+            codes.append(code)
+            unis.append(uni)
+            w0s.append(w0)
+            es.append(te)
+            fs.append(tf)
             if wmode == 1:
                 # vertical: advance along y by w1 from /W2 → /DW2 → vmtx
                 # (cid_font.rs:227-250; defaults w1=-1000, vy=880, vx=w0/2)
@@ -510,30 +537,25 @@ class Interpreter:
                     w1, vx, vy = font.get_vertical_metric(code)
                 else:
                     w1, vx, vy = -1000.0, w0 / 2.0, 880.0
+                vxs.append(vx)
+                vys.append(vy)
                 ty = (w1 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)
-                self.chars.append(
-                    CharEvent(
-                        code, uni, fname, tfs, th, gs.rise, tm, gs.ctm,
-                        w0, asc, desc, (vx, vy), mcid, tag,
-                        gs.stroke_color, gs.fill_color,
-                    )
-                )
                 # tm = translate(0, ty) · tm, inlined (per-glyph hot path)
-                a2, b2, c2, d2, e2, f2 = tm
-                tm = (a2, b2, c2, d2, ty * c2 + e2, ty * d2 + f2)
+                te = ty * c2 + te
+                tf = ty * d2 + tf
             else:
                 tx = ((w0 / 1000.0) * tfs + tc + (tw if code == 32 else 0.0)) * th
-                self.chars.append(
-                    CharEvent(
-                        code, uni, fname, tfs, th, gs.rise, tm, gs.ctm,
-                        w0, asc, desc, _ZERO2, mcid, tag,
-                        gs.stroke_color, gs.fill_color,
-                    )
-                )
                 # tm = translate(tx, 0) · tm, inlined
-                a2, b2, c2, d2, e2, f2 = tm
-                tm = (a2, b2, c2, d2, tx * a2 + e2, tx * b2 + f2)
-        return tm
+                te = tx * a2 + te
+                tf = tx * b2 + tf
+        self.chars.append(
+            CharRun(
+                fname, tfs, th, gs.rise, (a2, b2, c2, d2), gs.ctm,
+                asc, desc, mcid, tag, gs.stroke_color, gs.fill_color,
+                codes, unis, w0s, es, fs, vxs, vys,
+            )
+        )
+        return (a2, b2, c2, d2, te, tf)
 
     def _show_tj(self, arr: list, gs: _GState, tm, mc_stack) -> tuple:
         tfs = gs.font_size

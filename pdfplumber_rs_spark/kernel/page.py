@@ -204,7 +204,7 @@ class Page:
 def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
                char_events: list, painted_paths: list, image_events: list,
                options: ExtractOptions, warnings: list[str]) -> Page:
-    """CharEvents/paths -> Page with normalized coordinates."""
+    """CharRuns/paths -> Page with normalized coordinates."""
     needs_rotation = geom.rotation != 0
 
     chars = chars_from_events(char_events, raw_page_height)
