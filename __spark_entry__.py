@@ -922,7 +922,10 @@ def q_pdf_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    pages = P.extract_pages(corpus, handle_skew=False, include=("chars",))
+    # handle_skew=True: run the PRODUCTION giant-doc path (size probe +
+    # blob spill + page-range split) on one heavyweight oracle query so
+    # plan realism is verified beyond pdf_giant_doc's forced split
+    pages = P.extract_pages(corpus, handle_skew=True, include=("chars",))
     st = P.structure_table(corpus)
     sem = P.semantic_text(pages, st)
     ids = _corpus_ids(spark, sf_dir)
