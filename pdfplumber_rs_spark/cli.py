@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import csv
-import io
 import json
 import sys
 
@@ -79,13 +78,10 @@ def cmd_text(args) -> int:
         print(json.dumps([
             {"page": i + 1, "text": t} for i, t in zip(idxs, texts)]))
     elif args.format == "html":
-        from .kernel.html import render_html
+        from .kernel.html import page_to_html
 
-        res = {"pages": [
-            {"page_number": i + 1, "chars": doc.page(i).chars,
-             "tables": doc.page(i).find_tables(None), "text": t}
-            for i, t in zip(idxs, texts)]}
-        print(render_html(res))
+        print("\n".join(
+            h for h in (page_to_html(doc.page(i)) for i in idxs) if h))
     else:
         print("\n\n".join(texts))
     return 0

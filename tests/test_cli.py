@@ -139,3 +139,11 @@ def test_encrypted_password():
         f.flush()
         r = run_cli("text", f.name, "--password", "pw")
         assert r.returncode == 0 and "secret words" in r.stdout
+
+
+def test_text_html_and_layout():
+    r = run_cli("text", str(GEN / "table_lattice.pdf"),
+                "--format", "html")
+    assert r.returncode == 0 and "<table>" in r.stdout
+    r = run_cli("text", str(GEN / "basic_text.pdf"), "--layout")
+    assert r.returncode == 0 and "quick brown fox" in r.stdout
