@@ -1270,6 +1270,32 @@ def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl churn analytics (the companion to url_latest's
+    compaction): per page (url = doc_id // 3, snapshots = its doc_ids),
+    how many snapshots exist and how often the CONTENT actually changed
+    (distinct text fingerprints). One uniform page-keyed shuffle with
+    map-side partial aggregation; drives recrawl-frequency policy at
+    crawl scale."""
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 3).cast("long").alias("page_key"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    return (
+        docs.groupBy("page_key")
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.countDistinct("fp").cast("long").alias("n_versions"),
+        )
+        .withColumn(
+            "change_rate",
+            F.round((F.col("n_versions") - 1)
+                    / F.greatest(F.col("n_snapshots") - 1, F.lit(1)), 6),
+        )
+        .orderBy("page_key")
+    )
+
+
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 16-bit banding (pigeonhole over the
     64-bit hash) + Hamming verification — LSH-shaped, never all-pairs."""
@@ -1806,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near": q_simhash_near,
         "url_latest": q_url_latest,
+        "url_change_rate": q_url_change_rate,
         "unigram_logprob": q_unigram_logprob,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
@@ -2703,6 +2730,15 @@ with toks as (
         "url_latest": """
             select doc_id // 3 as page_key,
                    cast(max(doc_id) as bigint) as latest_doc_id
+            from documents group by 1 order by page_key""",
+        "url_change_rate": """
+            select doc_id // 3 as page_key,
+                   cast(count(*) as bigint) as n_snapshots,
+                   cast(count(distinct md5(coalesce(text, '')))
+                        as bigint) as n_versions,
+                   round((count(distinct md5(coalesce(text, ''))) - 1)
+                         * 1.0 / greatest(count(*) - 1, 1), 6)
+                     as change_rate
             from documents group by 1 order by page_key""",
         "unigram_logprob": """
             with toks as (
