@@ -84,3 +84,14 @@ _char = st.fixed_dictionaries({
 @given(st.lists(_char, max_size=100), st.sampled_from([0.5, 1.0, 3.0]))
 def test_dedupe_matches_bruteforce(chars, tol):
     assert dedupe_chars(list(chars), tol) == _brute(chars, tol)
+
+
+@settings(max_examples=40, deadline=5000)
+@given(st.binary(max_size=2048))
+def test_scan_tokenizer_differential(data):
+    """The regex-scan fast path must agree with the Lexer path (or
+    decline) on ARBITRARY bytes — the hypothesis twin of the seeded
+    fuzz in test_tokenizer_scan.py."""
+    from tests.test_tokenizer_scan import _assert_equiv
+
+    _assert_equiv(data)
