@@ -75,6 +75,43 @@ def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
     return out
 
 
+def _order_perm(chars: list[dict], y_tol: float):
+    """Vectorized twin of iter_sort_chars for the default direction
+    flags: returns the ordering PERMUTATION as a numpy index array.
+    Semantics identical — consecutive upright runs (stream order), each
+    run clustered by pdfplumber's unique-value chaining on the primary
+    key (doctop upright / x0 vertical, y_tolerance both ways), clusters
+    in ascending-key order, stable sort by the secondary key within a
+    line — expressed as one stable lexsort over (run, cluster, key2)."""
+    import numpy as np
+
+    n = len(chars)
+    up = np.fromiter((bool(c["upright"]) for c in chars), np.bool_, n)
+    doctop = np.fromiter((c["doctop"] for c in chars), np.float64, n)
+    x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
+    run_change = np.empty(n, np.bool_)
+    run_change[0] = True
+    run_change[1:] = up[1:] != up[:-1]
+    run_id = np.cumsum(run_change) - 1
+    key = np.where(up, doctop, x0)
+    sec = np.where(up, x0, doctop)
+    clust = np.empty(n, np.int64)
+    starts = np.nonzero(run_change)[0]
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        vals = key[s:e]
+        uniq = np.unique(vals)
+        if uniq.size == 1:
+            clust[s:e] = 0
+            continue
+        brk = np.empty(uniq.size, np.bool_)
+        brk[0] = False
+        brk[1:] = np.diff(uniq) > y_tol  # strict >, objects.py chaining
+        cid = np.cumsum(brk)
+        clust[s:e] = cid[np.searchsorted(uniq, vals)]
+    return np.lexsort((sec, clust, run_id))  # stable → stream-order ties
+
+
 def char_begins_new_word(current: list[dict], next_char: dict,
                          x_tol: float, y_tol: float,
                          bbox: list | None = None) -> bool:
@@ -102,24 +139,32 @@ def char_begins_new_word(current: list[dict], next_char: dict,
 
 
 def _extract_words_vectorized(ordered: list[dict],
-                              options: WordOptions) -> list[dict]:
+                              options: WordOptions,
+                              cols: dict | None = None) -> list[dict]:
     """Vectorized twin of the sequential splitter for the common
     (keep_blank_chars=False) case: the per-char begins-new-word
     predicate only looks at the IMMEDIATE predecessor, so the split
     mask, word boundaries, and per-word bboxes all vectorize (shifted
     comparisons + minimum/maximum.reduceat). Semantics identical: a
-    blank drops and forces the next char to start a word."""
+    blank drops and forces the next char to start a word. `cols`, when
+    provided by the ordering pass, carries the already-permuted numpy
+    columns so the dicts are not re-scanned."""
     import numpy as np
 
     n = len(ordered)
-    x0 = np.fromiter((c["x0"] for c in ordered), np.float64, n)
-    x1 = np.fromiter((c["x1"] for c in ordered), np.float64, n)
-    top = np.fromiter((c["top"] for c in ordered), np.float64, n)
-    bot = np.fromiter((c["bottom"] for c in ordered), np.float64, n)
-    doctop = np.fromiter((c["doctop"] for c in ordered), np.float64, n)
-    up = np.fromiter((bool(c["upright"]) for c in ordered), np.bool_, n)
-    blank = np.fromiter(
-        ((not c["text"]) or c["text"].isspace() for c in ordered), np.bool_, n)
+    if cols is not None:
+        x0, x1, top, bot = cols["x0"], cols["x1"], cols["top"], cols["bot"]
+        doctop, up, blank = cols["doctop"], cols["up"], cols["blank"]
+    else:
+        x0 = np.fromiter((c["x0"] for c in ordered), np.float64, n)
+        x1 = np.fromiter((c["x1"] for c in ordered), np.float64, n)
+        top = np.fromiter((c["top"] for c in ordered), np.float64, n)
+        bot = np.fromiter((c["bottom"] for c in ordered), np.float64, n)
+        doctop = np.fromiter((c["doctop"] for c in ordered), np.float64, n)
+        up = np.fromiter((bool(c["upright"]) for c in ordered), np.bool_, n)
+        blank = np.fromiter(
+            ((not c["text"]) or c["text"].isspace() for c in ordered),
+            np.bool_, n)
     xt, yt = options.x_tolerance, options.y_tolerance
     px0, px1, ptop, pbot, pup = x0[:-1], x1[:-1], top[:-1], bot[:-1], up[:-1]
     cx0, ctop = x0[1:], top[1:]
@@ -172,15 +217,19 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
         options = WordOptions()
     if not chars:
         return []
-    ordered = (
-        list(chars)
-        if options.use_text_flow
-        else iter_sort_chars(
+    cols = None
+    if options.use_text_flow:
+        ordered = list(chars)
+    elif options.text_direction in ("rtl", "btt") or len(chars) < 64:
+        # reversal flags / tiny pages: the sequential reference path
+        ordered = iter_sort_chars(
             chars, options.x_tolerance, options.y_tolerance,
             horizontal_ltr=options.text_direction != "rtl",
             vertical_ttb=options.text_direction != "btt",
         )
-    )
+    else:
+        ordered = [chars[i] for i in _order_perm(
+            chars, options.y_tolerance).tolist()]
     if not options.keep_blank_chars and len(ordered) >= 64:
         return _extract_words_vectorized(ordered, options)
     words: list[dict] = []
