@@ -1270,6 +1270,31 @@ def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the classic operator Spark's API lacks): every odd
+    event (the 'trade' side) picks up the value of the NEWEST even
+    event ('quote' side) at-or-before its timestamp for the same user.
+    One key-based shuffle via union + ordered last-non-null carry —
+    never a range cross-join. DuckDB's native ASOF LEFT JOIN is the
+    oracle."""
+    from pdfplumber_rs_spark.functions.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    quotes = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts",
+        F.col("event_id").alias("quote_id"),
+        F.col("value").alias("quote_value"))
+    return (
+        asof_join(trades, quotes, key="user_id", left_ts="ts",
+                  right_ts="ts", right_cols=["quote_id", "quote_value"])
+        .select("event_id", "user_id", "quote_id",
+                F.round("quote_value", 6).alias("quote_value"))
+        .orderBy("event_id")
+    )
+
+
 def q_url_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl churn analytics (the companion to url_latest's
     compaction): per page (url = doc_id // 3, snapshots = its doc_ids),
@@ -1833,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "url_latest": q_url_latest,
         "url_change_rate": q_url_change_rate,
+        "asof_join": q_asof_join,
         "unigram_logprob": q_unigram_logprob,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
@@ -2731,6 +2757,21 @@ with toks as (
             select doc_id // 3 as page_key,
                    cast(max(doc_id) as bigint) as latest_doc_id
             from documents group by 1 order by page_key""",
+        "asof_join": """
+            with trades as (
+              select event_id, user_id, ts from events
+              where event_id % 2 = 1
+            ), quotes as (
+              select user_id, ts, event_id as quote_id,
+                     value as quote_value
+              from events where event_id % 2 = 0
+            )
+            select t.event_id, t.user_id, q.quote_id,
+                   round(q.quote_value, 6) as quote_value
+            from trades t
+            asof left join quotes q
+              on t.user_id = q.user_id and t.ts >= q.ts
+            order by t.event_id""",
         "url_change_rate": """
             select doc_id // 3 as page_key,
                    cast(count(*) as bigint) as n_snapshots,

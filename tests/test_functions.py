@@ -378,3 +378,31 @@ def test_stratified_take_deterministic(spark):
     b = sorted((r.doc_id, r.sample_rank)
                for r in stratified_take(df, "lang", 5).collect())
     assert a == b and len(a) == 10  # 5 per stratum, repeatable
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before match per key; null when no prior right."""
+    import datetime as dt
+
+    from pdfplumber_rs_spark.functions.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(5)), (2, 1, ts(10)), (3, 1, ts(2)), (4, 2, ts(7))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(5), 100, 1.5), (1, ts(8), 101, 2.5), (2, ts(9), 102, 9.0)],
+        "user_id long, ts timestamp, quote_id long, quote_value double")
+    got = {r.event_id: (r.quote_id, r.quote_value)
+           for r in asof_join(left, right, "user_id", "ts", "ts",
+                              ["quote_id", "quote_value"]).collect()}
+    assert got == {
+        1: (100, 1.5),   # equal ts matches (inclusive)
+        2: (101, 2.5),   # newest at-or-before 10 is ts(8)
+        3: (None, None),  # nothing at-or-before ts(2)
+        4: (None, None),  # user 2's only quote is later (ts 9 > 7)
+    }
