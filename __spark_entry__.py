@@ -1295,6 +1295,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: every 10th event opens a 30-minute window
+    per user; count the user's events inside each window. Both sides
+    equi-join on (user, time-bucket) — the interval explodes over its
+    covered buckets, the point lands in one — then exact containment
+    filters; never an inequality cross-join. DuckDB checks with the
+    plain inequality join."""
+    from pdfplumber_rs_spark.functions.joins import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", "ts")
+    intervals = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("w_end"))
+    joined = range_join(points, intervals, key="user_id", ts="ts",
+                        start="w_start", end="w_end",
+                        bucket_seconds=1800)
+    return (
+        joined.groupBy("window_id")
+        .agg(F.count("*").cast("long").alias("n_events_in_window"))
+        .orderBy("window_id")
+    )
+
+
 def q_url_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl churn analytics (the companion to url_latest's
     compaction): per page (url = doc_id // 3, snapshots = its doc_ids),
@@ -1859,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest": q_url_latest,
         "url_change_rate": q_url_change_rate,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "unigram_logprob": q_unigram_logprob,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
@@ -2757,6 +2784,18 @@ with toks as (
             select doc_id // 3 as page_key,
                    cast(max(doc_id) as bigint) as latest_doc_id
             from documents group by 1 order by page_key""",
+        "range_join": """
+            with w as (
+              select user_id, event_id as window_id, ts as w_start,
+                     ts + interval 30 minutes as w_end
+              from events where event_id % 10 = 0
+            )
+            select w.window_id,
+                   cast(count(*) as bigint) as n_events_in_window
+            from events e join w
+              on e.user_id = w.user_id
+             and e.ts >= w.w_start and e.ts <= w.w_end
+            group by w.window_id order by w.window_id""",
         "asof_join": """
             with trades as (
               select event_id, user_id, ts from events

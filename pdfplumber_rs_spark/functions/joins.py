@@ -16,6 +16,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(points: DataFrame, intervals: DataFrame, key: str,
+               ts: str, start: str, end: str,
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval join without an inequality cross-join: both
+    sides bucket on floor(epoch / bucket_seconds) — intervals EXPLODE
+    across every bucket they cover, points land in exactly one — then
+    an equi-join on (key, bucket) + the exact containment filter. A
+    (point, interval) pair can only meet in the point's bucket, so no
+    dedup pass is needed. Shuffle is uniform on (key, bucket); interval
+    fan-out is len/bucket_seconds + 1, so pick the bucket near the
+    typical interval length. Returns all point columns + the interval
+    columns (suffixed where colliding is the caller's job)."""
+    b = int(bucket_seconds)
+    p = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts)) / b).cast("long"))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),
+            F.floor(F.unix_timestamp(F.col(end)) / b).cast("long"),
+        )),
+    )
+    return (
+        p.join(i, [key, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               right_cols: list[str]) -> DataFrame:

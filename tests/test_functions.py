@@ -406,3 +406,28 @@ def test_asof_join_semantics(spark):
         3: (None, None),  # nothing at-or-before ts(2)
         4: (None, None),  # user 2's only quote is later (ts 9 > 7)
     }
+
+
+def test_range_join_boundaries(spark):
+    """Containment is inclusive on both ends; intervals spanning
+    multiple buckets still meet their points exactly once."""
+    import datetime as dt
+
+    from pdfplumber_rs_spark.functions.joins import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    points = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(100)), (3, 1, ts(3700)),
+         (4, 1, ts(3701)), (5, 2, ts(100))],
+        "event_id long, user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, 10, ts(0), ts(3700))],  # spans 3 buckets at 1800s
+        "user_id long, window_id long, w_start timestamp, w_end timestamp")
+    got = sorted(r.event_id for r in range_join(
+        points, intervals, "user_id", "ts", "w_start", "w_end",
+        bucket_seconds=1800).collect())
+    assert got == [1, 2, 3]  # inclusive ends; 4 is past, 5 wrong user
