@@ -1270,6 +1270,28 @@ def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy DAG — quality
+    filter (Gopher rules) → exact dedup (lowest-id survivor per
+    fingerprint) → token-budget shard manifest over the survivors.
+    Catalyst fuses the filter into the scans; three shuffles total
+    (repetition agg, fingerprint agg, shard range partition)."""
+    from pdfplumber_rs_spark.functions.dedup import dedup_exact
+    from pdfplumber_rs_spark.functions.sampling import shard_by_token_budget
+    from pdfplumber_rs_spark.functions.text import repetition_features
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = repetition_features(docs)
+    kept_ids = feats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("distinct_token_frac") >= 0.2)
+        & (F.col("top_bigram_count") * 2 <= F.col("n_tokens"))
+    ).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    unique = dedup_exact(kept)
+    return shard_by_token_budget(unique, budget=50_000).orderBy("doc_id")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (the classic operator Spark's API lacks): every odd
     event (the 'trade' side) picks up the value of the NEWEST even
@@ -1886,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_change_rate": q_url_change_rate,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "pipeline_e2e": q_pipeline_e2e,
         "unigram_logprob": q_unigram_logprob,
         "lang_guess": q_lang_guess,
         "quality": q_quality,
@@ -2784,6 +2807,61 @@ with toks as (
             select doc_id // 3 as page_key,
                    cast(max(doc_id) as bigint) as latest_doc_id
             from documents group by 1 order by page_key""",
+        "pipeline_e2e": """
+            with toks as (
+              select doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as l
+              from documents
+            ), uni as (
+              select doc_id, text, cast(len(l) as bigint) as n_toks,
+                     cast(len(list_distinct(l)) as bigint) as n_distinct
+              from toks
+            ), bi as (
+              select doc_id,
+                     l[cast(t.i as int)] || ' ' || l[cast(t.i as int) + 1]
+                       as gram
+              from toks, lateral unnest(generate_series(1, len(l) - 1))
+                as t(i)
+              where len(l) >= 2
+            ), topbi as (
+              select doc_id, cast(max(c) as bigint) as top_bigram_count
+              from (select doc_id, gram, count(*) as c
+                    from bi group by doc_id, gram)
+              group by doc_id
+            ), kept as (
+              select u.doc_id, u.text
+              from uni u left join topbi t using (doc_id)
+              where u.n_toks >= 20
+                and round(u.n_distinct / greatest(u.n_toks, 1), 6) >= 0.2
+                and coalesce(t.top_bigram_count, 0) * 2 <= u.n_toks
+            ), fp as (
+              select doc_id, text,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) as f
+              from kept
+            ), uniq as (
+              select doc_id, text from fp
+              where doc_id = (select min(doc_id) from fp f2
+                              where f2.f = fp.f)
+            ), counted as (
+              select doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) as n_tokens
+              from uniq
+            ), c as (
+              select doc_id, n_tokens,
+                     sum(n_tokens) over (order by doc_id
+                       rows between unbounded preceding and current row)
+                       as cum_tokens
+              from counted
+            )
+            select doc_id, cast(n_tokens as bigint) as n_tokens,
+                   cast(cum_tokens as bigint) as cum_tokens,
+                   cast(floor((cum_tokens - n_tokens) / 50000.0)
+                        as bigint) as shard
+            from c order by doc_id""",
         "range_join": """
             with w as (
               select user_id, event_id as window_id, ts as w_start,
