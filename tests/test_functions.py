@@ -431,3 +431,19 @@ def test_range_join_boundaries(spark):
         points, intervals, "user_id", "ts", "w_start", "w_end",
         bucket_seconds=1800).collect())
     assert got == [1, 2, 3]  # inclusive ends; 4 is past, 5 wrong user
+
+
+def test_shard_by_token_budget_partition_invariant(spark):
+    """The two-phase prefix sum must give identical shards at any
+    parallelism — the bug class that only shows up on a real cluster."""
+    from pdfplumber_rs_spark.functions.sampling import shard_by_token_budget
+
+    rows = [(i, " ".join(["w"] * (i % 17 + 1))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for nparts in (1, 3, 17):
+        outs.append(sorted(
+            (r.doc_id, r.cum_tokens, r.shard)
+            for r in shard_by_token_budget(
+                df, budget=50, num_partitions=nparts).collect()))
+    assert outs[0] == outs[1] == outs[2]
