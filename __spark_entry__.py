@@ -1718,6 +1718,29 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans across documents (Lee et al.
+    arXiv:2107.06499 semantics via k-gram fingerprints): maximal token
+    spans >= 5 tokens that appear in >= 2 distinct documents, reported
+    as (doc_id, span_start, span_len). Two uniform gram-key shuffles +
+    one doc_id window — never pairwise in the corpus."""
+    from pdfplumber_rs_spark.functions.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=5).orderBy("doc_id", "span_start")
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: strip every token
+    covered by a cross-document duplicated span (>= 5 tokens) and
+    report per-doc survivor counts + md5 of the cleaned text. After
+    the two gram-key shuffles everything is doc_id-keyed."""
+    from pdfplumber_rs_spark.functions.dedup import remove_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, k=5).orderBy("doc_id")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (webclean.py): deterministic synthetic
     PII is appended to each document so the regexes are tested on known
@@ -1897,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_markdown": q_pdf_markdown,
         "dedup_cc": q_dedup_cc,
         "image_luma": q_image_luma,
+        "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3116,6 +3141,78 @@ with toks as (
                    cast(sum(n_chars) as bigint) as sum_chars,
                    cast(count(distinct norm_url) as bigint) as n_urls
             from n group by 1 order by host""",
+        "dup_spans": """
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), g as (
+              select doc_id, cast(u.i as int) - 1 as pos,
+                     md5(array_to_string(
+                       toks[cast(u.i as int): cast(u.i as int) + 4],
+                       chr(1))) as g
+              from t, lateral unnest(generate_series(1, len(toks) - 4))
+                as u(i)
+              where len(toks) >= 5
+            ), d as (
+              select g from g group by g
+              having count(distinct doc_id) >= 2
+            ), p as (
+              select doc_id, pos from g where g in (select g from d)
+            ), i as (
+              select doc_id, pos,
+                     pos - row_number() over (partition by doc_id
+                       order by pos) as isl
+              from p
+            )
+            select doc_id, cast(min(pos) as int) as span_start,
+                   cast(max(pos) - min(pos) + 5 as int) as span_len
+            from i group by doc_id, isl
+            order by doc_id, span_start""",
+        "dup_span_removal": """
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), tok as (
+              select doc_id, cast(u.i as int) - 1 as tpos,
+                     toks[cast(u.i as int)] as tok
+              from t, lateral unnest(generate_series(1, len(toks))) as u(i)
+              where len(toks) >= 1
+            ), g as (
+              select doc_id, cast(u.i as int) - 1 as pos,
+                     md5(array_to_string(
+                       toks[cast(u.i as int): cast(u.i as int) + 4],
+                       chr(1))) as g
+              from t, lateral unnest(generate_series(1, len(toks) - 4))
+                as u(i)
+              where len(toks) >= 5
+            ), d as (
+              select g from g group by g
+              having count(distinct doc_id) >= 2
+            ), cov as (
+              select distinct g.doc_id, g.pos + cast(o.j as int) as tpos
+              from g, lateral unnest(generate_series(0, 4)) as o(j)
+              where g.g in (select g from d)
+            ), kept as (
+              select tok.doc_id, tok.tpos, tok.tok
+              from tok left join cov
+                on tok.doc_id = cov.doc_id and tok.tpos = cov.tpos
+              where cov.tpos is null
+            ), ka as (
+              select doc_id, count(*) as n_kept,
+                     string_agg(tok, ' ' order by tpos) as clean
+              from kept group by doc_id
+            )
+            select t.doc_id, cast(len(t.toks) as bigint) as n_tokens,
+                   cast(coalesce(ka.n_kept, 0) as bigint) as n_kept,
+                   cast(len(t.toks) - coalesce(ka.n_kept, 0) as bigint)
+                     as n_removed,
+                   md5(coalesce(ka.clean, '')) as clean_md5
+            from t left join ka on t.doc_id = ka.doc_id
+            order by t.doc_id""",
         "winnowing": """
             with s as (
               select doc_id,

@@ -12,7 +12,7 @@ All JVM-side column expressions; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, word_tokens
@@ -322,3 +322,137 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
                                F.lit(2 ** bit)).otherwise(0)
         outs.append(sim.alias(f"simhash_{half}"))
     return agg.select("doc_id", *outs)
+
+
+def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-substring spans — the exact-substring
+    training-data dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), which builds
+    a corpus suffix array to find repeated byte ranges. A suffix array
+    is inherently sequential; the Spark-native equivalent is k-gram
+    fingerprinting: token position p starts duplicated content iff the
+    k-gram at p occurs in >= 2 distinct documents, and the maximal
+    duplicated spans are the islands of consecutive duplicated
+    positions (gaps-and-islands over one per-doc window). Every
+    repeated substring of >= k tokens is found exactly; resolution of
+    the reported boundaries is k tokens.
+
+    Returns (doc_id, span_start, span_len): token offset of each
+    maximal duplicated span and its length in tokens (>= k).
+
+    Scale (10^12 docs): grams are keyed by their full 128-bit md5 hex —
+    uniform and collision-free at any corpus size — so the dup-gram
+    aggregation and the left-semi join back are two uniform shuffles;
+    the islands window is one doc_id shuffle. Candidate volume is
+    linear in corpus tokens, never pairwise. The dup-gram set is NOT
+    broadcast (it scales with the corpus); the semi-join stays a
+    shuffled hash join on the gram key."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    # short docs (< k tokens) yield an empty position array, not
+    # sequence(0, negative) — the descending-sequence crash class
+    # ADVICE.md flagged in repetition_features/word_ngrams
+    positions = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(0), F.size("toks") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(positions).alias("idx", "pos"),
+        "toks",
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {k})"),
+                           "\x01")).alias("g"),
+    )
+    dup = (grams.groupBy("g")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("g"))
+    hits = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") - F.min("pos") + k).alias("span_len"))
+        .select("doc_id",
+                F.col("span_start").cast("int").alias("span_start"),
+                F.col("span_len").cast("int").alias("span_len"))
+    )
+
+
+def remove_duplicate_spans(df: DataFrame, k: int = 5,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al.
+    arXiv:2107.06499): drop every token covered by a cross-document
+    duplicated span of >= k tokens and reassemble the surviving text.
+    A token t is covered iff some duplicated k-gram starts in
+    (t-k, t] — so each duplicated gram-start position fans out to its
+    k covered token indices (bounded k-way explode), the cover set is
+    distinct-ed per (doc_id, tpos), and surviving tokens anti-join it.
+
+    Returns (doc_id, n_tokens, n_kept, n_removed, clean_md5) — md5 of
+    the space-joined surviving tokens (empty string when everything
+    was duplicated), one row per input document.
+
+    Scale: same two uniform gram-key shuffles as duplicate_spans, then
+    everything is doc_id-keyed — cover distinct, token anti-join, and
+    the per-doc reassembly (array_sort over one doc's tokens, bounded
+    by doc length, never corpus-wide)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    positions = F.when(
+        F.size("toks") >= k, F.sequence(F.lit(0), F.size("toks") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", F.posexplode(positions).alias("idx", "pos"), "toks",
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {k})"),
+                           "\x01")).alias("g"),
+    )
+    dup = (grams.groupBy("g")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("g"))
+    cover = (
+        grams.join(dup, "g", "left_semi")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + k - 1)).alias("tpos"))
+        .distinct()
+    )
+    tokens = d.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok"))
+    kept = tokens.join(cover, ["doc_id", "tpos"], "left_anti")
+    kept_agg = (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("tpos", "tok"))),
+                     lambda s: s["tok"]),
+                 " ").alias("clean"))
+    )
+    return (
+        d.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+        )
+    )

@@ -447,3 +447,61 @@ def test_shard_by_token_budget_partition_invariant(spark):
             for r in shard_by_token_budget(
                 df, budget=50, num_partitions=nparts).collect()))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_duplicate_spans_exact_substring(spark):
+    from pdfplumber_rs_spark.functions.dedup import duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    df = spark.createDataFrame(
+        [(1, f"unique one two three {shared} tail1 tail2"),
+         (2, f"{shared} completely different ending here now"),
+         (3, "no overlap with anything else at all whatsoever"),
+         (4, "tiny doc"),  # < k tokens: must not crash (ADVICE class)
+         (5, None)],       # null text
+        "doc_id long, text string",
+    )
+    spans = {(r.doc_id, r.span_start, r.span_len)
+             for r in duplicate_spans(df, k=5).collect()}
+    # doc 1: shared block starts at token 4, doc 2: at token 0 — both
+    # maximal at exactly 7 tokens (k-gram islands recover full length)
+    assert (1, 4, 7) in spans
+    assert (2, 0, 7) in spans
+    assert not any(d == 3 or d == 4 or d == 5 for d, _, _ in spans)
+
+
+def test_duplicate_spans_three_way(spark):
+    from pdfplumber_rs_spark.functions.dedup import duplicate_spans
+
+    base = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(i, base) for i in range(3)], "doc_id long, text string")
+    spans = duplicate_spans(df, k=5).collect()
+    # identical docs: one maximal span each covering every token
+    assert sorted((r.doc_id, r.span_start, r.span_len) for r in spans) == [
+        (0, 0, 20), (1, 0, 20), (2, 0, 20)]
+
+
+def test_remove_duplicate_spans(spark):
+    import hashlib
+
+    from pdfplumber_rs_spark.functions.dedup import remove_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    df = spark.createDataFrame(
+        [(1, f"unique one two three {shared} tail1 tail2"),
+         (2, f"{shared} completely different ending here now"),
+         (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in remove_duplicate_spans(df, k=5).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_kept, r1.n_removed) == (13, 6, 7)
+    assert r1.clean_md5 == hashlib.md5(
+        b"unique one two three tail1 tail2").hexdigest()
+    r2 = rows[2]
+    assert (r2.n_kept, r2.n_removed) == (5, 7)
+    # untouched docs keep their full text
+    r3 = rows[3]
+    assert (r3.n_kept, r3.n_removed) == (2, 0)
+    assert r3.clean_md5 == hashlib.md5(b"tiny doc").hexdigest()
