@@ -1741,6 +1741,17 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, k=5).orderBy("doc_id")
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed 3-term query: codegen-filtered
+    postings → one (doc_id, term) hash-agg → broadcast idf join →
+    TakeOrderedAndProject top-k. The corpus-search primitive for
+    contamination review at 10^12 docs."""
+    from pdfplumber_rs_spark.functions.text import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "hash"], topk=10)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (webclean.py): deterministic synthetic
     PII is appended to each document so the regexes are tested on known
@@ -1922,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_luma": q_image_luma,
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
+        "bm25": q_bm25,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3141,6 +3153,40 @@ with toks as (
                    cast(sum(n_chars) as bigint) as sum_chars,
                    cast(count(distinct norm_url) as bigint) as n_urls
             from n group by 1 order by host""",
+        "bm25": """
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), lens as (
+              select doc_id, cast(len(toks) as double) as dl from t
+            ), stats as (
+              select cast(count(*) as double) as n_docs, avg(dl) as avgdl
+              from lens
+            ), post as (
+              select doc_id, term, cast(count(*) as double) as tf
+              from (select doc_id, unnest(toks) as term from t)
+              where term in ('spark', 'window', 'hash')
+              group by doc_id, term
+            ), idf as (
+              select term,
+                     ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) as idf
+              from (select term,
+                           cast(count(distinct doc_id) as double) as df_t
+                    from post group by term), stats
+            ), s as (
+              select p.doc_id,
+                     round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl))),
+                       6) as score
+              from post p
+              join idf i using (term)
+              join lens l using (doc_id), stats st
+              group by p.doc_id
+            )
+            select doc_id, score from s
+            order by score desc, doc_id limit 10""",
         "dup_spans": """
             with t as (
               select doc_id,

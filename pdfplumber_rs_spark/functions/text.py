@@ -258,3 +258,64 @@ def fingerprint(text: Column) -> Column:
     (lowercased, whitespace collapsed, trimmed)."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+def bm25_topk(df, terms: list[str], topk: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 (Robertson/Lucene variant) document retrieval for a fixed
+    query-term set: score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    relevance ranking a training-data pipeline uses for targeted
+    corpus search (e.g. pulling benchmark-adjacent documents for
+    contamination review).
+
+    Fully Spark-native and 10^12-doc shaped: the token explode is
+    filtered to the literal query-term set inside whole-stage codegen
+    (so only matching postings survive to the one (doc_id, term)
+    hash-agg); N/avgdl are a 1-row aggregate broadcast-crossJoined in
+    (no driver collect); per-term df and idf are a |terms|-row frame
+    broadcast to the join; the final top-k is TakeOrderedAndProject —
+    per-partition heaps, never a global sort. Returns (doc_id, score)
+    rounded to 6dp, ties broken by doc_id."""
+    from pyspark.sql import DataFrame  # noqa: F401 (signature docs)
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                         r"[^a-z0-9]+"),
+                 lambda t: t != "").alias("toks"),
+    )
+    lens = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    )
+    docfreq = postings.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df_t"))
+    idf = (
+        docfreq.crossJoin(F.broadcast(stats))
+        .select("term",
+                F.log(F.lit(1.0)
+                      + (F.col("n_docs") - F.col("df_t") + 0.5)
+                      / (F.col("df_t") + 0.5)).alias("idf"))
+    )
+    scored = (
+        postings
+        .join(F.broadcast(idf), "term")
+        .join(lens.crossJoin(F.broadcast(stats)), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("idf") * F.col("tf") * (k1 + 1.0)
+             / (F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+            .alias("s"),
+        )
+        .groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)

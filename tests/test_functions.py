@@ -505,3 +505,33 @@ def test_remove_duplicate_spans(spark):
     r3 = rows[3]
     assert (r3.n_kept, r3.n_removed) == (2, 0)
     assert r3.clean_md5 == hashlib.md5(b"tiny doc").hexdigest()
+
+
+def test_bm25_topk_ranking(spark):
+    import math
+
+    from pdfplumber_rs_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark filler words here"),
+         (2, "spark once in a longer document with many extra words"),
+         (3, "nothing relevant at all in this one"),
+         (4, "hash spark together two terms")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ["spark", "hash"], topk=3).collect()
+    got = [(r.doc_id, r.score) for r in rows]
+    # only docs containing a query term rank; scores strictly ordered
+    assert [d for d, _ in got][0] == 4  # rare term "hash" + "spark"
+    assert 3 not in {d for d, _ in got}
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+
+    # exact check for doc 4 against the closed-form BM25 formula
+    n_docs, avgdl = 4.0, (6 + 10 + 7 + 5) / 4.0
+    def idf(dfreq):
+        return math.log(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf, dl, dfreq):
+        return idf(dfreq) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    expected = round(term(1, 5, 3) + term(1, 5, 1), 6)
+    d4 = dict(got)[4]
+    assert abs(d4 - expected) < 1e-6
