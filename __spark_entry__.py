@@ -1441,19 +1441,21 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode (no codec library): the PNG rows of the media
-    corpus are valid zlib-compressed 8-bit grayscale images; decode_png
-    chunk-walks, inflates, un-filters, and averages the pixels. Oracle
-    reconstructs mean_luma from the generator's closed-form pixel
-    pattern ((media_id + i) * 31) % 256."""
+    """REAL pixel decode (no codec library): PNG rows are valid
+    zlib-compressed 8-bit grayscale images (decode_png chunk-walks,
+    inflates, un-filters); JPEG rows are real baseline JPEGs decoded
+    by the pure-numpy functions/jpeg.py (Huffman + dequant + IDCT) —
+    flat even-gray content, so the lossy roundtrip is exact and the
+    oracle stays closed-form: PNG mean from ((media_id+i)*31)%256,
+    JPEG mean = (media_id*2)%256."""
     from pdfplumber_rs_spark.functions.multimodal import image_features
     from pdfplumber_rs_spark.sources.corpus import media_corpus_table
 
     media = media_corpus_table(spark, sf_dir)
     feats = image_features(media)
     return (
-        feats.filter(F.col("format") == "png")
-        .select("media_id",
+        feats.filter(F.col("format").isin("png", "jpeg"))
+        .select("media_id", "format",
                 F.col("width").cast("int").alias("width"),
                 F.col("height").cast("int").alias("height"),
                 "mean_luma")
@@ -3338,10 +3340,22 @@ with toks as (
             , e as (
               select media_id, w, h, unnest(range(0, w * h)) as i from p
             )
-            select media_id, cast(w as int) as width, cast(h as int) as height,
-                   round(avg(((media_id + i) * 31) % 256) / 255.0, 6)
-                     as mean_luma
-            from e group by media_id, w, h order by media_id""",
+            , png as (
+              select media_id, 'png' as format,
+                     cast(w as int) as width, cast(h as int) as height,
+                     round(avg(((media_id + i) * 31) % 256) / 255.0, 6)
+                       as mean_luma
+              from e group by media_id, w, h
+            )
+            , jpg as (
+              select doc_id as media_id, 'jpeg' as format,
+                     cast(doc_id % 31 + 1 as int) as width,
+                     cast(doc_id % 17 + 1 as int) as height,
+                     round(((doc_id * 2) % 256) / 255.0, 6) as mean_luma
+              from documents where doc_id % 3 = 1
+            )
+            select * from png union all select * from jpg
+            order by media_id""",
         "image_meta": """
             select doc_id as media_id,
                    case doc_id % 3 when 0 then 'png'

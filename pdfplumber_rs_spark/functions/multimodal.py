@@ -186,17 +186,23 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, bytes]:
-    """Decode to (width, height, 8-bit luma bytes). Real path: PNG via
-    decode_png (no codec library needed). FAKE test format decodes its
-    own grid. JPEG/GIF/BMP pixel decode still needs an external codec
-    (Pillow/libvips in production) → NotImplementedError."""
+    """Decode to (width, height, 8-bit luma bytes). Real paths: PNG via
+    decode_png, baseline JPEG via functions/jpeg.py decode_jpeg — both
+    pure Python/numpy, no codec library. FAKE test format decodes its
+    own grid. GIF/BMP pixel decode (and progressive/subsampled JPEG)
+    still needs an external codec (Pillow/libvips in production) →
+    NotImplementedError."""
     if data[:8] == FAKE_MAGIC:
         w, h = struct.unpack("<II", data[8:16])
         return w, h, data[16 : 16 + w * h]
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "JPEG/GIF/BMP pixel decoding requires a codec library not present "
+        "GIF/BMP pixel decoding requires a codec library not present "
         "in this container; plug Pillow/libvips here in production"
     )
 
@@ -231,12 +237,14 @@ def image_features(df: DataFrame, data_col: str = "data",
                 if dims is not None:
                     row["format"], w, h = dims[0], dims[1], dims[2]
                     row["width"], row["height"] = int(w), int(h)
-                    if dims[0] == "png":
+                    if dims[0] in ("png", "jpeg"):
                         try:
-                            _w, _h, px = decode_png(data)
+                            _w, _h, px = decode_image(data)
                             row["mean_luma"] = (
                                 round(sum(px) / max(len(px), 1) / 255.0, 6)
                             )
+                        except NotImplementedError as e:
+                            row["decode_error"] = f"unsupported codec: {e}"
                         except Exception as e:  # noqa: BLE001
                             row["decode_error"] = f"corrupt: {e}"
                     out.append(row)
@@ -285,6 +293,21 @@ def make_jpeg_header(width: int, height: int) -> bytes:
     return (b"\xff\xd8"
             + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
             + b"\xff\xd9")
+
+
+def make_jpeg_flat(width: int, height: int, value: int) -> bytes:
+    """REAL baseline JPEG of one flat gray `value` (functions/jpeg.py
+    encoder, standard tables). `value` must be even: the flat block's
+    only nonzero coefficient is DC = 8·(value−128), and with the
+    Annex-K DC quantizer of 16 the quantized value (value−128)/2 is an
+    exact integer — so decode reproduces `value` per pixel EXACTLY,
+    which is what lets a lossy codec sit under a closed-form oracle."""
+    if value % 2:
+        raise ValueError("flat value must be even for exact roundtrip")
+    from .jpeg import encode_jpeg_gray
+
+    return encode_jpeg_gray(width, height,
+                            bytes([value]) * (width * height))
 
 
 def make_gif_header(width: int, height: int) -> bytes:
@@ -408,11 +431,12 @@ def av_features(df: DataFrame, data_col: str = "data",
 
 def resize_images(df: DataFrame, max_side: int,
                   data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Nearest-neighbor resize over binary image columns: PNG decodes
-    (decode_png) and re-encodes as a REAL grayscale PNG; the FAKE test
-    format round-trips its own container. JPEG/GIF/BMP surface a
-    resize_error until a codec plugs in. Vectorized per image via
-    numpy index grids — no per-pixel Python loop."""
+    """Nearest-neighbor resize over binary image columns: PNG and
+    baseline JPEG decode (decode_png / functions/jpeg.py) and re-encode
+    in their own REAL format; the FAKE test format round-trips its own
+    container. GIF/BMP surface a resize_error until a codec plugs in.
+    Vectorized per image via numpy index grids — no per-pixel Python
+    loop."""
     import numpy as np
 
     schema = StructType(
@@ -442,6 +466,10 @@ def resize_images(df: DataFrame, max_side: int,
                     npx = arr[np.ix_(ys, xs)].tobytes()
                     if is_png:
                         row["data"] = encode_png_gray(nw, nh, npx)
+                    elif data[:2] == b"\xff\xd8":
+                        from .jpeg import encode_jpeg_gray
+
+                        row["data"] = encode_jpeg_gray(nw, nh, npx)
                     else:
                         row["data"] = (FAKE_MAGIC
                                        + struct.pack("<II", nw, nh) + npx)

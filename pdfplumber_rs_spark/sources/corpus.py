@@ -919,11 +919,12 @@ MEDIA_CORPUS_SCHEMA = StructType(
 
 def _media_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Deterministic binary media rows: real PNG (doc_id%3==0, valid
-    zlib IDAT), JPEG container (==1), GIF header (==2); dimensions
-    derived from the id — the multimodal header-parse surface."""
+    zlib IDAT), real baseline JPEG (==1, flat even gray so the lossy
+    roundtrip is exact), GIF header (==2); dimensions derived from the
+    id — the multimodal header-parse AND pixel-decode surface."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from ..functions.multimodal import make_gif_header, make_jpeg_header, make_png
+    from ..functions.multimodal import make_gif_header, make_jpeg_flat, make_png
 
     schema = to_arrow_schema(MEDIA_CORPUS_SCHEMA)
     for batch in batches:
@@ -936,7 +937,8 @@ def _media_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
             if kind == 0:
                 mime, data = "image/png", make_png(w, h, seed=doc_id)
             elif kind == 1:
-                mime, data = "image/jpeg", make_jpeg_header(w, h)
+                mime, data = "image/jpeg", make_jpeg_flat(
+                    w, h, (doc_id * 2) % 256)
             else:
                 mime, data = "image/gif", make_gif_header(w, h)
             out.append({"media_id": doc_id, "mime": mime, "data": data})

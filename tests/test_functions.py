@@ -322,7 +322,11 @@ def test_png_decode_rejects_unsupported():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    # JPEG now decodes for real; GIF remains honestly codec-gated
     with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.make_gif_header(4, 4))
+    # a header-only JPEG container is incomplete, not "unsupported"
+    with _pytest.raises(ValueError):
         multimodal.decode_image(multimodal.make_jpeg_header(4, 4))
 
 
@@ -535,3 +539,68 @@ def test_bm25_topk_ranking(spark):
     expected = round(term(1, 5, 3) + term(1, 5, 1), 6)
     d4 = dict(got)[4]
     assert abs(d4 - expected) < 1e-6
+
+
+def test_jpeg_flat_exact_roundtrip():
+    """Flat even-gray baseline JPEG decodes bit-exactly (DC quantizer
+    16 divides 8·(v−128) when v is even) — the invariant that lets a
+    lossy codec sit under the closed-form image_luma oracle."""
+    import numpy as np
+
+    from pdfplumber_rs_spark.functions.jpeg import (decode_jpeg,
+                                                    encode_jpeg_gray)
+
+    for v in (0, 2, 100, 128, 130, 252, 254):
+        for (w, h) in ((8, 8), (31, 17), (1, 1), (16, 9)):
+            data = encode_jpeg_gray(w, h, bytes([v]) * (w * h))
+            ww, hh, out = decode_jpeg(data)
+            assert (ww, hh) == (w, h)
+            assert (np.frombuffer(out, np.uint8) == v).all()
+
+
+def test_jpeg_gradient_bounded_error():
+    import numpy as np
+
+    from pdfplumber_rs_spark.functions.jpeg import (decode_jpeg,
+                                                    encode_jpeg_gray)
+
+    w, h = 31, 17
+    base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 256)
+    data = encode_jpeg_gray(w, h, base.astype(np.uint8).tobytes())
+    ww, hh, out = decode_jpeg(data)
+    got = np.frombuffer(out, np.uint8).reshape(h, w).astype(int)
+    err = np.abs(got - base.astype(int))
+    assert err.max() <= 6 and err.mean() < 3
+
+
+def test_jpeg_decoder_rejects_gracefully():
+    import pytest as _pytest
+
+    from pdfplumber_rs_spark.functions.jpeg import (decode_jpeg,
+                                                    encode_jpeg_gray)
+    from pdfplumber_rs_spark.functions.multimodal import make_jpeg_header
+
+    data = encode_jpeg_gray(16, 16, bytes(range(256)))
+    with _pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])  # truncated segment/scan
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01rubbish")
+    # header-only container (no DQT/DHT/SOS) must not decode silently
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(make_jpeg_header(5, 5))
+
+
+def test_jpeg_media_corpus_decodes(spark):
+    """JPEG rows of the media corpus are REAL decodable images now:
+    image_features returns exact flat mean_luma, no decode_error."""
+    from pdfplumber_rs_spark.functions.multimodal import image_features
+    from pdfplumber_rs_spark.sources.corpus import media_corpus_table
+
+    media = media_corpus_table(spark, "/root/testdata/sf0.001")
+    feats = (image_features(media)
+             .filter("format = 'jpeg'").orderBy("media_id").limit(5)
+             .collect())
+    assert feats, "corpus must contain jpeg rows"
+    for r in feats:
+        assert r.decode_error is None
+        assert r.mean_luma == round((r.media_id * 2) % 256 / 255.0, 6)
