@@ -1441,20 +1441,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL pixel decode (no codec library): PNG rows are valid
-    zlib-compressed 8-bit grayscale images (decode_png chunk-walks,
-    inflates, un-filters); JPEG rows are real baseline JPEGs decoded
-    by the pure-numpy functions/jpeg.py (Huffman + dequant + IDCT) —
-    flat even-gray content, so the lossy roundtrip is exact and the
-    oracle stays closed-form: PNG mean from ((media_id+i)*31)%256,
-    JPEG mean = (media_id*2)%256."""
+    """REAL pixel decode (no codec library) for EVERY media-corpus
+    format: PNG (zlib inflate + un-filter), baseline JPEG (pure-numpy
+    Huffman + dequant + IDCT; flat even-gray content makes the lossy
+    roundtrip exact), GIF (LSB-first variable-width LZW, lossless).
+    Closed-form oracle: PNG mean from ((media_id+i)*31)%256, JPEG mean
+    = (media_id*2)%256, GIF mean from ((media_id+i)*37)%256."""
     from pdfplumber_rs_spark.functions.multimodal import image_features
     from pdfplumber_rs_spark.sources.corpus import media_corpus_table
 
     media = media_corpus_table(spark, sf_dir)
     feats = image_features(media)
     return (
-        feats.filter(F.col("format").isin("png", "jpeg"))
+        feats.filter(F.col("format").isin("png", "jpeg", "gif"))
         .select("media_id", "format",
                 F.col("width").cast("int").alias("width"),
                 F.col("height").cast("int").alias("height"),
@@ -3354,7 +3353,23 @@ with toks as (
                      round(((doc_id * 2) % 256) / 255.0, 6) as mean_luma
               from documents where doc_id % 3 = 1
             )
+            , gp as (
+              select doc_id as media_id,
+                     doc_id % 31 + 1 as w, doc_id % 17 + 1 as h
+              from documents where doc_id % 3 = 2
+            )
+            , ge as (
+              select media_id, w, h, unnest(range(0, w * h)) as i from gp
+            )
+            , gif as (
+              select media_id, 'gif' as format,
+                     cast(w as int) as width, cast(h as int) as height,
+                     round(avg(((media_id + i) * 37) % 256) / 255.0, 6)
+                       as mean_luma
+              from ge group by media_id, w, h
+            )
             select * from png union all select * from jpg
+            union all select * from gif
             order by media_id""",
         "image_meta": """
             select doc_id as media_id,

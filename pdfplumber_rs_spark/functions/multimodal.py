@@ -186,12 +186,13 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, bytes]:
-    """Decode to (width, height, 8-bit luma bytes). Real paths: PNG via
-    decode_png, baseline JPEG via functions/jpeg.py decode_jpeg — both
-    pure Python/numpy, no codec library. FAKE test format decodes its
-    own grid. GIF/BMP pixel decode (and progressive/subsampled JPEG)
-    still needs an external codec (Pillow/libvips in production) →
-    NotImplementedError."""
+    """Decode to (width, height, 8-bit luma bytes). Real paths — all
+    pure Python/numpy, no codec library: PNG (decode_png), baseline
+    JPEG (functions/jpeg.py), GIF LZW (functions/gif.py), uncompressed
+    BMP (decode_bmp). FAKE test format decodes its own grid. Exotic
+    variants (progressive/subsampled JPEG, interlaced GIF, RLE BMP,
+    16-bit PNG) raise NotImplementedError — plug Pillow/libvips there
+    in production."""
     if data[:8] == FAKE_MAGIC:
         w, h = struct.unpack("<II", data[8:16])
         return w, h, data[16 : 16 + w * h]
@@ -201,9 +202,14 @@ def decode_image(data: bytes) -> tuple[int, int, bytes]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise NotImplementedError(
-        "GIF/BMP pixel decoding requires a codec library not present "
-        "in this container; plug Pillow/libvips here in production"
+        "unrecognized image codec; plug Pillow/libvips here in production"
     )
 
 
@@ -237,7 +243,7 @@ def image_features(df: DataFrame, data_col: str = "data",
                 if dims is not None:
                     row["format"], w, h = dims[0], dims[1], dims[2]
                     row["width"], row["height"] = int(w), int(h)
-                    if dims[0] in ("png", "jpeg"):
+                    if dims[0] in ("png", "jpeg", "gif", "bmp"):
                         try:
                             _w, _h, px = decode_image(data)
                             row["mean_luma"] = (
@@ -293,6 +299,81 @@ def make_jpeg_header(width: int, height: int) -> bytes:
     return (b"\xff\xd8"
             + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
             + b"\xff\xd9")
+
+
+def make_bmp_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit palettized BMP (BITMAPINFOHEADER, BI_RGB, bottom-up
+    4-byte-padded rows, gray palette)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer size mismatch")
+    stride = (width + 3) & ~3
+    offset = 14 + 40 + 256 * 4
+    img_size = stride * height
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", offset + img_size, 0, 0, offset)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       img_size, 2835, 2835, 256, 0)
+    for i in range(256):
+        out += bytes((i, i, i, 0))
+    pad = b"\x00" * (stride - width)
+    for y in range(height - 1, -1, -1):
+        out += pixels[y * width:(y + 1) * width] + pad
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed (BI_RGB) BITMAPINFOHEADER BMP to 8-bit
+    luma: 8-bit palettized (palette → integer 601 luma, exact for gray
+    palettes) or 24-bit BGR. RLE/16/32-bit raise NotImplementedError."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise NotImplementedError("compressed BMP")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    luma = bytearray(w * h)
+    if bpp == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = data[pal_off:pal_off + 4 * n_colors]
+        if len(pal) != 4 * n_colors:
+            raise ValueError("truncated palette")
+        lut = [(299 * pal[4 * i + 2] + 587 * pal[4 * i + 1]
+                + 114 * pal[4 * i] + 500) // 1000 for i in range(n_colors)]
+        stride = (w + 3) & ~3
+        for row in range(h):
+            src = offset + row * stride
+            line = data[src:src + w]
+            if len(line) != w:
+                raise ValueError("truncated pixel data")
+            y = row if top_down else h - 1 - row
+            for x, idx in enumerate(line):
+                if idx >= n_colors:
+                    raise ValueError("palette index out of range")
+                luma[y * w + x] = lut[idx]
+    elif bpp == 24:
+        stride = (3 * w + 3) & ~3
+        for row in range(h):
+            src = offset + row * stride
+            line = data[src:src + 3 * w]
+            if len(line) != 3 * w:
+                raise ValueError("truncated pixel data")
+            y = row if top_down else h - 1 - row
+            for x in range(w):
+                b, g, r = line[3 * x:3 * x + 3]
+                luma[y * w + x] = (299 * r + 587 * g + 114 * b + 500) // 1000
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    return w, h, bytes(luma)
 
 
 def make_jpeg_flat(width: int, height: int, value: int) -> bytes:
@@ -470,6 +551,12 @@ def resize_images(df: DataFrame, max_side: int,
                         from .jpeg import encode_jpeg_gray
 
                         row["data"] = encode_jpeg_gray(nw, nh, npx)
+                    elif data[:6] in (b"GIF87a", b"GIF89a"):
+                        from .gif import make_gif_gray
+
+                        row["data"] = make_gif_gray(nw, nh, npx)
+                    elif data[:2] == b"BM":
+                        row["data"] = make_bmp_gray(nw, nh, npx)
                     else:
                         row["data"] = (FAKE_MAGIC
                                        + struct.pack("<II", nw, nh) + npx)

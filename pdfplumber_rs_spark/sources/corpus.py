@@ -918,13 +918,16 @@ MEDIA_CORPUS_SCHEMA = StructType(
 
 
 def _media_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """Deterministic binary media rows: real PNG (doc_id%3==0, valid
-    zlib IDAT), real baseline JPEG (==1, flat even gray so the lossy
-    roundtrip is exact), GIF header (==2); dimensions derived from the
-    id — the multimodal header-parse AND pixel-decode surface."""
+    """Deterministic binary media rows — every format REALLY decodable
+    now: real PNG (doc_id%3==0, valid zlib IDAT), real baseline JPEG
+    (==1, flat even gray so the lossy roundtrip is exact), real GIF89a
+    (==2, lossless LZW over a closed-form pattern); dimensions derived
+    from the id — the multimodal header-parse AND pixel-decode
+    surface."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from ..functions.multimodal import make_gif_header, make_jpeg_flat, make_png
+    from ..functions.gif import make_gif_gray
+    from ..functions.multimodal import make_jpeg_flat, make_png
 
     schema = to_arrow_schema(MEDIA_CORPUS_SCHEMA)
     for batch in batches:
@@ -940,7 +943,8 @@ def _media_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBa
                 mime, data = "image/jpeg", make_jpeg_flat(
                     w, h, (doc_id * 2) % 256)
             else:
-                mime, data = "image/gif", make_gif_header(w, h)
+                px = bytes(((doc_id + i) * 37) % 256 for i in range(w * h))
+                mime, data = "image/gif", make_gif_gray(w, h, px)
             out.append({"media_id": doc_id, "mime": mime, "data": data})
         yield pa.RecordBatch.from_pylist(out, schema=schema)
 

@@ -322,12 +322,15 @@ def test_png_decode_rejects_unsupported():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         multimodal.decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
-    # JPEG now decodes for real; GIF remains honestly codec-gated
+    # every corpus format decodes for real now; unknown codecs (e.g.
+    # TIFF) remain honestly gated
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.make_gif_header(4, 4))
-    # a header-only JPEG container is incomplete, not "unsupported"
+        multimodal.decode_image(b"II*\x00tiff-ish")
+    # header-only JPEG/GIF containers are incomplete, not "unsupported"
     with _pytest.raises(ValueError):
         multimodal.decode_image(multimodal.make_jpeg_header(4, 4))
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(multimodal.make_gif_header(4, 4))
 
 
 def test_image_features_real_png_luma(spark):
@@ -604,3 +607,66 @@ def test_jpeg_media_corpus_decodes(spark):
     for r in feats:
         assert r.decode_error is None
         assert r.mean_luma == round((r.media_id * 2) % 256 / 255.0, 6)
+
+
+def test_gif_lossless_roundtrip():
+    from pdfplumber_rs_spark.functions.gif import decode_gif, make_gif_gray
+
+    for (w, h, mul) in ((5, 3, 31), (31, 17, 37), (1, 1, 7), (64, 48, 13)):
+        px = bytes(((i * mul) % 256) for i in range(w * h))
+        ww, hh, out = decode_gif(make_gif_gray(w, h, px))
+        assert (ww, hh) == (w, h) and out == px
+
+
+def test_gif_decoder_rejects_gracefully():
+    import pytest as _pytest
+
+    from pdfplumber_rs_spark.functions.gif import decode_gif, make_gif_gray
+
+    data = make_gif_gray(16, 16, bytes(range(256)))
+    with _pytest.raises(ValueError):
+        decode_gif(data[: len(data) // 2])
+    with _pytest.raises(ValueError):
+        decode_gif(b"nonsense")
+    # interlace flag -> honest NotImplementedError
+    interlaced = bytearray(data)
+    # image descriptor starts after 6+7 header + 768 GCT; packed byte
+    # is its 10th byte
+    idx = 6 + 7 + 768
+    assert interlaced[idx] == 0x2C
+    interlaced[idx + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(interlaced))
+
+
+def test_bmp_roundtrip_and_rejects():
+    import pytest as _pytest
+
+    from pdfplumber_rs_spark.functions import multimodal
+
+    for (w, h) in ((5, 3), (31, 17), (1, 1), (8, 8)):
+        px = bytes(((i * 29) % 256) for i in range(w * h))
+        data = multimodal.make_bmp_gray(w, h, px)
+        ww, hh, out = multimodal.decode_bmp(data)
+        assert (ww, hh) == (w, h) and out == px
+        # the generic dispatcher finds it too
+        assert multimodal.decode_image(data)[2] == px
+    with _pytest.raises(ValueError):
+        multimodal.decode_bmp(data[:40])
+
+
+def test_gif_media_corpus_decodes(spark):
+    """GIF rows of the media corpus are REAL lossless images now."""
+    from pdfplumber_rs_spark.functions.multimodal import image_features
+    from pdfplumber_rs_spark.sources.corpus import media_corpus_table
+
+    media = media_corpus_table(spark, "/root/testdata/sf0.001")
+    feats = (image_features(media)
+             .filter("format = 'gif'").orderBy("media_id").limit(5)
+             .collect())
+    assert feats, "corpus must contain gif rows"
+    for r in feats:
+        assert r.decode_error is None
+        n = r.width * r.height
+        exp = sum(((r.media_id + i) * 37) % 256 for i in range(n)) / n / 255.0
+        assert r.mean_luma == round(exp, 6)
