@@ -102,6 +102,8 @@ def decode_gif(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("truncated image descriptor")
         _, _, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
         pos += 10
+        if w == 0 or h == 0 or w * h > 100_000_000:
+            raise ValueError("bad GIF frame dimensions")
         if ipacked & 0x40:
             raise NotImplementedError("interlaced GIF")
         ct = gct

@@ -296,17 +296,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
-                tbl = np.zeros(64, dtype=np.int64)
                 raw = body[i + 1:i + 65]
+                if len(raw) != 64:
+                    raise ValueError("truncated quant table")
+                tbl = np.zeros(64, dtype=np.int64)
                 for z, rast in enumerate(ZIGZAG):
                     tbl[rast] = raw[z]
                 qtables[tq] = tbl
                 i += 65
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("truncated SOF")
             precision, height, width, ncomp = struct.unpack(
                 ">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("non-8-bit precision")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF components")
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c:9 + 3 * c]
@@ -321,14 +327,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1:i + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT")
                 nvals = sum(bits)
                 vals = list(body[i + 17:i + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("truncated DHT values")
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + nvals
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS
+            if not body:
+                raise ValueError("truncated SOS")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS components")
             scan_comps = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
@@ -342,6 +356,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing SOF/SOS")
     if len(scan_comps) != len(comps):
         raise NotImplementedError("multi-scan JPEG")
+    if width * height > 100_000_000:
+        raise ValueError("implausible JPEG dimensions")
+    q_ids = dict(comps)
+    if any(cid not in q_ids for cid, _, _ in scan_comps):
+        raise ValueError("SOS references unknown component")
 
     br = _BitReader(data, scan_start)
     bx = (width + 7) // 8
@@ -360,6 +379,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     raise ValueError("missing Huffman/quant table")
                 zz = np.zeros(64, dtype=np.int64)
                 cat = _huff_decode(br, dc_tbl)
+                if cat > 15:
+                    raise ValueError("bad DC category")
                 diff = _extend(br.read_bits(cat), cat)
                 prev_dc[cid] += diff
                 zz[0] = prev_dc[cid]

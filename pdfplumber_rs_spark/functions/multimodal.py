@@ -134,6 +134,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13])
         elif tag == b"IDAT":
@@ -150,7 +152,12 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if interlace != 0:
         raise ValueError("Adam7 interlace unsupported")
     ch = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+    if w == 0 or h == 0 or w * h > 100_000_000:
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT: {e}") from e
     expect = h * (1 + w * ch)
     if len(raw) < expect:
         raise ValueError(f"truncated IDAT ({len(raw)} < {expect})")
@@ -338,7 +345,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError("compressed BMP")
     top_down = h < 0
     h = abs(h)
-    if w <= 0 or h <= 0:
+    if w <= 0 or h <= 0 or w * h > 100_000_000:
         raise ValueError("bad BMP dimensions")
     luma = bytearray(w * h)
     if bpp == 8:

@@ -670,3 +670,51 @@ def test_gif_media_corpus_decodes(spark):
         n = r.width * r.height
         exp = sum(((r.media_id + i) * 37) % 256 for i in range(n)) / n / 255.0
         assert r.mean_luma == round(exp, 6)
+
+
+def test_codec_fuzz_controlled_exceptions():
+    """No decoder may escape with anything but ValueError /
+    NotImplementedError on arbitrary, truncated, or bit-flipped input
+    (the oss-fuzz discipline the PDF kernel already follows)."""
+    import random
+
+    from pdfplumber_rs_spark.functions.gif import decode_gif, make_gif_gray
+    from pdfplumber_rs_spark.functions.jpeg import (decode_jpeg,
+                                                    encode_jpeg_gray)
+    from pdfplumber_rs_spark.functions.multimodal import (decode_bmp,
+                                                          decode_image,
+                                                          decode_png,
+                                                          make_bmp_gray,
+                                                          make_png)
+
+    px = bytes(((i * 31) % 256) for i in range(31 * 17))
+    cases = [
+        (decode_jpeg, encode_jpeg_gray(31, 17, px)),
+        (decode_gif, make_gif_gray(31, 17, px)),
+        (decode_bmp, make_bmp_gray(31, 17, px)),
+        (decode_png, make_png(31, 17, seed=5)),
+        (decode_image, encode_jpeg_gray(31, 17, px)),
+    ]
+    rng = random.Random(20260817)
+    for fn, valid in cases:
+        for trial in range(400):
+            mode = trial % 4
+            if mode == 0:
+                data = bytes(rng.randrange(256)
+                             for _ in range(rng.randrange(300)))
+            elif mode == 1:
+                data = valid[:rng.randrange(len(valid))]
+            elif mode == 2:
+                b = bytearray(valid)
+                for _ in range(rng.randrange(1, 10)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                data = bytes(b)
+            else:
+                b = bytearray(valid)
+                i = rng.randrange(len(b))
+                del b[i:i + rng.randrange(1, 25)]
+                data = bytes(b)
+            try:
+                fn(data)
+            except (ValueError, NotImplementedError):
+                pass
