@@ -1904,6 +1904,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RUN incremental dedup against the persisted fingerprint
+    store (the recrawl ingestion pattern): drain 1 ingests the even
+    documents, drain 2 sees the WHOLE corpus again (recrawls + the odd
+    docs) — previously-ingested fingerprints are blocked by the store's
+    left-anti join, so only genuinely new content lands. Returns the
+    final corpus as (url, fp); the oracle reconstructs which document
+    wins each fingerprint (min even url if any even doc carries it,
+    else min url overall)."""
+    import tempfile
+
+    from pdfplumber_rs_spark.streaming import stream_dedup_against_store
+
+    tmp = tempfile.mkdtemp(prefix="store_dedup_")
+    inp, out, store, ck = (f"{tmp}/in", f"{tmp}/out",
+                           f"{tmp}/store", f"{tmp}/ck")
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").cast("binary").alias("html"))
+    docs.filter(F.col("url").cast("long") % 2 == 0) \
+        .coalesce(1).write.parquet(inp)
+    stream_dedup_against_store(spark, inp, out, store, ck) \
+        .awaitTermination(600)
+    docs.coalesce(1).write.mode("append").parquet(inp)
+    stream_dedup_against_store(spark, inp, out, store, ck) \
+        .awaitTermination(600)
+    return (spark.read.parquet(out)
+            .select("url", "fp").orderBy("url"))
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -1935,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_removal": q_dup_span_removal,
         "bm25": q_bm25,
+        "store_dedup": q_store_dedup,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3188,6 +3219,18 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "store_dedup": """
+            with d as (
+              select cast(doc_id as varchar) as url, doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) as fp
+              from documents
+            )
+            select coalesce(
+                     min(case when doc_id % 2 = 0 then url end),
+                     min(case when doc_id % 2 = 1 then url end)) as url,
+                   fp
+            from d group by fp order by url""",
         "dup_spans": """
             with t as (
               select doc_id,

@@ -206,3 +206,57 @@ def stream_windowed_counts(spark: SparkSession, input_path: str,
         .format("parquet").option("path", output_path)
         .start()
     )
+
+
+def stream_dedup_against_store(spark: SparkSession, input_path: str,
+                               output_path: str, store_path: str,
+                               checkpoint: str):
+    """Incremental-ingestion dedup against the HISTORICAL corpus — the
+    production recrawl pattern: each micro-batch fingerprints its
+    documents (md5 of normalized text, same key as batch dedup_exact),
+    drops within-batch duplicates, LEFT-ANTI joins the persisted
+    fingerprint store so content ingested by ANY earlier batch or run
+    never re-enters the corpus, then appends survivors to the output
+    and their fingerprints to the store.
+
+    Scale (10^12 docs): the store is a fingerprint-keyed table — at
+    production scale an Iceberg table bucketed by fingerprint prefix so
+    the anti-join is a co-located shuffled hash join on the uniform md5
+    key (never broadcast: the store grows with the corpus). foreachBatch
+    re-runs a batch after a crash, so the parquet append is
+    at-least-once; the anti-join itself makes re-ingestion a no-op for
+    the OUTPUT, and in production the store append is an idempotent
+    Iceberg MERGE on the fingerprint key (here: plain append + the
+    store is read distinct).
+
+    Returns the StreamingQuery (availableNow drain)."""
+    from ..functions.text import fingerprint
+
+    stream = read_corpus_stream(spark, input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fped = batch_df.withColumn(
+            "fp", fingerprint(F.col("html").cast("string")))
+        # deterministic within-batch winner: min url per fingerprint
+        # (dropDuplicates keeps an arbitrary row — unstable under
+        # partitioning, which would break replay idempotence)
+        keep = fped.groupBy("fp").agg(F.min("url").alias("url"))
+        batch = fped.join(keep, ["fp", "url"], "left_semi") \
+            .dropDuplicates(["fp"])
+        try:
+            store = spark.read.parquet(store_path).select("fp").distinct()
+            fresh = batch.join(store, "fp", "left_anti")
+        except Exception:  # first batch ever: no store yet
+            fresh = batch
+        fresh.persist()
+        (fresh.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_path))
+        fresh.select("fp").write.mode("append").parquet(store_path)
+        fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

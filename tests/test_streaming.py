@@ -106,3 +106,40 @@ def test_stream_sessionize_state_spans_batches(spark, tmp_path):
     r = rows[0]
     assert r.user_id == 1 and r.n_events == 3  # events 0,1,2 merged
     assert (r.end_us - r.start_us) == 30 * 60 * 1_000_000
+
+
+def test_stream_dedup_against_store(spark, tmp_path):
+    """Recrawl ingestion: content already ingested by an EARLIER drain
+    (present in the fingerprint store) must not re-enter the corpus —
+    cross-run dedup, not just within-stream state."""
+    from pdfplumber_rs_spark.streaming import stream_dedup_against_store
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    rows1 = [("u1", b"alpha content"), ("u2", b"beta content"),
+             ("u3", b"alpha content")]  # within-batch dup of u1
+    spark.createDataFrame(rows1, "url string, html binary").coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = stream_dedup_against_store(spark, inp, out, store, ck)
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2  # u3 deduped within batch
+    assert got1.select("fp").distinct().count() == 2
+
+    # second drop: one recrawl of old content, one genuinely new doc
+    rows2 = [("u1-recrawl", b"alpha content"), ("u4", b"gamma content")]
+    spark.createDataFrame(rows2, "url string, html binary").coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = stream_dedup_against_store(spark, inp, out, store, ck)
+    q.awaitTermination(120)
+
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # only gamma joined the corpus
+    urls = {r.url for r in got2.collect()}
+    assert "u4" in urls and "u1-recrawl" not in urls
+    # the store now carries exactly the three distinct fingerprints
+    assert spark.read.parquet(store).distinct().count() == 3
