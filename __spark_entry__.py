@@ -1719,6 +1719,27 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer-induction / stopword
+    primitive): top-50 tokens by total count with document frequency.
+    One explode → one (tok) hash-agg with map-side combine (the
+    shuffle carries per-partition partials, never the token stream);
+    top-k is TakeOrderedAndProject. At 10^12 docs this is the
+    standard first pass of vocabulary induction."""
+    from pdfplumber_rs_spark.functions.text import word_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(50)
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans across documents (Lee et al.
     arXiv:2107.06499 semantics via k-gram fingerprints): maximal token
@@ -1966,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "bm25": q_bm25,
         "store_dedup": q_store_dedup,
+        "vocab_stats": q_vocab_stats,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3219,6 +3241,17 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "vocab_stats": """
+            with t as (
+              select doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(coalesce(text, '')),
+                  '[^a-z0-9]+'), x -> x <> '')) as tok
+              from documents
+            )
+            select tok, cast(count(*) as bigint) as n_occurrences,
+                   cast(count(distinct doc_id) as bigint) as n_docs
+            from t group by tok
+            order by n_occurrences desc, tok asc limit 50""",
         "store_dedup": """
             with d as (
               select cast(doc_id as varchar) as url, doc_id,
