@@ -1462,6 +1462,31 @@ def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image-resize pipeline, end to end REAL: decode (PNG zlib /
+    JPEG DCT / GIF LZW), nearest-neighbor subsample to max_side=8,
+    re-encode in the SAME format, decode again for features. PNG and
+    GIF are lossless and flat even-gray JPEG is quantization-exact, so
+    the oracle reconstructs the subsampled pattern in closed form
+    (floor(i*scale) index maps). Arrow-batched per-row maps — no
+    shuffle at any scale."""
+    from pdfplumber_rs_spark.functions.multimodal import (image_features,
+                                                          resize_images)
+    from pdfplumber_rs_spark.sources.corpus import media_corpus_table
+
+    media = media_corpus_table(spark, sf_dir)
+    resized = resize_images(media, max_side=8)
+    feats = image_features(resized.filter(F.col("resize_error").isNull()))
+    return (
+        feats.filter(F.col("format").isin("png", "jpeg", "gif"))
+        .select("media_id", "format",
+                F.col("width").cast("int").alias("width"),
+                F.col("height").cast("int").alias("height"),
+                "mean_luma")
+        .orderBy("media_id")
+    )
+
+
 def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip (north rule: DOM heuristics): jusText-lite
     block scoring drops nav/header/footer/aside/script chrome and
@@ -1988,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "store_dedup": q_store_dedup,
         "vocab_stats": q_vocab_stats,
+        "resize_luma": q_resize_luma,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3241,6 +3267,47 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "resize_luma": """
+            with p as (
+              select doc_id as media_id, doc_id % 3 as kind,
+                     doc_id % 31 + 1 as w, doc_id % 17 + 1 as h
+              from documents
+            ), s as (
+              select *, case when greatest(w, h) > 8
+                             then greatest(w, h) / 8.0 else 1.0 end as sc
+              from p
+            ), d as (
+              select *, greatest(cast(floor(w / sc) as int), 1) as nw,
+                        greatest(cast(floor(h / sc) as int), 1) as nh
+              from s
+            ), grid as (
+              select media_id, kind, w, h, nw, nh,
+                     least(cast(floor(y.i * sc) as int), h - 1) as sy,
+                     least(cast(floor(x.i * sc) as int), w - 1) as sx
+              from d, lateral unnest(range(0, nh)) as y(i),
+                      lateral unnest(range(0, nw)) as x(i)
+              where kind in (0, 2)
+            ), px as (
+              select media_id, kind, nw, nh,
+                     case kind
+                       when 0 then ((media_id + sy * w + sx) * 31) % 256
+                       else ((media_id + sy * w + sx) * 37) % 256
+                     end as v
+              from grid
+            ), lossless as (
+              select media_id,
+                     case kind when 0 then 'png' else 'gif' end as format,
+                     cast(nw as int) as width, cast(nh as int) as height,
+                     round(avg(v) / 255.0, 6) as mean_luma
+              from px group by media_id, kind, nw, nh
+            ), jpg as (
+              select media_id, 'jpeg' as format,
+                     cast(nw as int) as width, cast(nh as int) as height,
+                     round(((media_id * 2) % 256) / 255.0, 6) as mean_luma
+              from d where kind = 1
+            )
+            select * from lossless union all select * from jpg
+            order by media_id""",
         "vocab_stats": """
             with t as (
               select doc_id, unnest(list_filter(
