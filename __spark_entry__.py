@@ -1462,6 +1462,44 @@ def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source connector (the container format real Common-Crawl
+    crawls ship): documents are serialized into per-record-gzip WARC
+    files (the CC layout), read back through the binaryFile +
+    mapInPandas source, and fingerprinted. One task per WARC file —
+    the CC processing grain. Oracle reconstructs url/ts/bytes/md5 from
+    the documents table."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from pdfplumber_rs_spark.sources.warc import build_warc, read_warc
+
+    tmp = tempfile.mkdtemp(prefix="warc_")
+    docs = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    by_file: dict[int, list] = {}
+    for r in docs:
+        ts = datetime.fromtimestamp(base.timestamp() + r.doc_id,
+                                    tz=timezone.utc)
+        by_file.setdefault(r.doc_id % 4, []).append(
+            (f"doc://{r.doc_id}", ts, (r.text or "").encode()))
+    for k, recs in by_file.items():
+        with open(f"{tmp}/part-{k}.warc.gz", "wb") as f:
+            f.write(build_warc(sorted(recs), gzip_per_record=True))
+    rows = read_warc(spark, tmp)
+    return (
+        rows.filter(F.col("warning").isNull())
+        .select(
+            "url",
+            F.col("warc_ts").cast("long").alias("ts_epoch"),
+            F.length("html").cast("long").alias("n_bytes"),
+            F.md5(F.col("html")).alias("body_md5"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image-resize pipeline, end to end REAL: decode (PNG zlib /
     JPEG DCT / GIF LZW), nearest-neighbor subsample to max_side=8,
@@ -2014,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_dedup": q_store_dedup,
         "vocab_stats": q_vocab_stats,
         "resize_luma": q_resize_luma,
+        "warc_read": q_warc_read,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3267,6 +3306,13 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "warc_read": """
+            select 'doc://' || cast(doc_id as varchar) as url,
+                   cast(1704067200 + doc_id as bigint) as ts_epoch,
+                   cast(octet_length(cast(coalesce(text, '') as blob))
+                     as bigint) as n_bytes,
+                   md5(coalesce(text, '')) as body_md5
+            from documents order by url""",
         "resize_luma": """
             with p as (
               select doc_id as media_id, doc_id % 3 as kind,

@@ -1,0 +1,192 @@
+"""WARC source: read Common-Crawl-style WARC files into the corpus
+schema (url, warc_ts, html) — the container format real CC crawls ship.
+
+Reader shape (100 TB): `spark.read.format("binaryFile")` gives one row
+per WARC file; an Arrow-batched mapInPandas parses records file-local,
+so the unit of parallelism is the WARC file — exactly the grain Common
+Crawl publishes (~1 GB gzip members per file, tens of thousands of
+files per crawl). No record-level splitting is needed at that grain;
+repartition by file count before the parse when file sizes skew.
+
+Supports plain WARC/1.0–1.1 and the per-record-gzip-member layout CC
+uses (multi-member gzip detected and inflated member-by-member).
+`response` records carry an HTTP message; headers are stripped to the
+body. Malformed records surface as warning rows, never task failures
+(the kernel's lenient-parse discipline).
+
+Reference surface: the reference engine has no WARC reader (it reads
+loose PDF files); this source exists for the north rule's
+Common-Crawl-shaped input table.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+WARC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("warc_file", StringType()),
+    StructField("record_offset", LongType()),
+    StructField("warning", StringType()),
+])
+
+
+def _split_gzip_members(data: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream to one buffer."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out += d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member made no progress")
+        pos += consumed
+    return bytes(out)
+
+
+def parse_warc(data: bytes, source_name: str = "") -> list[dict]:
+    """Parse WARC bytes into rows (dicts matching WARC_SCHEMA).
+    `response` records yield the HTTP body in `html`; other record
+    types (warcinfo, request, metadata) are skipped. Malformed records
+    become warning rows and parsing resumes at the next boundary."""
+    if data[:2] == b"\x1f\x8b":
+        data = _split_gzip_members(data)
+    rows: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+            continue
+        start = pos
+        if not data.startswith(b"WARC/", pos):
+            nxt = data.find(b"WARC/", pos + 1)
+            rows.append({"url": None, "warc_ts": None, "html": None,
+                         "warc_file": source_name, "record_offset": start,
+                         "warning": "garbage before record boundary"})
+            if nxt == -1:
+                break
+            pos = nxt
+            continue
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            rows.append({"url": None, "warc_ts": None, "html": None,
+                         "warc_file": source_name, "record_offset": start,
+                         "warning": "truncated record header"})
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            rows.append({"url": None, "warc_ts": None, "html": None,
+                         "warc_file": source_name, "record_offset": start,
+                         "warning": "missing/bad Content-Length"})
+            nxt = data.find(b"WARC/", hdr_end)
+            if nxt == -1:
+                break
+            pos = nxt
+            continue
+        body = data[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if len(body) != length:
+            rows.append({"url": None, "warc_ts": None, "html": None,
+                         "warc_file": source_name, "record_offset": start,
+                         "warning": "truncated record body"})
+            break
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        ts = None
+        raw_ts = headers.get("warc-date", "")
+        try:
+            ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc)
+        except ValueError:
+            pass
+        payload = body
+        if headers.get("content-type", "").startswith("application/http"):
+            http_end = body.find(b"\r\n\r\n")
+            payload = body[http_end + 4:] if http_end != -1 else b""
+        rows.append({"url": url, "warc_ts": ts, "html": payload,
+                     "warc_file": source_name, "record_offset": start,
+                     "warning": None})
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str,
+              n_partitions: int | None = None) -> DataFrame:
+    """WARC files → corpus rows. binaryFile scan (one row per file,
+    content pruned to what the parse consumes) → Arrow-batched
+    mapInPandas parse. Pass n_partitions to spread many small files
+    (or leave None: one task per file, the CC grain)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile") \
+        .load(path).select("path", "content")
+    if n_partitions:
+        files = files.repartition(n_partitions)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    out.extend(parse_warc(bytes(content), str(p)))
+                except Exception as e:  # noqa: BLE001 — lenient source
+                    out.append({"url": None, "warc_ts": None, "html": None,
+                                "warc_file": str(p), "record_offset": 0,
+                                "warning": f"unreadable WARC: {e}"})
+            yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA])
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def build_warc(records: list[tuple[str, datetime, bytes]],
+               gzip_per_record: bool = False,
+               with_http: bool = True) -> bytes:
+    """Serialize (url, ts, body) triples as a WARC/1.0 file — the test
+    twin of parse_warc, emitting the CC layout (optionally one gzip
+    member per record)."""
+    out = bytearray()
+    for i, (url, ts, body) in enumerate(records):
+        if with_http:
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body)
+            ctype = "application/http; msgtype=response"
+        else:
+            http = body
+            ctype = "application/octet-stream"
+        hdr = (f"WARC/1.0\r\n"
+               f"WARC-Type: response\r\n"
+               f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+               f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               f"Content-Type: {ctype}\r\n"
+               f"Content-Length: {len(http)}\r\n\r\n").encode()
+        rec = hdr + http + b"\r\n\r\n"
+        if gzip_per_record:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)

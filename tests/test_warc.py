@@ -1,0 +1,52 @@
+"""WARC source connector: Common-Crawl layout round-trip and lenient
+parsing of malformed files."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pdfplumber_rs_spark.sources.warc import build_warc, parse_warc, read_warc
+
+TS = datetime(2024, 5, 6, 7, 8, 9, tzinfo=timezone.utc)
+RECS = [("http://a.example/x", TS, b"<html>alpha</html>"),
+        ("http://b.example/y", TS, "<html>été</html>".encode())]
+
+
+def test_parse_roundtrip_plain_and_gzip():
+    for gz in (False, True):
+        rows = parse_warc(build_warc(RECS, gzip_per_record=gz), "t.warc")
+        assert [r["url"] for r in rows] == [u for u, _, _ in RECS]
+        assert rows[0]["html"] == RECS[0][2]
+        assert rows[1]["html"] == RECS[1][2]
+        assert all(r["warning"] is None for r in rows)
+        assert rows[0]["warc_ts"] == TS
+
+
+def test_parse_without_http_envelope():
+    rows = parse_warc(build_warc(RECS, with_http=False), "t.warc")
+    assert rows[0]["html"] == RECS[0][2]
+
+
+def test_parse_lenient_on_malformed():
+    # truncation mid-record -> warning row, no exception
+    data = build_warc(RECS)
+    rows = parse_warc(data[:60], "t")
+    assert any(r["warning"] for r in rows)
+    # garbage prefix, then a valid record: parser resynchronizes
+    rows = parse_warc(b"NOISE" + data, "t")
+    good = [r for r in rows if r["warning"] is None]
+    assert [r["url"] for r in good] == [u for u, _, _ in RECS]
+    # pure garbage
+    rows = parse_warc(b"\x00\x01\x02", "t")
+    assert rows and rows[0]["warning"]
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        build_warc(RECS[:1], gzip_per_record=True))
+    (tmp_path / "b.warc").write_bytes(build_warc(RECS[1:]))
+    got = {r.url: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(got) == {u for u, _, _ in RECS}
+    assert bytes(got["http://a.example/x"].html) == RECS[0][2]
+    assert got["http://b.example/y"].warning is None
+    assert got["http://a.example/x"].warc_file.endswith("a.warc.gz")
