@@ -1462,6 +1462,50 @@ def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt crawl-permission filter: per-host rule
+    parse (Arrow-batched line parser, wrong-agent groups ignored) →
+    one host-keyed join → longest-match winner via max(struct) partial
+    agg, Allow beating Disallow on ties, absent rules allowing. The
+    synthetic robots give each host a decoy crawler-x block plus
+    Disallow /private, Allow /private/public, Disallow /tmp<i>."""
+    from pdfplumber_rs_spark.functions.webclean import (parse_robots,
+                                                        robots_filter)
+
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host"),
+                    F.lpad((F.col("doc_id") % 7).cast("string"), 2, "0"),
+                    F.lit(".example.com"))
+    hosts = docs.select((F.col("doc_id") % 7).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.lpad(F.col("hid").cast("string"), 2, "0"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: crawler-x\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/public\nDisallow: /tmp"),
+            F.col("hid").cast("string"), F.lit("\n")).alias("robots_txt"),
+    )
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/page"), did))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/private/public/page"), did))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/tmp"), (F.col("doc_id") % 7).cast("string"),
+                       F.lit("/x")))
+        .otherwise(F.concat(F.lit("/articles/"), did))
+    )
+    pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = parse_robots(robots)
+    return (
+        robots_filter(pages, rules)
+        .select("doc_id", "host", "path", "allowed")
+        .orderBy("doc_id")
+    )
+
+
 def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source connector (the container format real Common-Crawl
     crawls ship): documents are serialized into per-record-gzip WARC
@@ -2053,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "resize_luma": q_resize_luma,
         "warc_read": q_warc_read,
+        "robots_filter": q_robots_filter,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3306,6 +3351,21 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "robots_filter": """
+            select doc_id,
+                   'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                     || '.example.com' as host,
+                   case cast(doc_id % 5 as int)
+                     when 0 then '/'
+                     when 1 then '/private/page' || cast(doc_id as varchar)
+                     when 2 then '/private/public/page'
+                       || cast(doc_id as varchar)
+                     when 3 then '/tmp' || cast(doc_id % 7 as varchar)
+                       || '/x'
+                     else '/articles/' || cast(doc_id as varchar)
+                   end as path,
+                   cast(doc_id % 5 as int) not in (1, 3) as allowed
+            from documents order by doc_id""",
         "warc_read": """
             select 'doc://' || cast(doc_id as varchar) as url,
                    cast(1704067200 + doc_id as bigint) as ts_epoch,

@@ -106,3 +106,89 @@ def url_host(url: Column) -> Column:
     """Registrable host of a normalized URL (everything before the
     first '/')."""
     return F.regexp_extract(normalize_url(url), r"^([^/]+)", 1)
+
+
+def parse_robots(df: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt",
+                 user_agent: str = "*") -> DataFrame:
+    """robots.txt → (host, prefix, allow, rule_len) rules for the
+    groups whose User-agent set contains `user_agent` (RFC 9309
+    grouping: consecutive User-agent lines open a group; the group's
+    Allow/Disallow rules follow until the next User-agent line after
+    rules). Empty Disallow values are dropped (allow-all, no rule).
+
+    Arrow-batched per-row parse (a real line parser, the documented
+    non-Column path); output is a small rules table keyed by host."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("host", StringType()),
+        StructField("prefix", StringType()),
+        StructField("allow", IntegerType()),
+        StructField("rule_len", IntegerType()),
+    ])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                uas: list[str] = []
+                in_rules = False
+                applies = False
+                for raw in (txt or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        if in_rules:  # new group starts
+                            uas, in_rules = [], False
+                        uas.append(val.lower())
+                        applies = user_agent.lower() in uas
+                    elif key in ("allow", "disallow"):
+                        in_rules = True
+                        if applies and val:
+                            out.append({"host": host, "prefix": val,
+                                        "allow": 1 if key == "allow" else 0,
+                                        "rule_len": len(val)})
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return df.select(host_col, txt_col).mapInPandas(parse, schema)
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame,
+                  host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """RFC 9309 crawl-permission filter: per page, the longest
+    matching rule wins; on a length tie Allow beats Disallow; no
+    matching rule means allowed. Adds an `allowed` boolean.
+
+    Scale (10^12 pages): one host-keyed shuffle join — rules tables
+    are tiny per host but hosts are skewed, so AQE skew-join (or a
+    host-salt with rule replication) handles the mega-hosts; the
+    winner is one max(struct) partial agg keyed by (host, path).
+    Never a cross join. (The winner key is the deterministic
+    (host, path) pair, NOT monotonically_increasing_id — that
+    expression is partitioning-dependent and re-evaluates differently
+    on each subtree reference.)"""
+    keys = pages.select(host_col, path_col).distinct()
+    j = keys.join(rules, keys[host_col] == rules["host"], "left")
+    matched = j.filter(
+        F.col("prefix").isNotNull()
+        & F.col(path_col).startswith(F.col("prefix")))
+    wins = matched.groupBy(keys[host_col].alias(host_col),
+                           F.col(path_col)).agg(
+        F.max(F.struct("rule_len", "allow")).alias("win"))
+    return (
+        pages.join(wins, [host_col, path_col], "left")
+        .withColumn("allowed",
+                    F.coalesce(F.col("win.allow") == 1, F.lit(True)))
+        .drop("win")
+    )

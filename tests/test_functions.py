@@ -718,3 +718,39 @@ def test_codec_fuzz_controlled_exceptions():
                 fn(data)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_robots_parse_and_filter(spark):
+    from pdfplumber_rs_spark.functions.webclean import (parse_robots,
+                                                        robots_filter)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: evilbot\nDisallow: /\n\n"
+                   "User-agent: *\n# comment\nDisallow: /private\n"
+                   "Allow: /private/public\nDisallow:\n"),
+         ("b.com", "User-agent: x\nUser-agent: *\nDisallow: /x\n"),
+         ("c.com", None)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    got = {(r.host, r.prefix, r.allow) for r in rules.collect()}
+    # evilbot's Disallow: / must NOT leak into the * group; the empty
+    # Disallow is no rule; b.com's * shares a group with agent x
+    assert got == {("a.com", "/private", 0),
+                   ("a.com", "/private/public", 1),
+                   ("b.com", "/x", 0)}
+
+    pages = spark.createDataFrame(
+        [("a.com", "/"), ("a.com", "/private/secret"),
+         ("a.com", "/private/public/ok"), ("b.com", "/x/1"),
+         ("b.com", "/y"), ("c.com", "/anything")],
+        "host string, path string",
+    )
+    dec = {(r.host, r.path): r.allowed
+           for r in robots_filter(pages, rules).collect()}
+    assert dec == {("a.com", "/"): True,
+                   ("a.com", "/private/secret"): False,
+                   ("a.com", "/private/public/ok"): True,  # longest wins
+                   ("b.com", "/x/1"): False,
+                   ("b.com", "/y"): True,
+                   ("c.com", "/anything"): True}  # no rules -> allowed
