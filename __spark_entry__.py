@@ -1506,6 +1506,36 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-license provenance detection (the filter permissive-license
+    corpora are built on): deterministic license markers are woven
+    into synthetic page markup (same in-query pattern as pii_redact's
+    known-positives) — by-sa-4.0 links, CC0 links, a non-CC decoy, and
+    unmarked pages. Pure Column regex, no shuffle."""
+    from pdfplumber_rs_spark.functions.webclean import detect_license
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60),
+        F.when(m == 1, F.lit(
+            '</p><a rel="license" href="https://creativecommons.org'
+            '/licenses/by-sa/4.0/">CC BY-SA</a>'))
+        .when(m == 2, F.lit(
+            '</p><a href="https://creativecommons.org'
+            '/publicdomain/zero/1.0/">CC0</a>'))
+        .when(m == 3, F.lit(
+            '</p><a href="https://example.com/licenses/by/4.0/">not'
+            ' CC</a>'))
+        .otherwise(F.lit("</p>")),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id", detect_license(html).alias("license")
+    ).orderBy("doc_id")
+
+
 def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source connector (the container format real Common-Crawl
     crawls ship): documents are serialized into per-record-gzip WARC
@@ -2098,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_luma": q_resize_luma,
         "warc_read": q_warc_read,
         "robots_filter": q_robots_filter,
+        "license_detect": q_license_detect,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3351,6 +3382,14 @@ with toks as (
             )
             select doc_id, score from s
             order by score desc, doc_id limit 10""",
+        "license_detect": """
+            select doc_id,
+                   case cast(doc_id % 4 as int)
+                     when 1 then 'by-sa-4.0'
+                     when 2 then 'cc0-1.0'
+                     else null
+                   end as license
+            from documents order by doc_id""",
         "robots_filter": """
             select doc_id,
                    'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')

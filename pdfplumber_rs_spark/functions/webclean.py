@@ -192,3 +192,24 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
                     F.coalesce(F.col("win.allow") == 1, F.lit(True)))
         .drop("win")
     )
+
+
+CC_LICENSE_RE = r"creativecommons\.org/licenses/([a-z-]+)/([0-9]+\.[0-9]+)"
+CC_ZERO_RE = r"creativecommons\.org/publicdomain/zero/([0-9]+\.[0-9]+)"
+
+
+def detect_license(html: Column) -> Column:
+    """Creative-Commons license marker from page markup (the
+    provenance filter permissively-licensed training corpora are built
+    on): first creativecommons.org license href → 'by-sa-4.0'-style
+    id, publicdomain/zero → 'cc0-1.0', else NULL. Pure Column regex —
+    pipelined into the scan, no shuffle at any scale."""
+    h = F.coalesce(html, F.lit(""))
+    cc = F.regexp_extract(h, CC_LICENSE_RE, 1)
+    ver = F.regexp_extract(h, CC_LICENSE_RE, 2)
+    zero = F.regexp_extract(h, CC_ZERO_RE, 1)
+    return (
+        F.when(cc != "", F.concat(cc, F.lit("-"), ver))
+        .when(zero != "", F.concat(F.lit("cc0-"), zero))
+        .otherwise(F.lit(None).cast("string"))
+    )
