@@ -1574,6 +1574,44 @@ def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index from WARC files (the Common-Crawl index
+    semantics: url → containing file + byte offset + content digest),
+    built from the WARC source's record bookkeeping. The oracle
+    reconstructs every byte offset in closed form from the record
+    grammar (header lengths + HTTP envelope + body bytes), so the
+    index is verified EXACTLY — the property a random-access fetcher
+    depends on."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from pdfplumber_rs_spark.sources.warc import build_warc, read_warc
+
+    tmp = tempfile.mkdtemp(prefix="warc_cdx_")
+    docs = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    by_file: dict[int, list] = {}
+    for r in docs:
+        by_file.setdefault(r.doc_id % 4, []).append(
+            (f"doc://{r.doc_id}", ts, (r.text or "").encode()))
+    for k, recs in by_file.items():
+        with open(f"{tmp}/part-{k}.warc", "wb") as f:
+            f.write(build_warc(sorted(recs)))
+    rows = read_warc(spark, tmp)
+    return (
+        rows.filter(F.col("warning").isNull())
+        .select(
+            "url",
+            F.regexp_extract("warc_file", r"part-(\d+)\.warc", 1)
+            .cast("int").alias("file_k"),
+            F.col("record_offset").cast("long").alias("record_offset"),
+            F.md5(F.col("html")).alias("body_md5"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image-resize pipeline, end to end REAL: decode (PNG zlib /
     JPEG DCT / GIF LZW), nearest-neighbor subsample to max_side=8,
@@ -2129,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_read": q_warc_read,
         "robots_filter": q_robots_filter,
         "license_detect": q_license_detect,
+        "warc_cdx": q_warc_cdx,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3405,6 +3444,32 @@ with toks as (
                    end as path,
                    cast(doc_id % 5 as int) not in (1, 3) as allowed
             from documents order by doc_id""",
+        "warc_cdx": """
+            -- closed-form WARC record grammar: http envelope =
+            -- 62 + digits(blen) + blen bytes; record = 218 + len(url)
+            -- + digits(hlen) + hlen; offsets are the running sum in
+            -- url order within each file
+            with d as (
+              select doc_id, 'doc://' || cast(doc_id as varchar) as url,
+                     cast(doc_id % 4 as int) as file_k,
+                     coalesce(text, '') as body
+              from documents
+            ), m as (
+              select *, octet_length(cast(body as blob)) as blen from d
+            ), h as (
+              select *, 62 + length(cast(blen as varchar)) + blen as hlen
+              from m
+            ), r as (
+              select *, 218 + length(url)
+                        + length(cast(hlen as varchar)) + hlen as rlen
+              from h
+            )
+            select url, file_k,
+                   cast(coalesce(sum(rlen) over (partition by file_k
+                     order by url rows between unbounded preceding
+                     and 1 preceding), 0) as bigint) as record_offset,
+                   md5(body) as body_md5
+            from r order by url""",
         "warc_read": """
             select 'doc://' || cast(doc_id as varchar) as url,
                    cast(1704067200 + doc_id as bigint) as ts_epoch,
