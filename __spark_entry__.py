@@ -1549,6 +1549,9 @@ def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.warc import build_warc, read_warc
 
     tmp = tempfile.mkdtemp(prefix="warc_")
+    # collect() here is FIXTURE SYNTHESIS (writing the WARC files the
+    # source will read), not part of the query plan — production reads
+    # crawl-published WARC files that already exist
     docs = _read(spark, sf_dir, "documents") \
         .select("doc_id", "text").collect()
     base = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -1588,6 +1591,7 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.sources.warc import build_warc, read_warc
 
     tmp = tempfile.mkdtemp(prefix="warc_cdx_")
+    # collect() = fixture synthesis (see q_warc_read), not plan cost
     docs = _read(spark, sf_dir, "documents") \
         .select("doc_id", "text").collect()
     ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
