@@ -1,0 +1,39 @@
+"""Scale-hygiene gate over the whole query battery: no physical plan
+may contain a CartesianProduct, and BroadcastNestedLoopJoin is allowed
+only where it is a deliberate 1-row-stats broadcast (or the documented
+exact-baseline crossJoin). Catches quadratic plans the moment a query
+regresses — the automated twin of PLANS.md's manual audit."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# these execute driver-side fixture work or streaming drains when the
+# DataFrame is BUILT — their plan shape is asserted by their own tests
+SKIP = {
+    "store_dedup", "stream_dedup", "stream_windowed", "stream_sessionize",
+}
+
+# deliberate BroadcastNestedLoopJoin users: 1-row corpus-stats
+# crossJoins (bm25, unigram_logprob, stratified quotas, shard offsets,
+# gopher corpus stats) or the documented exact-ANN baseline crossJoin
+# (cosine_topk and the recall-oracle twins that embed it)
+ALLOW_BNLJ = {
+    "bm25", "unigram_logprob", "cosine_topk", "lsh_topk", "ivf_topk",
+    "stratified_sample", "token_shards", "gopher_filter", "pipeline_e2e",
+    "stream_windowed",
+}
+
+
+@pytest.mark.parametrize("name", [n for n in entry.queries() if n not in SKIP])
+def test_no_quadratic_plans(spark, name):
+    df = entry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in ALLOW_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: unexpected nested-loop broadcast join"
