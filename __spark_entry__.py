@@ -1506,6 +1506,48 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness schedule: pack each host's urls two
+    per time slot (deterministic url order) — one host-keyed window
+    shuffle, the frontier's own ordering requirement."""
+    from pdfplumber_rs_spark.functions.webclean import politeness_slots
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"),
+                 F.lpad((F.col("doc_id") % 7).cast("string"), 2, "0"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("page-"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+        .alias("url"),
+    )
+    return (politeness_slots(pages, per_slot=2)
+            .select("doc_id", "host", "url", "fetch_slot")
+            .orderBy("doc_id"))
+
+
+def q_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content router over the union of the image and AV
+    corpora — the post-fetch dispatch that decides which kernel gets
+    each payload without trusting Content-Type headers. Pure hex-
+    prefix Column expressions inside whole-stage codegen."""
+    from pdfplumber_rs_spark.functions.multimodal import sniff_content
+    from pdfplumber_rs_spark.sources.corpus import (av_corpus_table,
+                                                    media_corpus_table)
+
+    img = media_corpus_table(spark, sf_dir).select(
+        "media_id", F.lit("img").alias("source"), "data")
+    av = av_corpus_table(spark, sf_dir).select(
+        "media_id", F.lit("av").alias("source"), "data")
+    return (
+        img.unionByName(av)
+        .select("media_id", "source",
+                sniff_content(F.col("data")).alias("sniffed"))
+        .orderBy("media_id", "source")
+    )
+
+
 def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-license provenance detection (the filter permissive-license
     corpora are built on): deterministic license markers are woven
@@ -2172,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "license_detect": q_license_detect,
         "warc_cdx": q_warc_cdx,
+        "sniff": q_sniff,
+        "politeness": q_politeness,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3448,6 +3492,30 @@ with toks as (
                    end as path,
                    cast(doc_id % 5 as int) not in (1, 3) as allowed
             from documents order by doc_id""",
+        "politeness": """
+            with p as (
+              select doc_id,
+                     'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com' as host,
+                     'page-' || lpad(cast(doc_id as varchar), 6, '0')
+                       as url
+              from documents
+            )
+            select doc_id, host, url,
+                   cast((row_number() over (partition by host
+                     order by url) - 1) // 2 as int) as fetch_slot
+            from p order by doc_id""",
+        "sniff": """
+            select doc_id as media_id, 'img' as source,
+                   case cast(doc_id % 3 as int)
+                     when 0 then 'png' when 1 then 'jpeg' else 'gif'
+                   end as sniffed
+            from documents
+            union all
+            select doc_id, 'av',
+                   case when doc_id % 2 = 0 then 'wav' else 'mp4' end
+            from documents
+            order by media_id, source""",
         "warc_cdx": """
             -- closed-form WARC record grammar: http envelope =
             -- 62 + digits(blen) + blen bytes; record = 218 + len(url)

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Spark side is real and tested — schemas, Arrow-batched mapInPandas
-UDF signatures, partitioning, batch shapes. The codec step itself is
-STUBBED behind a deterministic fake (this container ships no image or
-audio libraries): `_decode_image_stub` raises NotImplementedError for
-real formats and produces a deterministic fake for the `FAKE` magic,
-so tests exercise the full pipeline without a codec.
+The Spark side — schemas, Arrow-batched mapInPandas UDF signatures,
+partitioning, batch shapes — AND the codec step are real: PNG
+(stdlib zlib + un-filter), baseline JPEG (functions/jpeg.py pure-numpy
+DCT codec), GIF (functions/gif.py LZW codec), and uncompressed BMP all
+pixel-decode with no codec library. Only exotic variants (progressive
+JPEG, interlaced GIF, RLE BMP, 16-bit PNG, TIFF…) remain gated behind
+NotImplementedError, where Pillow/libvips plug in for production. The
+`FAKE` magic format survives for pipeline tests that want fully
+synthetic grids.
 """
 
 from __future__ import annotations
@@ -591,4 +594,32 @@ def frame_sample_plan(df: DataFrame, every_s: float = 1.0,
             "media_id",
             (F.col("frame_idx") * F.lit(float(every_s))).alias("sample_ts"),
         )
+    )
+
+
+def sniff_content(data: Column) -> Column:
+    """Magic-byte content router — the post-fetch dispatch of a crawl
+    pipeline (send bytes to the PDF kernel / image decoders / AV
+    parsers / HTML stripper without trusting Content-Type headers).
+    Pure Column expressions over hex prefixes: whole-stage codegen,
+    no shuffle, no Python. Returns pdf|png|jpeg|gif|bmp|wav|mp4|warc|
+    html|unknown."""
+    hx = F.hex(F.substring(data, 1, 12))
+    head = F.substring(data.cast("string"), 1, 256)
+    return (
+        F.when(hx.startswith("255044462D"), F.lit("pdf"))          # %PDF-
+        .when(hx.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(hx.startswith("FFD8"), F.lit("jpeg"))
+        .when(hx.startswith("474946383761"), F.lit("gif"))         # GIF87a
+        .when(hx.startswith("474946383961"), F.lit("gif"))         # GIF89a
+        .when(hx.startswith("424D"), F.lit("bmp"))
+        .when(hx.startswith("52494646")                            # RIFF…WAVE
+              & (F.hex(F.substring(data, 9, 4)) == "57415645"),
+              F.lit("wav"))
+        .when(F.hex(F.substring(data, 5, 4)) == "66747970",        # ....ftyp
+              F.lit("mp4"))
+        .when(hx.startswith("574152432F"), F.lit("warc"))          # WARC/
+        .when(F.lower(head).rlike(r"^\s*(<!doctype html|<html)"),
+              F.lit("html"))
+        .otherwise(F.lit("unknown"))
     )

@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared Java/RE2 patterns (also inlined in the DuckDB oracle SQL)
@@ -213,3 +213,22 @@ def detect_license(html: Column) -> Column:
         .when(zero != "", F.concat(F.lit("cc0-"), zero))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def politeness_slots(pages: DataFrame, per_slot: int = 2,
+                     host_col: str = "host",
+                     url_col: str = "url") -> DataFrame:
+    """Crawl-frontier politeness schedule: fetches for one host must
+    spread over time, so each host's urls (deterministic url order)
+    are packed `per_slot` per time slot — slot k of host h holds its
+    urls ranked [k*per_slot, (k+1)*per_slot). Adds `fetch_slot`.
+
+    Scale: one host-keyed window shuffle; the per-host sort is the
+    frontier's own ordering requirement, not overhead. Mega-host skew
+    is inherent to the SEMANTICS here (one host's schedule is one
+    sequence) — at 10^12 urls, cap per-host frontier size upstream
+    rather than salting a sequence that must stay serial."""
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    return pages.withColumn(
+        "fetch_slot",
+        ((F.row_number().over(w) - 1) / per_slot).cast("int"))

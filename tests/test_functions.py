@@ -754,3 +754,28 @@ def test_robots_parse_and_filter(spark):
                    ("b.com", "/x/1"): False,
                    ("b.com", "/y"): True,
                    ("c.com", "/anything"): True}  # no rules -> allowed
+
+
+def test_sniff_content_router(spark):
+    from pdfplumber_rs_spark.functions.gif import make_gif_gray
+    from pdfplumber_rs_spark.functions.jpeg import encode_jpeg_gray
+    from pdfplumber_rs_spark.sources import pdfgen
+
+    rows = [
+        (1, pdfgen.pdf_from_text("hi"), "pdf"),
+        (2, multimodal.make_png(3, 3, seed=1), "png"),
+        (3, encode_jpeg_gray(2, 2, bytes(4)), "jpeg"),
+        (4, make_gif_gray(2, 2, bytes(4)), "gif"),
+        (5, multimodal.make_bmp_gray(2, 2, bytes(4)), "bmp"),
+        (6, multimodal.make_wav(8000, 1, 10), "wav"),
+        (7, multimodal.make_mp4_header(1000, 100), "mp4"),
+        (8, b"WARC/1.0\r\n...", "warc"),
+        (9, b"  <!DOCTYPE html><html>", "html"),
+        (10, b"\x00\x01random", "unknown"),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d, _ in rows],
+                               "media_id long, data binary")
+    got = {r.media_id: r.s for r in df.select(
+        "media_id",
+        multimodal.sniff_content(F.col("data")).alias("s")).collect()}
+    assert got == {i: exp for i, _, exp in rows}
