@@ -1940,6 +1940,69 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (5 merge rounds) as one lazy DAG:
+    corpus-sized work is only the initial word count; every round runs
+    on the distinct-word vocabulary with a 1-row broadcast winner —
+    the reason web-scale tokenizer training is feasible. Oracle:
+    5 unrolled rounds with the identical greedy list_reduce fold."""
+    from pdfplumber_rs_spark.functions.text import bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=5).orderBy("round")
+
+
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    """Unrolled DuckDB twin of bpe_merges: per round, pair counts over
+    the current vocab, lexicographic-tie-break winner, exact greedy
+    merge fold via list_reduce (same algebra as the Spark F.aggregate)."""
+    parts = ["""
+        with words as (
+          select w, cast(count(*) as bigint) as cnt
+          from (select unnest(list_filter(regexp_split_to_array(
+                  lower(coalesce(text, '')), '[^a-z0-9]+'),
+                  x -> x <> '')) as w
+                from documents)
+          group by w
+        ), v0 as (
+          select w, cnt,
+                 list_transform(range(1, length(w) + 1),
+                   i -> substr(w, cast(i as int), 1)) as syms
+          from words
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        , p{r} as (
+          select p, sum(cnt) as n from (
+            select cnt, unnest(case when len(syms) >= 2
+              then list_transform(range(1, len(syms)),
+                i -> syms[i] || chr(1) || syms[i + 1])
+              else cast([] as varchar[]) end) as p
+            from v{r - 1})
+          group by p
+        ), b{r} as (
+          select {r} as round,
+                 string_split(p, chr(1))[1] as a,
+                 string_split(p, chr(1))[2] as b,
+                 cast(n as bigint) as n
+          from p{r} order by n desc, p asc limit 1
+        ), v{r} as (
+          select w, cnt,
+                 string_split(list_reduce(syms, (acc, x) ->
+                   case when list_extract(string_split(acc, chr(1)), -1)
+                          = b{r}.a and x = b{r}.b
+                        then substr(acc, 1,
+                               length(acc) - length(b{r}.a))
+                             || b{r}.a || b{r}.b
+                        else acc || chr(1) || x end), chr(1)) as syms
+          from v{r - 1}, b{r}
+        )""")
+    union = " union all ".join(
+        f"select round, a || '+' || b as merge, n from b{r}"
+        for r in range(1, n_merges + 1))
+    return "".join(parts) + f" {union} order by round"
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (tokenizer-induction / stopword
     primitive): top-50 tokens by total count with document frequency.
@@ -2216,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "sniff": q_sniff,
         "politeness": q_politeness,
+        "bpe": q_bpe,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3492,6 +3556,7 @@ with toks as (
                    end as path,
                    cast(doc_id % 5 as int) not in (1, 3) as allowed
             from documents order by doc_id""",
+        "bpe": _bpe_oracle_sql(5),
         "politeness": """
             with p as (
               select doc_id,

@@ -319,3 +319,80 @@ def bm25_topk(df, terms: list[str], topk: int = 10,
         .groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+
+
+BPE_SEP = "\x01"
+
+
+def bpe_merges(df, n_merges: int = 5, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """BPE vocabulary induction (Sennrich et al. 2016) as a pure
+    DataFrame program — the tokenizer-training first stage: start from
+    the word-frequency table with character symbols, then repeat
+    `pick the most frequent adjacent symbol pair (ties: lexicographic)
+    and merge it greedily left-to-right in every word`. The merge
+    application is an exact greedy fold via F.aggregate (prototype-
+    verified equivalent to the reference two-pointer merge), and the
+    per-round winner is a 1-row broadcast crossJoin — no driver-side
+    collect, the whole induction is ONE lazy DAG.
+
+    Returns (round, merge, n): the learned merges in order with their
+    weighted pair counts.
+
+    Scale (10^12 docs): the only corpus-sized stage is the initial
+    word count (one token shuffle with map-side combine); every round
+    after that runs on the VOCABULARY (distinct words), which is
+    millions of rows regardless of corpus size — pair counting is one
+    small shuffle per round and the merge apply is a map. This is why
+    BPE training on web scale is feasible at all, and the plan mirrors
+    it."""
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    init_syms = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    vocab = words.select("w", "cnt", init_syms.alias("syms"))
+    merges = None
+    for rnd in range(1, n_merges + 1):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.concat(F.element_at(F.col("syms"), i),
+                                   F.lit(BPE_SEP),
+                                   F.element_at(F.col("syms"), i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = vocab.select("cnt", F.explode(pair_arr).alias("p"))
+        best = (
+            pairs.groupBy("p").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p")).limit(1)
+            .select(F.lit(rnd).alias("round"),
+                    F.element_at(F.split("p", BPE_SEP), 1).alias("a"),
+                    F.element_at(F.split("p", BPE_SEP), 2).alias("b"),
+                    "n")
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        applied = F.aggregate(
+            F.col("syms"), F.lit(""),
+            lambda acc, x: F.when(acc == F.lit(""), x).when(
+                (F.element_at(F.split(acc, BPE_SEP), -1) == F.col("a"))
+                & (x == F.col("b")),
+                F.concat(
+                    acc.substr(F.lit(1),
+                               F.length(acc) - F.length(F.col("a"))),
+                    F.col("a"), F.col("b")),
+            ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select("w", "cnt", F.split(applied, BPE_SEP).alias("syms"))
+        )
+    return merges.select(
+        "round", F.concat("a", F.lit("+"), "b").alias("merge"),
+        F.col("n").cast("long").alias("n"))

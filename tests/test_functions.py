@@ -779,3 +779,48 @@ def test_sniff_content_router(spark):
         "media_id",
         multimodal.sniff_content(F.col("data")).alias("s")).collect()}
     assert got == {i: exp for i, _, exp in rows}
+
+
+def test_bpe_merges_matches_reference(spark):
+    """Differential: the DataFrame BPE induction equals a reference
+    Sennrich-style implementation (counter + greedy two-pointer merge)
+    on a corpus exercising overlap ('aaa'), cross-word frequency, and
+    merged-symbol chains."""
+    import re
+    from collections import Counter
+
+    texts = ["the quick brown fox the the",
+             "quickly the fox runs thequick",
+             "brown bear brown fox", "aaa aaab the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r.round, r.merge, r.n)
+           for r in text.bpe_merges(df, n_merges=6).collect()]
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    ref = []
+    for rnd in range(1, 7):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        (a, b), n = sorted(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + "\x01" + kv[0][1]))[0]
+        ref.append((rnd, a + "+" + b, n))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == ref
