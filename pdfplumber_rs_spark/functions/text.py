@@ -393,6 +393,12 @@ def bpe_merges(df, n_merges: int = 5, id_col: str = "doc_id",
             vocab.crossJoin(F.broadcast(best.select("a", "b")))
             .select("w", "cnt", F.split(applied, BPE_SEP).alias("syms"))
         )
+        # each round references the previous round's vocab from TWO
+        # subtrees (pair counting and merge apply) and would otherwise
+        # recompute the whole lineage per round (quadratic). persist()
+        # truncates it; at cluster depth this is the Iceberg
+        # between-stage commit (SURVEY §4d), same as pagerank.
+        vocab = vocab.persist()
     return merges.select(
         "round", F.concat("a", F.lit("+"), "b").alias("merge"),
         F.col("n").cast("long").alias("n"))
