@@ -2003,6 +2003,72 @@ def _bpe_oracle_sql(n_merges: int = 5) -> str:
     return "".join(parts) + f" {union} order by round"
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 5) -> str:
+    """Oracle for bpe_encode: reuse the merge-learning rounds, collect
+    the merges in learned order, then apply them to every distinct
+    word with the SAME nested greedy reduce and reassemble per doc."""
+    prefix = _bpe_oracle_sql(n_merges)
+    # keep the learning CTEs, drop the final merge-listing select
+    tail_idx = prefix.index(" select round, a || '+' || b as merge, n from b1")
+    ctes = prefix[:tail_idx]
+    union = " union all ".join(
+        f"select round, a, b from b{r}" for r in range(1, n_merges + 1))
+    return ctes + f"""
+        , ms as (
+          select list(a || chr(1) || b order by round) as lst
+          from ({union})
+        ), toks as (
+          select doc_id, cast(u.i as int) as pos, t.l[cast(u.i as int)] as w
+          from (select doc_id,
+                       list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '') as l
+                from documents) t,
+               lateral unnest(generate_series(1, len(t.l))) as u(i)
+        ), encw as (
+          select w,
+                 replace(list_reduce(
+                   list_prepend(
+                     array_to_string(list_transform(
+                       range(1, length(w) + 1),
+                       i -> substr(w, cast(i as int), 1)), chr(1)),
+                     ms.lst),
+                   (acc, m) -> list_reduce(
+                     string_split(acc, chr(1)),
+                     (a2, x2) -> case
+                       when list_extract(string_split(a2, chr(1)), -1)
+                              = string_split(m, chr(1))[1]
+                            and x2 = string_split(m, chr(1))[2]
+                       then substr(a2, 1, length(a2)
+                              - length(string_split(m, chr(1))[1]))
+                            || string_split(m, chr(1))[1]
+                            || string_split(m, chr(1))[2]
+                       else a2 || chr(1) || x2 end)),
+                   chr(1), '+') as enc
+          from (select distinct w from toks), ms
+        )
+        select t.doc_id,
+               cast(count(*) as bigint) as n_tokens,
+               cast(sum(len(string_split(e.enc, '+'))) as bigint)
+                 as n_pieces,
+               md5(string_agg(e.enc, ' ' order by t.pos)) as enc_md5
+        from toks t join encw e on t.w = e.w
+        group by t.doc_id order by t.doc_id"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of tokenizer training: apply the 5 learned BPE
+    merges (in order, nested greedy fold) to every document — encoding
+    runs once per DISTINCT word then joins back to token positions, so
+    per-word work is vocabulary-sized at any corpus size. Returns
+    per-doc token/piece counts + md5 of the full encoding."""
+    from pdfplumber_rs_spark.functions.text import bpe_encode, bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=5)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (tokenizer-induction / stopword
     primitive): top-50 tokens by total count with document frequency.
@@ -2280,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sniff": q_sniff,
         "politeness": q_politeness,
         "bpe": q_bpe,
+        "bpe_encode": q_bpe_encode,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3557,6 +3624,7 @@ with toks as (
                    cast(doc_id % 5 as int) not in (1, 3) as allowed
             from documents order by doc_id""",
         "bpe": _bpe_oracle_sql(5),
+        "bpe_encode": _bpe_encode_oracle_sql(5),
         "politeness": """
             with p as (
               select doc_id,

@@ -402,3 +402,66 @@ def bpe_merges(df, n_merges: int = 5, id_col: str = "doc_id",
     return merges.select(
         "round", F.concat("a", F.lit("+"), "b").alias("merge"),
         F.col("n").cast("long").alias("n"))
+
+
+def bpe_encode(df, merges, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply learned BPE merges (bpe_merges output) to the corpus —
+    the encode half of tokenizer training. The merge list is collected
+    into ONE array row (broadcast crossJoin, no driver collect) and
+    applied IN LEARNED ORDER as a nested fold: outer F.aggregate over
+    the merges, inner F.aggregate running the exact greedy symbol
+    merge. Encoding runs once per DISTINCT word (the vocabulary), then
+    joins back to token positions — the same reason induction scales:
+    per-word work is vocabulary-sized, corpus-sized stages are plain
+    explode/join/agg.
+
+    Returns (doc_id, n_tokens, n_pieces, enc_md5): word count, total
+    BPE piece count, and md5 of the space-joined '+'-separated
+    encoding in document order."""
+    from pyspark.sql import functions as F
+
+    marr = (
+        merges.agg(F.array_sort(F.collect_list(
+            F.struct("round", "merge"))).alias("ms"))
+        .select(F.transform(
+            "ms", lambda s: F.regexp_replace(s["merge"], r"\+", BPE_SEP)
+        ).alias("ms"))
+    )
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    dwords = tokens.select("tok").distinct().crossJoin(F.broadcast(marr))
+
+    init = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length("tok")),
+                    lambda i: F.substring(F.col("tok"), i, F.lit(1))),
+        BPE_SEP)
+
+    def apply_one(acc, m):
+        a = F.element_at(F.split(m, BPE_SEP), 1)
+        b = F.element_at(F.split(m, BPE_SEP), 2)
+        return F.aggregate(
+            F.split(acc, BPE_SEP), F.lit(""),
+            lambda a2, x2: F.when(a2 == F.lit(""), x2).when(
+                (F.element_at(F.split(a2, BPE_SEP), -1) == a) & (x2 == b),
+                F.concat(a2.substr(F.lit(1), F.length(a2) - F.length(a)),
+                         a, b),
+            ).otherwise(F.concat(a2, F.lit(BPE_SEP), x2)),
+        )
+
+    enc_col = F.regexp_replace(
+        F.aggregate(F.col("ms"), init, apply_one), BPE_SEP, "+")
+    enc = dwords.select("tok", enc_col.alias("enc"))
+    joined = tokens.join(enc, "tok")
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum(F.size(F.split("enc", r"\+"))).cast("long")
+             .alias("n_pieces"),
+             F.md5(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                     lambda s: s["enc"]),
+                 " ")).alias("enc_md5"))
+    )

@@ -824,3 +824,71 @@ def test_bpe_merges_matches_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == ref
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Differential: encoding with learned merges equals the reference
+    ordered-merge application, doc by doc (counts + full encoding)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    texts = ["the quick brown fox the the",
+             "quickly the fox runs thequick",
+             "brown bear brown fox", "aaa aaab the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = text.bpe_merges(df, n_merges=6)
+    got = {r.doc_id: (r.n_tokens, r.n_pieces, r.enc_md5)
+           for r in text.bpe_encode(df, merges).collect()}
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    learned = []
+    for _ in range(6):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        (a, b), _n = sorted(
+            pc.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + "\x01" + kv[0][1]))[0]
+        learned.append((a, b))
+
+        def ap(syms, a=a, b=b):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        vocab = {w: ap(s) for w, s in vocab.items()}
+
+    def enc_word(w):
+        syms = list(w)
+        for a, b in learned:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return "+".join(syms)
+
+    for d, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        encs = [enc_word(w) for w in toks]
+        exp = (len(toks), sum(e.count("+") + 1 for e in encs),
+               hashlib.md5(" ".join(encs).encode()).hexdigest())
+        assert got[d] == exp, (d, got[d], exp)

@@ -25,7 +25,7 @@ SKIP = {
 ALLOW_BNLJ = {
     "bm25", "unigram_logprob", "cosine_topk", "lsh_topk", "ivf_topk",
     "stratified_sample", "token_shards", "gopher_filter", "pipeline_e2e",
-    "stream_windowed", "bpe",
+    "stream_windowed", "bpe", "bpe_encode",
 }
 
 
