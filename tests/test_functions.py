@@ -892,3 +892,22 @@ def test_bpe_encode_matches_reference(spark):
         exp = (len(toks), sum(e.count("+") + 1 for e in encs),
                hashlib.md5(" ".join(encs).encode()).hexdigest())
         assert got[d] == exp, (d, got[d], exp)
+
+
+def test_bpe_degenerate_inputs(spark):
+    """Empty corpora, token-free docs, and single-char words must not
+    crash induction or encoding."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text.bpe_merges(empty, n_merges=2).count() == 0
+
+    punct = spark.createDataFrame(
+        [(1, "!!! ... ???"), (2, None), (3, "a b c")],
+        "doc_id long, text string")
+    m = text.bpe_merges(punct, n_merges=2)
+    # only single-char words -> no pairs -> no merges learned
+    assert m.count() == 0
+    enc = {r.doc_id: (r.n_tokens, r.n_pieces)
+           for r in text.bpe_encode(punct, m).collect()}
+    # docs with zero tokens produce no row (nothing to encode);
+    # single-char words encode to themselves
+    assert enc == {3: (3, 3)}
