@@ -47,7 +47,10 @@ def _split_gzip_members(data: bytes) -> bytes:
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out += d.decompress(data[pos:])
+        try:
+            out += d.decompress(data[pos:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
         if not d.eof:
             raise ValueError("truncated gzip member")
         consumed = len(data) - pos - len(d.unused_data)

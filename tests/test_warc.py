@@ -50,3 +50,36 @@ def test_read_warc_spark(spark, tmp_path):
     assert bytes(got["http://a.example/x"].html) == RECS[0][2]
     assert got["http://b.example/y"].warning is None
     assert got["http://a.example/x"].warc_file.endswith("a.warc.gz")
+
+
+def test_parse_warc_fuzz_controlled():
+    """Arbitrary, truncated, or bit-flipped WARC bytes: parse_warc
+    either returns rows (with warnings) or raises ValueError — never
+    an uncontrolled exception or hang."""
+    import random
+
+    valid = build_warc(RECS, gzip_per_record=True)
+    plain = build_warc(RECS)
+    rng = random.Random(99)
+    for trial in range(800):
+        mode = trial % 4
+        base = valid if trial % 2 else plain
+        if mode == 0:
+            data = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(400)))
+        elif mode == 1:
+            data = base[:rng.randrange(len(base))]
+        elif mode == 2:
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        else:
+            b = bytearray(base)
+            i = rng.randrange(len(b))
+            del b[i:i + rng.randrange(1, 30)]
+            data = bytes(b)
+        try:
+            parse_warc(data, "fuzz")
+        except ValueError:
+            pass
