@@ -1619,6 +1619,36 @@ def q_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC sink → source round trip: documents become
+    (url, warc_ts, html), the EXECUTOR-side writer emits one
+    per-record-gzip WARC file per partition (atomic publish, manifest
+    rows), and the reader parses them back. Verifies the export path
+    end to end under the same closed-form oracle as warc_read."""
+    import tempfile
+
+    from pdfplumber_rs_spark.sources.warc import read_warc, write_warc
+
+    tmp = tempfile.mkdtemp(prefix="warc_rt_")
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+    ).repartition(4, "url")
+    write_warc(docs, tmp).collect()  # materialize the sink (an action)
+    return (
+        read_warc(spark, tmp)
+        .filter(F.col("warning").isNull())
+        .select("url",
+                F.col("warc_ts").cast("long").alias("ts_epoch"),
+                F.length("html").cast("long").alias("n_bytes"),
+                F.md5(F.col("html")).alias("body_md5"))
+        .orderBy("url")
+    )
+
+
 def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index from WARC files (the Common-Crawl index
     semantics: url → containing file + byte offset + content digest),
@@ -2347,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness": q_politeness,
         "bpe": q_bpe,
         "bpe_encode": q_bpe_encode,
+        "warc_roundtrip": q_warc_roundtrip,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3649,6 +3680,13 @@ with toks as (
                    case when doc_id % 2 = 0 then 'wav' else 'mp4' end
             from documents
             order by media_id, source""",
+        "warc_roundtrip": """
+            select 'doc://' || cast(doc_id as varchar) as url,
+                   cast(1704067200 + doc_id as bigint) as ts_epoch,
+                   cast(octet_length(cast(coalesce(text, '') as blob))
+                     as bigint) as n_bytes,
+                   md5(coalesce(text, '')) as body_md5
+            from documents order by url""",
         "warc_cdx": """
             -- closed-form WARC record grammar: http envelope =
             -- 62 + digits(blen) + blen bytes; record = 218 + len(url)

@@ -193,3 +193,61 @@ def build_warc(records: list[tuple[str, datetime, bytes]],
         else:
             out += rec
     return bytes(out)
+
+
+def write_warc(df: DataFrame, out_dir: str,
+               gzip_per_record: bool = True) -> DataFrame:
+    """Distributed WARC sink: each partition serializes its (url,
+    warc_ts, html) rows into ONE WARC file (per-record gzip members —
+    the CC layout) and returns a manifest row (warc_file, n_records,
+    n_bytes). Writing happens on executors via mapInPandas; file
+    names carry the partition id + a content hash so reruns are
+    idempotent at the file level. Partition the input deterministically
+    (repartition(n, key) + sortWithinPartitions) for reproducible
+    files. At cluster scale out_dir is object storage and the manifest
+    is committed to the catalog alongside the files — the standard
+    export shape for interchange with WARC-consuming tools."""
+    import hashlib
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    manifest_schema = StructType([
+        StructField("warc_file", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        recs = []
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["html"]):
+                recs.append((str(url), ts.to_pydatetime(),
+                             bytes(html) if html is not None else b""))
+        if not recs:
+            yield pd.DataFrame([], columns=[f.name for f in manifest_schema])
+            return
+        data = build_warc(recs, gzip_per_record=gzip_per_record)
+        digest = hashlib.sha1(data).hexdigest()[:12]
+        ext = "warc.gz" if gzip_per_record else "warc"
+        name = f"part-{pid:05d}-{digest}.{ext}"
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish — rerun-idempotent
+        yield pd.DataFrame(
+            [{"warc_file": name, "n_records": len(recs),
+              "n_bytes": len(data)}])
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        write, manifest_schema)

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 # DataFrame is BUILT — their plan shape is asserted by their own tests
 SKIP = {
     "store_dedup", "stream_dedup", "stream_windowed", "stream_sessionize",
+    "warc_roundtrip",  # runs the sink action when the DataFrame is built
 }
 
 # deliberate BroadcastNestedLoopJoin users: 1-row corpus-stats
