@@ -960,3 +960,52 @@ def test_minhash_dedup_recall_on_planted_near_dups(spark):
             .select(jaccard(F.col("ta"), F.col("tb")).alias("j")))
     min_j = sims.agg(F.min("j")).collect()[0][0]
     assert min_j >= 0.3, f"unjustified merge: min jaccard {min_j}"
+
+
+def test_simhash_candidates_find_planted_twins(spark):
+    """Banding CONTRACT proof on planted twins: every twin pair whose
+    TRUE 64-bit Hamming distance is <= 3 must be emitted (pigeonhole
+    completeness), and every emitted pair must verify <= 3. Twins with
+    larger true distance (short tiny-vocab docs have many near-tie
+    bits, so even a one-word repeat flips >3) are legitimately out of
+    contract — measured here rather than assumed."""
+    from pdfplumber_rs_spark.functions.dedup import (simhash64,
+                                                     simhash_candidates)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").filter("doc_id < 60"))
+    twins = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "),
+                 F.split("text", " ")[0]).alias("text"))
+    corpus = docs.unionByName(twins)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_candidates(corpus, max_hamming=3).collect()}
+    h = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+         for r in simhash64(corpus).collect()}
+    in_contract = [d for d in h if d < 1000 and d + 1000 in h
+                   and bin(h[d] ^ h[d + 1000]).count("1") <= 3]
+    assert len(in_contract) >= 30  # the mutation keeps most twins close
+    missed = [d for d in in_contract if (d, d + 1000) not in pairs]
+    assert not missed, f"banding missed in-contract pairs: {missed[:5]}"
+    assert all(ham <= 3 for ham in pairs.values())
+
+
+def test_dedup_components_closes_planted_chain(spark):
+    """A~B~C~D mutation chain (each step drops a few more words) must
+    land in ONE component — the transitive closure single-pass
+    minhash_dedup cannot guarantee."""
+    from pdfplumber_rs_spark.functions.dedup import dedup_components
+
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id = 7").select("text").collect()[0].text)
+    words = base.split(" ")
+    chain = []
+    for step in range(4):
+        kept = [w for i, w in enumerate(words) if i % 11 >= step]
+        chain.append((step, " ".join(kept)))
+    df = spark.createDataFrame(chain, "doc_id long, text string")
+    comp = {r.doc_id: r.component
+            for r in dedup_components(df, num_hashes=16, band_size=4,
+                                      n_rounds=3).collect()}
+    assert len(set(comp.values())) == 1, comp
