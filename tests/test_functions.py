@@ -1009,3 +1009,26 @@ def test_dedup_components_closes_planted_chain(spark):
             for r in dedup_components(df, num_hashes=16, band_size=4,
                                       n_rounds=3).collect()}
     assert len(set(comp.values())) == 1, comp
+
+
+def test_ivf_topk_recall_improves_with_nprobe(spark):
+    """IVF contract: probing more cells must not lose recall vs exact
+    top-k, and full probing (nprobe = n_cells) is EXACT."""
+    from pdfplumber_rs_spark.functions.similarity import (cosine_topk,
+                                                          ivf_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(nprobe):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(emb, q, n_cells=8, nprobe=nprobe,
+                                    k=5).collect()}
+        return len(approx & exact) / len(exact)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r8
+    assert r2 > 0.3
+    assert r8 == 1.0  # probing every cell == brute force
