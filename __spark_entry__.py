@@ -1970,6 +1970,27 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier stage (GPT-3/CCNet style) trained AND applied
+    in-engine: a heuristic teacher labels, and a Bernoulli Naive Bayes
+    over distinct-token presence learns from the counts — train = one
+    (tok,label) shuffle, model broadcasts, score = one distinct-token
+    explode + per-doc sum. No iterative solver, no driver model object;
+    the SQL oracle derives the identical model. Teacher here is
+    token-separable ('spark' presence) because the synthetic corpus's
+    ~30-word shared vocabulary carries no length/domain signal in
+    token statistics (measured: a length teacher is chance-level) —
+    on real web text the teacher is the usual wiki-vs-crawl split."""
+    from pdfplumber_rs_spark.functions.classify import nb_quality_scores
+    from pdfplumber_rs_spark.functions.text import word_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return nb_quality_scores(
+        docs,
+        label=F.array_contains(word_tokens(F.col("text")), "spark"),
+    ).orderBy("doc_id")
+
+
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (5 merge rounds) as one lazy DAG:
     corpus-sized work is only the initial word count; every round runs
@@ -2378,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe": q_bpe,
         "bpe_encode": q_bpe_encode,
         "warc_roundtrip": q_warc_roundtrip,
+        "nb_quality": q_nb_quality,
         # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -3655,6 +3677,51 @@ with toks as (
                    cast(doc_id % 5 as int) not in (1, 3) as allowed
             from documents order by doc_id""",
         "bpe": _bpe_oracle_sql(5),
+        "nb_quality": """
+            with d0 as (
+              select doc_id,
+                     list_distinct(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '')) as toks
+              from documents
+            ), d as (
+              select doc_id,
+                     cast(list_contains(toks, 'spark') as int) as label,
+                     toks
+              from d0
+            ), cc as (
+              select sum(label) as n1, sum(1 - label) as n0 from d
+            ), tc as (
+              select tok, sum(label) as c1, sum(1 - label) as c0
+              from (select label, unnest(toks) as tok from d)
+              group by tok
+            ), model as (
+              select tok,
+                     (ln((c1 + 1.0) / (n1 + 2.0))
+                      - ln((c0 + 1.0) / (n0 + 2.0)))
+                     - (ln((n1 + 1.0 - c1) / (n1 + 2.0))
+                        - ln((n0 + 1.0 - c0) / (n0 + 2.0))) as adj_llr,
+                     ln((n1 + 1.0 - c1) / (n1 + 2.0))
+                     - ln((n0 + 1.0 - c0) / (n0 + 2.0)) as abs_llr
+              from tc, cc
+            ), pr as (
+              select coalesce((select sum(abs_llr) from model), 0)
+                     + ln(n1 + 1.0) - ln(n0 + 1.0) as base
+              from cc
+            ), x as (
+              select doc_id, label, unnest(toks) as tok from d
+            ), s as (
+              select x.doc_id, x.label, sum(m.adj_llr) as s
+              from x join model m using (tok)
+              group by x.doc_id, x.label
+            )
+            select doc_id, label, round(s + base, 6) as nb_score,
+                   (s + base) > 0 as predicted
+            from s, pr
+            union all
+            select doc_id, label, round(base, 6), base > 0
+            from d, pr where len(toks) = 0
+            order by doc_id""",
         "bpe_encode": _bpe_encode_oracle_sql(5),
         "politeness": """
             with p as (

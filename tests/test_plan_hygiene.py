@@ -26,7 +26,7 @@ SKIP = {
 ALLOW_BNLJ = {
     "bm25", "unigram_logprob", "cosine_topk", "lsh_topk", "ivf_topk",
     "stratified_sample", "token_shards", "gopher_filter", "pipeline_e2e",
-    "stream_windowed", "bpe", "bpe_encode",
+    "stream_windowed", "bpe", "bpe_encode", "nb_quality",
 }
 
 
