@@ -8,6 +8,12 @@ driver-side model object). At 10^12 docs: training = one (tok, label)
 shuffle with map-side combine; the model is vocabulary-sized and
 broadcasts; scoring = one distinct-token explode joined against the
 broadcast model + per-doc sum. Two shuffles end to end.
+
+The API mirrors the production split: nb_train returns the model as a
+pair of DataFrames (per-token weights + a 1-row base term) that can be
+persisted to a table between training and serving runs; nb_apply
+scores any corpus against it. nb_quality_scores is the one-shot
+train-on-self convenience used by the driver query.
 """
 
 from __future__ import annotations
@@ -18,36 +24,32 @@ from pyspark.sql import functions as F
 from .text import word_tokens
 
 
-def nb_quality_scores(df: DataFrame, label: Column,
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Train Bernoulli NB on (distinct-token presence → label) over the
-    corpus itself and score every document.
-
-    label: boolean Column over df's columns (e.g. a heuristic teacher
-    like quality_score >= 1.5 — the standard self-supervised setup
-    where a cheap heuristic labels and a generalizing model smooths).
-
-    Per-token likelihoods use Laplace smoothing:
-    p(tok|c) = (docs_c_with_tok + 1) / (n_c + 2). This is FULL
-    multivariate Bernoulli — absent tokens contribute
-    log((1-p1)/(1-p0)) evidence too (without them the model degrades
-    to the majority class whenever the prior dominates; measured).
-    Algebraically: score = prior + Σ_vocab log((1-p1)/(1-p0))
-    + Σ_{tok ∈ doc} [log(p1/p0) − log((1-p1)/(1-p0))], so the
-    vocabulary-wide absence sum is ONE corpus constant (a 1-row
-    broadcast) and scoring stays a present-token join + per-doc sum.
-    Returns (doc_id, label, nb_score, predicted), nb_score at 6dp.
-
-    Everything is counts → the exact same model falls out of the SQL
-    oracle; no RNG, no iterative fitting, no driver state."""
-    labeled = df.select(
+def _tokenize(df: DataFrame, label: Column | None, id_col: str,
+              text_col: str) -> DataFrame:
+    cols = [
         F.col(id_col).alias("doc_id"),
-        label.cast("int").alias("label"),
         F.array_distinct(word_tokens(F.col(text_col))).alias("toks"),
-    ).persist()  # referenced by training, scoring, and the empty-doc
-    # branch — persist() computes the tokenization once (at cluster
-    # depth: the between-stage Iceberg commit, as in bpe/pagerank)
+    ]
+    if label is not None:
+        cols.insert(1, label.cast("int").alias("label"))
+    return df.select(*cols)
+
+
+def nb_train(df: DataFrame, label: Column, id_col: str = "doc_id",
+             text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Fit FULL multivariate Bernoulli NB with Laplace smoothing
+    p(tok|c) = (docs_c_with_tok + 1) / (n_c + 2) — absent tokens
+    contribute log((1-p1)/(1-p0)) evidence (without the absence terms
+    the model degrades to the majority class whenever the prior
+    dominates; measured). Algebraically the score is
+    base + Σ_{tok ∈ doc} adj_llr(tok) with
+    adj_llr = log(p1/p0) − log((1-p1)/(1-p0)) and
+    base = prior + Σ_vocab log((1-p1)/(1-p0)), so the model is just
+    (tok, adj_llr) rows plus ONE base scalar — both persistable as
+    tables between training and serving runs.
+
+    Returns (model, base): (tok, adj_llr) and a 1-row (base) frame."""
+    labeled = _tokenize(df, label, id_col, text_col)
     class_counts = labeled.groupBy().agg(
         F.sum("label").alias("n1"),
         F.sum(1 - F.col("label")).alias("n0"),
@@ -64,30 +66,64 @@ def nb_quality_scores(df: DataFrame, label: Column,
                     / (F.col("n1") + 2.0))
               - F.log((F.col("n0") + 1.0 - F.col("c0"))
                       / (F.col("n0") + 2.0)))
-    model = tok_counts.crossJoin(F.broadcast(class_counts)).select(
-        "tok", (present - absent).alias("adj_llr"), absent.alias("abs_llr"))
-    absent_sum = model.agg(
+    weights = tok_counts.crossJoin(F.broadcast(class_counts)).select(
+        "tok", (present - absent).alias("adj_llr"),
+        absent.alias("abs_llr"))
+    absent_sum = weights.agg(
         F.coalesce(F.sum("abs_llr"), F.lit(0.0)).alias("sabs"))
     base = class_counts.crossJoin(F.broadcast(absent_sum)).select(
         (F.col("sabs") + F.log(F.col("n1") + 1.0)
          - F.log(F.col("n0") + 1.0)).alias("base"))
+    return weights.select("tok", "adj_llr"), base
+
+
+def nb_apply(df: DataFrame, model: DataFrame, base: DataFrame,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score any corpus against a trained model: one distinct-token
+    explode joined with the broadcast (tok, adj_llr) table + per-doc
+    sum; token-free documents carry exactly `base` (prior plus every
+    token's absence evidence). Tokens unseen at training time carry no
+    evidence (they drop out of the inner join), the standard NB
+    serving convention. Returns (doc_id, nb_score, predicted)."""
+    toks = _tokenize(df, None, id_col, text_col)
     scored = (
-        labeled.select("doc_id", "label", F.explode("toks").alias("tok"))
-        .join(F.broadcast(model.select("tok", "adj_llr")), "tok")
-        .groupBy("doc_id", "label")
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
         .agg(F.sum("adj_llr").alias("s"))
-        .crossJoin(F.broadcast(base))
-        .select("doc_id", "label",
-                F.round(F.col("s") + F.col("base"), 6).alias("nb_score"),
-                ((F.col("s") + F.col("base")) > 0).alias("predicted"))
     )
-    # token-free documents never reach the explode: they carry the
-    # prior plus every token's absence evidence — exactly `base`
-    empties = (
-        labeled.filter(F.size("toks") == 0)
+    return (
+        toks.select("doc_id", F.size("toks").alias("n_toks"))
+        .join(scored, "doc_id", "left")
         .crossJoin(F.broadcast(base))
-        .select("doc_id", "label",
-                F.round(F.col("base"), 6).alias("nb_score"),
-                (F.col("base") > 0).alias("predicted"))
+        .select(
+            "doc_id",
+            F.round(F.coalesce("s", F.lit(0.0)) + F.col("base"), 6)
+            .alias("nb_score"),
+            ((F.coalesce("s", F.lit(0.0)) + F.col("base")) > 0)
+            .alias("predicted"))
     )
-    return scored.unionByName(empties)
+
+
+def nb_quality_scores(df: DataFrame, label: Column,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """One-shot convenience: train Bernoulli NB on the corpus itself
+    (self-supervised heuristic teacher) and score every document.
+    Returns (doc_id, label, nb_score, predicted), nb_score at 6dp.
+    Everything is counts → the exact same model falls out of the SQL
+    oracle; no RNG, no iterative fitting, no driver state."""
+    labeled = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        label.cast("int").alias("label"),
+    ).persist()  # tokenized by both the trainer and the scorer —
+    # persist computes the source once (at cluster depth: the
+    # between-stage Iceberg commit, as in bpe/pagerank)
+    model, base = nb_train(labeled, F.col("label") == 1,
+                           id_col="doc_id", text_col="text")
+    return (
+        nb_apply(labeled, model, base, id_col="doc_id", text_col="text")
+        .join(labeled.select("doc_id", "label"), "doc_id")
+        .select("doc_id", "label", "nb_score", "predicted")
+    )
