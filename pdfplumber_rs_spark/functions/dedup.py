@@ -201,7 +201,13 @@ def dedup_components(df: DataFrame, id_col: str = "doc_id",
     scale, checkpoint the label frame every few rounds to truncate the
     growing lineage (same note as pagerank). Returns (doc_id,
     component) for every document that produced at least one token."""
-    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
+    # bands is referenced TWICE per round and labels feeds the next
+    # round — persist both so each round costs its own two shuffles
+    # instead of recomputing the signature lineage from the scan
+    # (same pattern as bpe/pagerank; at cluster depth this is the
+    # between-stage Iceberg commit)
+    bands = minhash_bands(df, id_col, text_col, num_hashes,
+                          band_size).persist()
     labels = bands.select("doc_id").distinct().select(
         "doc_id", F.col("doc_id").alias("label"))
     for _ in range(n_rounds):
@@ -214,7 +220,7 @@ def dedup_components(df: DataFrame, id_col: str = "doc_id",
         labels = (
             bands.join(bucket_min, ["band", "key"])
             .groupBy("doc_id").agg(F.min("bmin").alias("label"))
-        )
+        ).persist()
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
