@@ -47,8 +47,13 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     )
     n = nodes.count()  # one small driver scalar (node count), not data
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
+    # nodes and the normalized edge weights are referenced EVERY
+    # iteration — persist them so each round pays its own join+agg,
+    # not the whole upstream lineage again (Iceberg commit at depth)
+    nodes = nodes.persist()
     w = edges.join(out_w, "src_host").select(
-        "src_host", "dst_host", (F.col("n_links") / F.col("out_w")).alias("p"))
+        "src_host", "dst_host",
+        (F.col("n_links") / F.col("out_w")).alias("p")).persist()
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
