@@ -1923,9 +1923,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal: the corpus is embeddings plus
     a scaled copy of every vector (vec_id+100000, 2x components — same
-    direction, cosine 1.0), so every copy must dedup to its original
-    via the bucketed pipeline (true near-dups share all hyperplane
-    signs — never an all-pairs join)."""
+    direction, cosine 1.0). Bucket-representative semantics (O(B) per
+    LSH bucket, never a pair enumeration): every member near its
+    bucket's min-id vector dedups to it — in particular each bucket
+    representative's planted copy is always flagged."""
     from pdfplumber_rs_spark.functions.similarity import embedding_dedup
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3534,18 +3535,19 @@ with toks as (
               select vec_id, embedding,
                      cast({_lsh_bucket_expr(8)} as int) as bucket
               from u
-            ), pairs as (
-              select a.vec_id as id_a, c.vec_id as id_b,
-                     round(list_dot_product(a.embedding, c.embedding) /
-                       greatest(sqrt(list_dot_product(a.embedding, a.embedding))
-                         * sqrt(list_dot_product(c.embedding, c.embedding)),
-                         1e-12), 4) as cs
-              from b a join b c
-                on a.bucket = c.bucket and a.vec_id < c.vec_id
+            ), reps as (
+              select bucket, min(vec_id) as rep_id,
+                     arg_min(embedding, vec_id) as rep_vec
+              from b group by bucket
             )
-            select id_b as vec_id, cast(min(id_a) as bigint) as keep_id
-            from pairs where cs >= 0.999
-            group by id_b order by vec_id""",
+            select m.vec_id, cast(r.rep_id as bigint) as keep_id
+            from b m join reps r on m.bucket = r.bucket
+            where m.vec_id > r.rep_id
+              and round(list_dot_product(m.embedding, r.rep_vec) /
+                    greatest(sqrt(list_dot_product(m.embedding, m.embedding))
+                      * sqrt(list_dot_product(r.rep_vec, r.rep_vec)),
+                      1e-12), 4) >= 0.999
+            order by vec_id""",
         "token_count": r"""
             select doc_id,
                    cast(len(list_filter(

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,19 +61,40 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _plane_weights(plane: int, dim: int) -> Column:
+    """The ±1 hyperplane weight vector as ONE constant array literal.
+
+    Component d's weight is +1 iff the first 8 hex chars of
+    md5('p:plane:d') parse to an even integer — exactly what the SQL
+    oracle computes with `('0x'||substr(md5('p:P:D'),1,8))::bigint % 2`.
+    md5 is md5 everywhere, so evaluating it driver-side with hashlib
+    yields byte-identical weights while keeping the Catalyst plan at
+    O(planes) array literals instead of O(dim×planes) when/md5/conv
+    expression trees (at dim 768 × 8 planes × L tables the unrolled
+    form was tens of thousands of nodes — plan compile time blew up
+    before any data moved)."""
+    ws = [
+        1.0 if int(hashlib.md5(f"p:{plane}:{d}".encode()).hexdigest()[:8],
+                   16) % 2 == 0 else -1.0
+        for d in range(dim)
+    ]
+    return F.array(*[F.lit(w) for w in ws])
+
+
 def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d weight is ±1
-    by the parity of md5('p:plane:d') — reproducible in ANSI SQL."""
-    terms = None
-    for d in range(dim):
-        w = F.when(
-            F.conv(F.substring(F.md5(F.lit(f"p:{plane}:{d}")), 1, 8), 16, 10)
-            .cast("long") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-        t = F.element_at(vec, d + 1) * w
-        terms = t if terms is None else terms + t
-    return F.when(terms >= 0, F.lit(1)).otherwise(F.lit(0))
+    by the parity of md5('p:plane:d') — reproducible in ANSI SQL. The
+    dot product is a single zip_with/aggregate fold over the embedding
+    array against a constant weight array: the same left-to-right
+    summation order as the previous per-dim unrolled expression (and as
+    the SQL oracle), so the signs — and every downstream bucket id —
+    are bit-identical."""
+    s = F.aggregate(
+        F.zip_with(vec, _plane_weights(plane, dim), lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
@@ -88,21 +111,45 @@ def embedding_dedup(df: DataFrame, dim: int, threshold: float = 0.999,
                     n_planes: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate removal: one shuffle on the LSH
-    bucket, exact cosine ≥ threshold WITHIN buckets only (vectors with
-    cosine ≈ 1 share every hyperplane sign, so true near-dups always
-    land in the same bucket; never an all-pairs join). Returns
-    (vec_id, keep_id) for vectors that should be dropped, keep_id the
-    lowest near-duplicate id."""
+    bucket, exact cosine ≥ threshold against the bucket REPRESENTATIVE
+    only (vectors with cosine ≈ 1 share every hyperplane sign, so true
+    near-dups always land in the same bucket; never an all-pairs join).
+
+    Cost is LINEAR in bucket size: per bucket one min_by aggregation
+    picks the lowest-id vector as representative, and every other
+    member is compared against it alone — O(B) rows, never the O(B²)
+    in-bucket pair enumeration that melts down exactly when a crawl has
+    a mega-cluster of near-identical embeddings (the case dedup exists
+    for). Same single-pass-union semantics `minhash_dedup` documents:
+    members near the representative are dropped; chains that only
+    connect through a non-representative member survive one pass (run
+    `dedup_cc`-style label propagation if full transitivity matters).
+
+    Returns (vec_id, keep_id) for vectors that should be dropped,
+    keep_id the bucket representative's id."""
+    members = _bucket_members(df, dim, n_planes, id_col, vec_col)
+    near = members.filter(
+        cosine(F.col("vec"), F.col("rep_vec")) >= threshold)
+    return near.select(F.col("id").alias("vec_id"),
+                       F.col("rep_id").alias("keep_id"))
+
+
+def _bucket_members(df: DataFrame, dim: int, n_planes: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """The candidate set embedding_dedup scores: one row per
+    NON-representative bucket member, carrying the bucket
+    representative's id and vector. |candidates| = |rows| - |buckets| —
+    linear by construction (asserted by the planted mega-cluster test),
+    never the O(B²) pair set."""
     b = lsh_buckets(df, dim, n_planes, id_col, vec_col) \
         .withColumnRenamed("vec_id", "id")
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).alias("vec")).join(b, "id")
-    a, c = v.alias("a"), v.alias("b")
-    pairs = a.join(c, "bucket").filter(F.col("a.id") < F.col("b.id"))
-    near = pairs.filter(
-        cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
-    return near.groupBy(F.col("b.id").alias("vec_id")).agg(
-        F.min(F.col("a.id")).alias("keep_id"))
+    reps = v.groupBy("bucket").agg(
+        F.min("id").alias("rep_id"),
+        F.min_by("vec", "id").alias("rep_vec"),
+    )
+    return v.join(reps, "bucket").filter(F.col("id") > F.col("rep_id"))
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,

@@ -81,6 +81,66 @@ def test_lsh_buckets_deterministic_and_groups_similar(spark):
     assert (0, 2) in got and (1, 3) in got
 
 
+def test_embedding_dedup_mega_cluster_linear(spark):
+    """1000 near-identical vectors (scaled copies of one direction) land
+    in ONE LSH bucket — the exact case dedup exists for. The candidate
+    set must stay LINEAR in bucket size (bucket-representative
+    comparison), never the O(B²) pair enumeration: 999 candidate rows,
+    and all 999 dedup to the representative id 0."""
+    n = 1000
+    base = [1.0, 0.5, -0.25, 0.125] + [0.01 * d for d in range(4)]
+    rows = [(i, [x * (1.0 + i * 1e-9) for x in base]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    members = similarity._bucket_members(df, dim=8, n_planes=4,
+                                         id_col="vec_id",
+                                         vec_col="embedding")
+    assert members.count() == n - 1  # linear, not n*(n-1)/2
+    out = similarity.embedding_dedup(df, dim=8, threshold=0.999,
+                                     n_planes=4).collect()
+    assert len(out) == n - 1
+    assert all(r.keep_id == 0 for r in out)
+    assert sorted(r.vec_id for r in out) == list(range(1, n))
+
+
+def test_lsh_high_dim_plan_bounded(spark):
+    """dim-512 hyperplanes must build and run in bounded time: the
+    plane matrix is a constant array literal + one zip_with/aggregate
+    fold per plane, not O(dim×planes) unrolled expression nodes.
+    Cross-checks the bucket of one row against a driver-side numpy
+    recomputation of the md5-parity weights."""
+    import hashlib
+    import time
+
+    dim, n_planes = 512, 8
+    # quarters are exact in float32 AND float64 — sums of ±quarters stay
+    # exact, so the driver-side float64 recomputation matches bit-for-bit
+    rows = [(i, [((i * 31 + d * 7) % 11 - 5) / 4.0 for d in range(dim)])
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.monotonic()
+    got = {r.vec_id: r.bucket
+           for r in similarity.lsh_buckets(df, dim=dim,
+                                           n_planes=n_planes).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60.0, f"dim-512 LSH took {elapsed:.1f}s — plan blowup"
+
+    def expected_bucket(vec):
+        bucket = 0
+        for p in range(n_planes):
+            s = 0.0
+            for d, x in enumerate(vec):
+                w = 1.0 if int(hashlib.md5(
+                    f"p:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0 \
+                    else -1.0
+                s += x * w
+            bucket = bucket * 2 + (1 if s >= 0 else 0)
+        return bucket
+
+    assert got[0] == expected_bucket(rows[0][1])
+    assert got[7] == expected_bucket(rows[7][1])
+    assert len(got) == 16
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog of the house"),
