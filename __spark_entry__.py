@@ -1468,7 +1468,11 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one host-keyed join → longest-match winner via max(struct) partial
     agg, Allow beating Disallow on ties, absent rules allowing. The
     synthetic robots give each host a decoy crawler-x block plus
-    Disallow /private, Allow /private/public, Disallow /tmp<i>."""
+    Disallow /private, Allow /private/public, §2.2.3 wildcard rules
+    (Disallow /*.pdf$ — trailing anchor; Disallow /search*?q= —
+    mid-pattern * with a literal ?), and Disallow /tmp<i>. Path cases
+    4/5/6 (by doc_id%7) probe .pdf-anchored, .pdfx non-match, and the
+    query-string wildcard respectively."""
     from pdfplumber_rs_spark.functions.webclean import (parse_robots,
                                                         robots_filter)
 
@@ -1483,18 +1487,27 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("User-agent: crawler-x\nDisallow: /\n\n"
                   "User-agent: *\nDisallow: /private\n"
-                  "Allow: /private/public\nDisallow: /tmp"),
+                  "Allow: /private/public\n"
+                  "Disallow: /*.pdf$\n"
+                  "Disallow: /search*?q=\n"
+                  "Disallow: /tmp"),
             F.col("hid").cast("string"), F.lit("\n")).alias("robots_txt"),
     )
     did = F.col("doc_id").cast("string")
     path = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("/"))
-        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/page"), did))
-        .when(F.col("doc_id") % 5 == 2,
+        F.when(F.col("doc_id") % 8 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 8 == 1, F.concat(F.lit("/private/page"), did))
+        .when(F.col("doc_id") % 8 == 2,
               F.concat(F.lit("/private/public/page"), did))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 8 == 3,
               F.concat(F.lit("/tmp"), (F.col("doc_id") % 7).cast("string"),
                        F.lit("/x")))
+        .when(F.col("doc_id") % 8 == 4,
+              F.concat(F.lit("/docs/file"), did, F.lit(".pdf")))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.lit("/docs/file"), did, F.lit(".pdfx")))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("/search/page?q="), did))
         .otherwise(F.concat(F.lit("/articles/"), did))
     )
     pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
@@ -3667,16 +3680,21 @@ with toks as (
             select doc_id,
                    'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
                      || '.example.com' as host,
-                   case cast(doc_id % 5 as int)
+                   case cast(doc_id % 8 as int)
                      when 0 then '/'
                      when 1 then '/private/page' || cast(doc_id as varchar)
                      when 2 then '/private/public/page'
                        || cast(doc_id as varchar)
                      when 3 then '/tmp' || cast(doc_id % 7 as varchar)
                        || '/x'
+                     when 4 then '/docs/file' || cast(doc_id as varchar)
+                       || '.pdf'
+                     when 5 then '/docs/file' || cast(doc_id as varchar)
+                       || '.pdfx'
+                     when 6 then '/search/page?q=' || cast(doc_id as varchar)
                      else '/articles/' || cast(doc_id as varchar)
                    end as path,
-                   cast(doc_id % 5 as int) not in (1, 3) as allowed
+                   cast(doc_id % 8 as int) in (0, 2, 5, 7) as allowed
             from documents order by doc_id""",
         "bpe": _bpe_oracle_sql(5),
         "nb_quality": """
@@ -3872,11 +3890,17 @@ with toks as (
               having count(distinct doc_id) >= 2
             ), p as (
               select doc_id, pos from g where g in (select g from d)
+            ), b as (
+              select doc_id, pos,
+                     case when pos - lag(pos) over (partition by doc_id
+                       order by pos) <= 5 then 0 else 1 end as brk
+              from p
             ), i as (
               select doc_id, pos,
-                     pos - row_number() over (partition by doc_id
-                       order by pos) as isl
-              from p
+                     sum(brk) over (partition by doc_id order by pos
+                       rows between unbounded preceding
+                       and current row) as isl
+              from b
             )
             select doc_id, cast(min(pos) as int) as span_start,
                    cast(max(pos) - min(pos) + 5 as int) as span_len

@@ -339,10 +339,13 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     is inherently sequential; the Spark-native equivalent is k-gram
     fingerprinting: token position p starts duplicated content iff the
     k-gram at p occurs in >= 2 distinct documents, and the maximal
-    duplicated spans are the islands of consecutive duplicated
-    positions (gaps-and-islands over one per-doc window). Every
-    repeated substring of >= k tokens is found exactly; resolution of
-    the reported boundaries is k tokens.
+    duplicated spans are the islands of duplicated positions whose
+    k-token coverage is contiguous — successive gram starts merge into
+    one island whenever their gap is <= k, so two duplicated grams at
+    p and p+2 (k=5) report ONE span [p, p+7), never two overlapping
+    "maximal" spans (gaps-and-islands via lag + running sum over one
+    per-doc window). Every repeated substring of >= k tokens is found
+    exactly; resolution of the reported boundaries is k tokens.
 
     Returns (doc_id, span_start, span_len): token offset of each
     maximal duplicated span and its length in tokens (>= k).
@@ -380,8 +383,15 @@ def duplicate_spans(df: DataFrame, k: int = 5, id_col: str = "doc_id",
            .filter(F.col("nd") >= 2).select("g"))
     hits = grams.join(dup, "g", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # a new island starts when the previous duplicated gram's coverage
+    # [prev, prev+k) no longer touches this one's [pos, pos+k)
     islands = hits.withColumn(
-        "isl", F.col("pos") - F.row_number().over(w))
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, 0).otherwise(1),
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return (
         islands.groupBy("doc_id", "isl")
         .agg(F.min("pos").alias("span_start"),

@@ -522,10 +522,11 @@ def av_features(df: DataFrame, data_col: str = "data",
 
 def resize_images(df: DataFrame, max_side: int,
                   data_col: str = "data", id_col: str = "media_id") -> DataFrame:
-    """Nearest-neighbor resize over binary image columns: PNG and
-    baseline JPEG decode (decode_png / functions/jpeg.py) and re-encode
-    in their own REAL format; the FAKE test format round-trips its own
-    container. GIF/BMP surface a resize_error until a codec plugs in.
+    """Nearest-neighbor resize over binary image columns: PNG, baseline
+    JPEG, GIF, and BMP all decode and re-encode in their own REAL
+    format (decode_png / functions/jpeg.py / functions/gif.py /
+    make_bmp_gray); the FAKE test format round-trips its own container.
+    Unrecognized or corrupt bytes surface a resize_error row.
     Vectorized per image via numpy index grids — no per-pixel Python
     loop."""
     import numpy as np

@@ -108,14 +108,32 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(normalize_url(url), r"^([^/]+)", 1)
 
 
+def _robots_rule_regex(val: str) -> str:
+    """RFC 9309 §2.2.3 match pattern → anchored Java-regex string:
+    `*` matches any character sequence, a TRAILING `$` anchors the end
+    of the path (a `$` anywhere else is a literal, the behavior of the
+    reference google/robotstxt matcher); every other character is
+    escaped literally. Literal-prefix rules translate to `^prefix`,
+    i.e. exactly the old startswith semantics."""
+    import re as _re
+
+    anchor = val.endswith("$")
+    body = val[:-1] if anchor else val
+    parts = [".*" if ch == "*" else _re.escape(ch) for ch in body]
+    return "^" + "".join(parts) + ("$" if anchor else "")
+
+
 def parse_robots(df: DataFrame, host_col: str = "host",
                  txt_col: str = "robots_txt",
                  user_agent: str = "*") -> DataFrame:
-    """robots.txt → (host, prefix, allow, rule_len) rules for the
-    groups whose User-agent set contains `user_agent` (RFC 9309
+    """robots.txt → (host, prefix, pattern, allow, rule_len) rules for
+    the groups whose User-agent set contains `user_agent` (RFC 9309
     grouping: consecutive User-agent lines open a group; the group's
     Allow/Disallow rules follow until the next User-agent line after
     rules). Empty Disallow values are dropped (allow-all, no rule).
+    `pattern` is the rule compiled to an anchored regex with RFC 9309
+    `*`/`$` wildcard semantics (see _robots_rule_regex); `rule_len`
+    is the raw rule length in octets — the RFC's specificity key.
 
     Arrow-batched per-row parse (a real line parser, the documented
     non-Column path); output is a small rules table keyed by host."""
@@ -129,6 +147,7 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     schema = StructType([
         StructField("host", StringType()),
         StructField("prefix", StringType()),
+        StructField("pattern", StringType()),
         StructField("allow", IntegerType()),
         StructField("rule_len", IntegerType()),
     ])
@@ -156,6 +175,7 @@ def parse_robots(df: DataFrame, host_col: str = "host",
                         in_rules = True
                         if applies and val:
                             out.append({"host": host, "prefix": val,
+                                        "pattern": _robots_rule_regex(val),
                                         "allow": 1 if key == "allow" else 0,
                                         "rule_len": len(val)})
             yield pd.DataFrame(out, columns=[f.name for f in schema])
@@ -167,8 +187,13 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
                   host_col: str = "host",
                   path_col: str = "path") -> DataFrame:
     """RFC 9309 crawl-permission filter: per page, the longest
-    matching rule wins; on a length tie Allow beats Disallow; no
-    matching rule means allowed. Adds an `allowed` boolean.
+    matching rule wins (rule length in octets, wildcards included —
+    the RFC's specificity key); on a length tie Allow beats Disallow;
+    no matching rule means allowed. Matching honors §2.2.3 wildcards
+    via the rules table's precompiled `pattern` regex (`*` = any
+    sequence, trailing `$` = end anchor), so rules like
+    `Disallow: /*?` and `Disallow: /*.pdf$` behave as crawlers expect.
+    Adds an `allowed` boolean.
 
     Scale (10^12 pages): one host-keyed shuffle join — rules tables
     are tiny per host but hosts are skewed, so AQE skew-join (or a
@@ -181,8 +206,8 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
     keys = pages.select(host_col, path_col).distinct()
     j = keys.join(rules, keys[host_col] == rules["host"], "left")
     matched = j.filter(
-        F.col("prefix").isNotNull()
-        & F.col(path_col).startswith(F.col("prefix")))
+        F.col("pattern").isNotNull()
+        & F.regexp_like(F.col(path_col), F.col("pattern")))
     wins = matched.groupBy(keys[host_col].alias(host_col),
                            F.col(path_col)).agg(
         F.max(F.struct("rule_len", "allow")).alias("win"))

@@ -200,7 +200,11 @@ def write_warc(df: DataFrame, out_dir: str,
     """Distributed WARC sink: each partition serializes its (url,
     warc_ts, html) rows into ONE WARC file (per-record gzip members —
     the CC layout) and returns a manifest row (warc_file, n_records,
-    n_bytes). Writing happens on executors via mapInPandas; file
+    n_bytes, n_skipped). Rows with a null url are unserializable as
+    WARC records — they are DROPPED and counted in the manifest's
+    n_skipped (lenient-sink discipline: a bad row degrades to a
+    warning count, never a task failure); a null warc_ts defaults to
+    the epoch. Writing happens on executors via mapInPandas; file
     names carry the partition id + a content hash so reruns are
     idempotent at the file level. Partition the input deterministically
     (repartition(n, key) + sortWithinPartitions) for reproducible
@@ -220,20 +224,37 @@ def write_warc(df: DataFrame, out_dir: str,
         StructField("warc_file", StringType()),
         StructField("n_records", LongType()),
         StructField("n_bytes", LongType()),
+        StructField("n_skipped", LongType()),
     ])
+
+    _EPOCH = datetime(1970, 1, 1)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         recs = []
+        n_skipped = 0
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"],
                                      pdf["html"]):
-                recs.append((str(url), ts.to_pydatetime(),
+                if url is None or (isinstance(url, float) and pd.isna(url)):
+                    n_skipped += 1  # no WARC-Target-URI possible
+                    continue
+                if ts is None or pd.isna(ts):
+                    pyts = _EPOCH
+                else:
+                    pyts = ts.to_pydatetime()
+                recs.append((str(url), pyts,
                              bytes(html) if html is not None else b""))
         if not recs:
-            yield pd.DataFrame([], columns=[f.name for f in manifest_schema])
+            if n_skipped:  # all rows unserializable: surface the count
+                yield pd.DataFrame(
+                    [{"warc_file": None, "n_records": 0, "n_bytes": 0,
+                      "n_skipped": n_skipped}])
+            else:
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in manifest_schema])
             return
         data = build_warc(recs, gzip_per_record=gzip_per_record)
         digest = hashlib.sha1(data).hexdigest()[:12]
@@ -247,7 +268,7 @@ def write_warc(df: DataFrame, out_dir: str,
         os.replace(tmp, path)  # atomic publish — rerun-idempotent
         yield pd.DataFrame(
             [{"warc_file": name, "n_records": len(recs),
-              "n_bytes": len(data)}])
+              "n_bytes": len(data), "n_skipped": n_skipped}])
 
     return df.select("url", "warc_ts", "html").mapInPandas(
         write, manifest_schema)

@@ -243,10 +243,16 @@ def stream_dedup_against_store(spark: SparkSession, input_path: str,
         keep = fped.groupBy("fp").agg(F.min("url").alias("url"))
         batch = fped.join(keep, ["fp", "url"], "left_semi") \
             .dropDuplicates(["fp"])
-        try:
+        # explicit existence probe — NOT a bare except around the read:
+        # a corrupt footer or transient IO error must fail the batch
+        # loudly (foreachBatch retries it), never be silently treated
+        # as "no store yet" and re-ingest historical duplicates
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             store = spark.read.parquet(store_path).select("fp").distinct()
             fresh = batch.join(store, "fp", "left_anti")
-        except Exception:  # first batch ever: no store yet
+        else:  # first batch ever: no store yet
             fresh = batch
         fresh.persist()
         (fresh.withColumn("batch_id", F.lit(batch_id))

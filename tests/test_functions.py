@@ -537,6 +537,41 @@ def test_duplicate_spans_exact_substring(spark):
     assert not any(d == 3 or d == 4 or d == 5 for d, _, _ in spans)
 
 
+def test_duplicate_spans_merge_overlapping_islands(spark):
+    """Duplicated grams whose starts are non-consecutive but within k
+    of each other have CONTIGUOUS coverage and must merge into one
+    span (the ADVICE overlapping-'maximal'-spans finding): doc 1
+    shares tokens 0-5 with doc 2 and tokens 2-7 with doc 3 — gram
+    starts {0, 1, 2, 3} all merge (k=5) into one span [0, 8)."""
+    from pdfplumber_rs_spark.functions.dedup import duplicate_spans
+
+    d1 = "a0 a1 a2 a3 a4 a5 a6 a7"            # tokens 0..7
+    d2 = "a0 a1 a2 a3 a4 a5 x1 x2"            # shares 0..5 -> grams 0,1
+    d3 = "y1 y2 a2 a3 a4 a5 a6 a7"            # shares 2..7 -> grams 2,3
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    spans = sorted((r.doc_id, r.span_start, r.span_len)
+                   for r in duplicate_spans(df, k=5).collect())
+    assert spans == [(1, 0, 8), (2, 0, 6), (3, 2, 6)]
+
+
+def test_duplicate_spans_distant_islands_stay_separate(spark):
+    """Two duplicated regions separated by more than k unique tokens
+    must remain two spans."""
+    from pdfplumber_rs_spark.functions.dedup import duplicate_spans
+
+    blk_a = " ".join(f"a{i}" for i in range(5))
+    blk_b = " ".join(f"b{i}" for i in range(5))
+    gap = " ".join(f"u{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{blk_a} {gap} {blk_b}"), (2, f"{blk_a} zz1 zz2 {blk_b}")],
+        "doc_id long, text string")
+    spans = sorted((r.span_start, r.span_len)
+                   for r in duplicate_spans(df, k=5).collect()
+                   if r.doc_id == 1)
+    assert spans == [(0, 5), (13, 5)]
+
+
 def test_duplicate_spans_three_way(spark):
     from pdfplumber_rs_spark.functions.dedup import duplicate_spans
 
@@ -789,7 +824,9 @@ def test_robots_parse_and_filter(spark):
                    "User-agent: *\n# comment\nDisallow: /private\n"
                    "Allow: /private/public\nDisallow:\n"),
          ("b.com", "User-agent: x\nUser-agent: *\nDisallow: /x\n"),
-         ("c.com", None)],
+         ("c.com", None),
+         ("d.com", "User-agent: *\nDisallow: /*?\n"
+                   "Disallow: /*.pdf$\nAllow: /shop/*?id=\n")],
         "host string, robots_txt string",
     )
     rules = parse_robots(robots)
@@ -798,12 +835,18 @@ def test_robots_parse_and_filter(spark):
     # Disallow is no rule; b.com's * shares a group with agent x
     assert got == {("a.com", "/private", 0),
                    ("a.com", "/private/public", 1),
-                   ("b.com", "/x", 0)}
+                   ("b.com", "/x", 0),
+                   ("d.com", "/*?", 0),
+                   ("d.com", "/*.pdf$", 0),
+                   ("d.com", "/shop/*?id=", 1)}
 
     pages = spark.createDataFrame(
         [("a.com", "/"), ("a.com", "/private/secret"),
          ("a.com", "/private/public/ok"), ("b.com", "/x/1"),
-         ("b.com", "/y"), ("c.com", "/anything")],
+         ("b.com", "/y"), ("c.com", "/anything"),
+         ("d.com", "/page?x=1"), ("d.com", "/plain"),
+         ("d.com", "/doc.pdf"), ("d.com", "/doc.pdfx"),
+         ("d.com", "/shop/item?id=3")],
         "host string, path string",
     )
     dec = {(r.host, r.path): r.allowed
@@ -813,7 +856,13 @@ def test_robots_parse_and_filter(spark):
                    ("a.com", "/private/public/ok"): True,  # longest wins
                    ("b.com", "/x/1"): False,
                    ("b.com", "/y"): True,
-                   ("c.com", "/anything"): True}  # no rules -> allowed
+                   ("c.com", "/anything"): True,  # no rules -> allowed
+                   # RFC 9309 §2.2.3 wildcards:
+                   ("d.com", "/page?x=1"): False,   # /*? mid-wildcard
+                   ("d.com", "/plain"): True,       # ? is literal, no match
+                   ("d.com", "/doc.pdf"): False,    # trailing $ anchors
+                   ("d.com", "/doc.pdfx"): True,    # anchor must NOT match
+                   ("d.com", "/shop/item?id=3"): True}  # longest Allow wins
 
 
 def test_sniff_content_router(spark):

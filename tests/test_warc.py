@@ -113,3 +113,48 @@ def test_write_warc_distributed_roundtrip(spark, tmp_path):
     ts_in = {r.url: r.warc_ts for r in df.select("url", "warc_ts").collect()}
     ts_out = {r.url: r.warc_ts for r in back.collect()}
     assert ts_in == ts_out
+
+
+def test_write_warc_lenient_on_null_rows(spark, tmp_path):
+    """Null url rows are unserializable as WARC records: the sink must
+    DROP them with a manifest n_skipped count (lenient-sink
+    discipline), and a null warc_ts defaults to the epoch — never a
+    task failure (the ADVICE write_warc finding)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdfplumber_rs_spark.sources.warc import read_warc, write_warc
+
+    df = (spark.createDataFrame(
+        [("http://ok/1", b"one", 1704067200),
+         (None, b"dropped", 1704067201),
+         ("http://ok/2", b"two", None)],
+        "url string, html binary, epoch long")
+        .withColumn("warc_ts", F.timestamp_seconds("epoch"))
+        .drop("epoch").coalesce(1))
+    out = str(tmp_path / "warc_null")
+    manifest = write_warc(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 2
+    assert sum(m.n_skipped for m in manifest) == 1
+    back = {r.url: r for r in read_warc(spark, out).collect()
+            if r.warning is None}
+    assert set(back) == {"http://ok/1", "http://ok/2"}
+    assert back["http://ok/2"].warc_ts == datetime.datetime(1970, 1, 1)
+
+
+def test_write_warc_all_null_partition(spark, tmp_path):
+    """A partition of ONLY null-url rows yields a manifest row with
+    n_records=0 and the skip count — no file, no crash."""
+    from pyspark.sql import functions as F
+
+    from pdfplumber_rs_spark.sources.warc import write_warc
+
+    df = (spark.createDataFrame(
+        [(None, b"x", 1704067200)], "url string, html binary, epoch long")
+        .withColumn("warc_ts", F.timestamp_seconds("epoch"))
+        .drop("epoch").coalesce(1))
+    manifest = write_warc(df, str(tmp_path / "warc_empty")).collect()
+    assert len(manifest) == 1
+    m = manifest[0]
+    assert (m.warc_file, m.n_records, m.n_skipped) == (None, 0, 1)
