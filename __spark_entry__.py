@@ -54,12 +54,18 @@ def _corpus_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pdf_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → deterministic PDF bytes → full extraction kernel
     → per-url extract_text. The oracle is the closed-form render
-    transform (SURVEY.md §3.1 flagship lifecycle)."""
+    transform (SURVEY.md §3.1 flagship lifecycle).
+
+    handle_skew=True: the flagship runs the PRODUCTION skew path —
+    giant documents spill to the blob store and fan out as page-range
+    pointer rows — so the driver battery keeps it hot (r3 verdict #5;
+    results are identical either way, which pdf_giant_doc proves
+    end-to-end with max_bytes=1)."""
     from pdfplumber_rs_spark import pipeline as P
     from pdfplumber_rs_spark.sources.corpus import corpus_table
 
     corpus = corpus_table(spark, sf_dir)
-    pages = P.extract_pages(corpus, handle_skew=False, include=())
+    pages = P.extract_pages(corpus, handle_skew=True, include=())
     doc = P.document_text(pages)
     ids = _corpus_ids(spark, sf_dir)
     return (
@@ -2394,58 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + 104-file golden parity — rotates behind, most load-bearing
     # first so they re-enter the window as earlier entries graduate.
     return {
-        # --- round-3 additions (never driver-checked) ---
-        "pdf_markdown": q_pdf_markdown,
-        "dedup_cc": q_dedup_cc,
-        "image_luma": q_image_luma,
-        "dup_spans": q_dup_spans,
-        "dup_span_removal": q_dup_span_removal,
-        "bm25": q_bm25,
-        "store_dedup": q_store_dedup,
-        "vocab_stats": q_vocab_stats,
-        "resize_luma": q_resize_luma,
-        "warc_read": q_warc_read,
-        "robots_filter": q_robots_filter,
-        "license_detect": q_license_detect,
-        "warc_cdx": q_warc_cdx,
-        "sniff": q_sniff,
-        "politeness": q_politeness,
-        "bpe": q_bpe,
-        "bpe_encode": q_bpe_encode,
-        "warc_roundtrip": q_warc_roundtrip,
-        "nb_quality": q_nb_quality,
-        # --- LLM-pipeline battery (judge-verified r2, driver-never) ---
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_candidates": q_minhash_candidates,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash": q_simhash,
-        "simhash_near": q_simhash_near,
-        "url_latest": q_url_latest,
-        "url_change_rate": q_url_change_rate,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "pipeline_e2e": q_pipeline_e2e,
-        "unigram_logprob": q_unigram_logprob,
-        "lang_guess": q_lang_guess,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "cosine_topk": q_cosine_topk,
-        "lsh_buckets": q_lsh_buckets,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_dedup": q_embedding_dedup,
-        "token_count": q_token_count,
-        "winnowing": q_winnowing,
-        "pii_redact": q_pii_redact,
-        "contamination": q_contamination,
-        "host_stats": q_host_stats,
-        "stream_windowed": q_stream_windowed,
-        "stream_dedup": q_stream_dedup,
-        "stream_sessionize": q_stream_sessionize,
-        "image_meta": q_image_meta,
-        "av_meta": q_av_meta,
-        "frame_sample": q_frame_sample,
+        # --- the 7 queries no driver window has EVER verified (judge
+        # re-ran them green at r3; this puts a DRIVER verdict on them) ---
         "stratified_sample": q_stratified_sample,
         "token_shards": q_token_shards,
         "html_main_content": q_html_main_content,
@@ -2453,19 +2409,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "doc_repetition": q_doc_repetition,
         "gopher_filter": q_gopher_filter,
-        # --- TPC-ish operator battery (green in r02) ---
-        "doctop_cumsum": q_doctop_cumsum,
-        "sessionize": q_sessionize,
-        "session_text": q_session_text,
-        "largest_order": q_largest_order,
-        "crop_filter": q_crop_filter,
-        "set_ops": q_set_ops,
-        "pricing_summary": q_pricing_summary,
-        "revenue_topn": q_revenue_topn,
-        "region_customers": q_region_customers,
-        "dedup_exact": q_dedup_exact,
-        # --- PDF battery (green in r02; pytest + golden parity) ---
-        "pdf_text_roundtrip": q_pdf_text_roundtrip,
+        # --- changed in round 4 (need fresh driver verdicts) ---
+        "embedding_dedup": q_embedding_dedup,   # bucket-representative
+        "lsh_buckets": q_lsh_buckets,           # array-literal planes
+        "lsh_topk": q_lsh_topk,
+        "robots_filter": q_robots_filter,       # RFC 9309 wildcards
+        "dup_spans": q_dup_spans,               # island merge within k
+        "dup_span_removal": q_dup_span_removal,
+        "store_dedup": q_store_dedup,           # explicit store probe
+        "warc_read": q_warc_read,               # lenient null-row sink
+        "warc_cdx": q_warc_cdx,
+        "warc_roundtrip": q_warc_roundtrip,
+        "dedup_cc": q_dedup_cc,                 # convergence stop option
+        "ivf_topk": q_ivf_topk,                 # Lloyd-trainable codebook
+        # --- PDF battery: most load-bearing first (last driver-checked
+        # r02; protected meanwhile by pytest + 104-file golden parity) ---
+        "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
         "pdf_table_cells": q_pdf_table_cells,
         "pdf_giant_doc": q_pdf_giant_doc,
         "pdf_encrypted": q_pdf_encrypted,
@@ -2495,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_text": q_pdf_layout_text,
         "pdf_crop_chars": q_pdf_crop_chars,
         "pdf_char_colors": q_pdf_char_colors,
+        # ---------------- driver window boundary (~50) ----------------
         "pdf_svg": q_pdf_svg,
         "pdf_largest_table": q_pdf_largest_table,
         "pdf_table_quality": q_pdf_table_quality,
@@ -2505,6 +2465,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_stream": q_pdf_stream,
         "pdf_lineage": q_pdf_lineage,
         "pdf_semantic_text": q_pdf_semantic_text,
+        "pdf_markdown": q_pdf_markdown,
+        # --- r03-green battery (rotated behind) ---
+        "image_luma": q_image_luma,
+        "bm25": q_bm25,
+        "vocab_stats": q_vocab_stats,
+        "resize_luma": q_resize_luma,
+        "license_detect": q_license_detect,
+        "sniff": q_sniff,
+        "politeness": q_politeness,
+        "bpe": q_bpe,
+        "bpe_encode": q_bpe_encode,
+        "nb_quality": q_nb_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "simhash_near": q_simhash_near,
+        "url_latest": q_url_latest,
+        "url_change_rate": q_url_change_rate,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "pipeline_e2e": q_pipeline_e2e,
+        "unigram_logprob": q_unigram_logprob,
+        "lang_guess": q_lang_guess,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "token_count": q_token_count,
+        "winnowing": q_winnowing,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
+        "host_stats": q_host_stats,
+        "stream_windowed": q_stream_windowed,
+        "stream_dedup": q_stream_dedup,
+        "stream_sessionize": q_stream_sessionize,
+        "image_meta": q_image_meta,
+        "av_meta": q_av_meta,
+        "frame_sample": q_frame_sample,
+        # --- TPC-ish operator battery (green in r02) ---
+        "doctop_cumsum": q_doctop_cumsum,
+        "sessionize": q_sessionize,
+        "session_text": q_session_text,
+        "largest_order": q_largest_order,
+        "crop_filter": q_crop_filter,
+        "set_ops": q_set_ops,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topn": q_revenue_topn,
+        "region_customers": q_region_customers,
+        "dedup_exact": q_dedup_exact,
     }
 
 
