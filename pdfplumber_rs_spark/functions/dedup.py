@@ -185,7 +185,9 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_components(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", num_hashes: int = 8,
-                     band_size: int = 4, n_rounds: int = 3) -> DataFrame:
+                     band_size: int = 4, n_rounds: int = 3,
+                     until_stable: bool = False,
+                     max_rounds: int = 20) -> DataFrame:
     """Bounded label-propagation connected components over the LSH
     bucket-membership graph — the transitive closure minhash_dedup's
     single-pass union approximation skips. Label = min doc_id reachable
@@ -194,33 +196,56 @@ def dedup_components(df: DataFrame, id_col: str = "doc_id",
     r and n_rounds=3 closes chains like A~B~C~D that single-pass
     keep-the-representative misses.
 
+    until_stable=True replaces the fixed round count with a
+    convergence stop: labels are MONOTONE non-increasing, so one tiny
+    scalar per round — count of docs whose label still decreased —
+    hits zero exactly when the components are final (longer chains
+    cost exactly the rounds they need, short graphs stop early);
+    max_rounds bounds diameter-of-the-graph pathologies. The fixed
+    n_rounds mode is kept as the oracle path (a convergence loop's
+    round count is data-dependent, so its SQL twin stays closed-form).
+
     Scale (10^12 docs): every round is exactly two shuffles — one on
     (band, key), one on doc_id — both uniform (band keys are minhash
     values, doc_ids are arbitrary); no pair enumeration, no driver
-    state, mega-buckets cost their size, not their square. At cluster
-    scale, checkpoint the label frame every few rounds to truncate the
-    growing lineage (same note as pagerank). Returns (doc_id,
-    component) for every document that produced at least one token."""
-    # bands is referenced TWICE per round and labels feeds the next
-    # round — persist both so each round costs its own two shuffles
-    # instead of recomputing the signature lineage from the scan
-    # (same pattern as bpe/pagerank; at cluster depth this is the
-    # between-stage Iceberg commit)
+    state, mega-buckets cost their size, not their square. Returns
+    (doc_id, component) for every document that produced at least one
+    token."""
+    # bands is referenced TWICE per round — persist it so each round
+    # costs its own two shuffles instead of recomputing the signature
+    # lineage from the scan. labels feeds the NEXT round: an eager
+    # localCheckpoint truncates the growing plan each round (persist
+    # alone keeps stacking lineage; at cluster depth this is the
+    # between-stage Iceberg commit, reliable-checkpoint flavored)
     bands = minhash_bands(df, id_col, text_col, num_hashes,
                           band_size).persist()
     labels = bands.select("doc_id").distinct().select(
-        "doc_id", F.col("doc_id").alias("label"))
-    for _ in range(n_rounds):
+        "doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    rounds = 0
+    limit = max_rounds if until_stable else n_rounds
+    while rounds < limit:
+        rounds += 1
         bucket_min = (
             bands.join(labels, "doc_id")
             .groupBy("band", "key").agg(F.min("label").alias("bmin"))
         )
         # a doc is a member of each of its buckets, so min(bmin) over
         # its buckets is <= its previous label: monotone, no max needed
-        labels = (
+        new_labels = (
             bands.join(bucket_min, ["band", "key"])
             .groupBy("doc_id").agg(F.min("bmin").alias("label"))
-        ).persist()
+        ).localCheckpoint()
+        if until_stable:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") < F.col("o.label")).count()
+            )  # one scalar on a (doc_id, label) frame — the tiny agg
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -30,16 +30,25 @@ def host_link_graph(links: DataFrame, url_col: str = "url",
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85, tol: float | None = None) -> DataFrame:
     """Weighted PageRank over (src_host, dst_host, n_links) edges.
 
     Classic power iteration as DataFrame ops: out-weight per src once,
     then per iteration contributions = rank * w/out_w joined src-side
     and summed per dst; teleport mass (1-d)/N. Nodes = union of srcs
-    and dsts. Returns (host, rank). The lineage of each iteration is a
-    join+agg pair — at scale, checkpoint every few iterations to cut
-    the growing plan (Iceberg/parquet round-trip), exactly as the
-    between-stage commits in SURVEY §4(d)."""
+    and dsts. Returns (host, rank).
+
+    tol=None (the oracle path): exactly n_iter iterations —
+    closed-form, SQL-twin-able. tol set: stop as soon as the max
+    per-host rank delta drops below tol (one tiny max-abs aggregate on
+    the host-level frame per iteration), with n_iter as the cap —
+    converged graphs stop early instead of paying the full budget.
+
+    Each iteration's ranks are localCheckpoint()ed (eager): the
+    host-level rank frame is tiny (~10^8 rows at full crawl scale),
+    and truncating the plan each round keeps iteration N's cost flat
+    instead of replaying N join+agg layers — the in-memory stand-in
+    for the between-stage Iceberg commits in SURVEY §4(d)."""
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
@@ -62,7 +71,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                     (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("host").agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, "host", "left")
             .select(
                 "host",
@@ -70,5 +79,18 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                  + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
                 .alias("rank"),
             )
-        )
+        ).localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "host")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))
+                     .alias("d"))
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

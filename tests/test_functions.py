@@ -1120,6 +1120,53 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_dedup_components_until_stable_closes_long_chain(spark):
+    """An 8-link mutation chain needs more propagation rounds than the
+    fixed default n_rounds=3 covers; until_stable=True must keep
+    propagating until the labels stop moving (one scalar count per
+    round) and land everything in ONE component — and stop EARLY on an
+    already-converged graph."""
+    from pdfplumber_rs_spark.functions.dedup import dedup_components
+
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id = 7").select("text").collect()[0].text)
+    words = base.split(" ")
+    chain = []
+    for step in range(9):
+        kept = [w for i, w in enumerate(words) if i % 19 >= step]
+        chain.append((step, " ".join(kept)))
+    df = spark.createDataFrame(chain, "doc_id long, text string")
+    comp = {r.doc_id: r.component
+            for r in dedup_components(df, num_hashes=16, band_size=4,
+                                      until_stable=True).collect()}
+    assert len(set(comp.values())) == 1, comp
+    # fixed-round and until_stable agree wherever fixed already closed
+    fixed = {r.doc_id: r.component
+             for r in dedup_components(df, num_hashes=16, band_size=4,
+                                       n_rounds=20).collect()}
+    assert comp == fixed
+
+
+def test_pagerank_tol_early_stop_matches_full_run(spark):
+    """tol-based convergence must return the same ranks (to well under
+    tol) as the fixed-iteration run, and rank mass stays conserved."""
+    from pdfplumber_rs_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 2), ("b.com", "a.com", 1),
+         ("b.com", "c.com", 1), ("c.com", "a.com", 3)],
+        "src_host string, dst_host string, n_links long",
+    )
+    full = {r.host: r.rank
+            for r in pagerank(edges, n_iter=60).collect()}
+    conv = {r.host: r.rank
+            for r in pagerank(edges, n_iter=60, tol=1e-9).collect()}
+    assert set(full) == set(conv)
+    for h in full:
+        assert abs(full[h] - conv[h]) < 1e-7
+    assert abs(sum(conv.values()) - 1.0) < 1e-9
+
+
 def test_ivf_topk_recall_improves_with_nprobe(spark):
     """IVF contract: probing more cells must not lose recall vs exact
     top-k, and full probing (nprobe = n_cells) is EXACT."""
