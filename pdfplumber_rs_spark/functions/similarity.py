@@ -177,24 +177,75 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_train_codebook(corpus: DataFrame, n_cells: int = 8,
+                       n_iter: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF coarse codebook, pure
+    DataFrame ops — the production replacement for the deterministic
+    first-k seed when embedding mass is skewed (bad seeds → lopsided
+    cells → poor recall at small nprobe).
+
+    Each iteration: broadcast the current centroids, assign every
+    vector to its max-cosine cell (ivf_assign — map-side scoring +
+    max_by partial agg), then re-center each cell at the element-wise
+    MEAN of its members: posexplode to (cell, pos, val) rows, avg per
+    (cell, pos) — a uniform two-key shuffle linear in corpus×dim —
+    and re-assemble the centroid arrays with array_sort(collect_list).
+    Cells that capture no members keep their previous centroid.
+    Deterministic end to end (seeding, tie-breaks, and means are all
+    order-independent). Returns (cell, cvec)."""
+    seed = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("cell"),
+        F.col(vec_col).alias("cvec"))
+    cents = seed
+    v = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        comp = (
+            v.join(assigned, "vec_id")
+            .select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        )
+        recentered = (
+            comp.groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"].cast("float")).alias("new_cvec"))
+        )
+        cents = (
+            cents.join(recentered, "cell", "left")
+            .select("cell",
+                    F.coalesce("new_cvec", "cvec").alias("cvec"))
+        ).localCheckpoint()
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 8,
              nprobe: int = 2, k: int = 5, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             train_iters: int = 0) -> DataFrame:
     """IVF-flat approximate top-k (the inverted-list ANN shape, FAISS
     IVF semantics): corpus vectors are binned to their nearest coarse
     centroid once; each query probes only its nprobe closest cells and
     ranks candidates by exact cosine. Returns (query_id, neighbor_id,
     cos_sim, rank).
 
-    The coarse codebook here is training-free and deterministic — the
-    first n_cells corpus vectors by id — so the whole index has a
-    closed-form SQL oracle. In production the codebook comes from
-    k-means (or is shipped with the model); everything downstream —
-    broadcast centroids, one cell-keyed corpus shuffle (the inverted
-    lists), broadcast query probes — is identical and is the part that
-    must scale."""
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    The default coarse codebook (train_iters=0) is training-free and
+    deterministic — the first n_cells corpus vectors by id — so the
+    whole index has a closed-form SQL oracle. train_iters>0 refines it
+    with that many Lloyd iterations (ivf_train_codebook: broadcast
+    centroids, max_by assignment, avg re-centering — all DataFrame
+    ops), the production path when seeds are skewed; everything
+    downstream — broadcast centroids, one cell-keyed corpus shuffle
+    (the inverted lists), broadcast query probes — is identical in
+    both modes and is the part that must scale."""
+    if train_iters > 0:
+        cents = ivf_train_codebook(corpus, n_cells, train_iters,
+                                   id_col, vec_col)
+    else:
+        cents = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     # inverted lists: one cell per corpus vector
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),

@@ -1120,6 +1120,46 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_ivf_trained_codebook_beats_skewed_seed(spark):
+    """Skewed-seed fixture: the first n_cells=4 corpus vectors (the
+    deterministic seed codebook) all sit in ONE cluster, so untrained
+    IVF at nprobe=1 scatters the true clusters across cells and loses
+    recall. Two Lloyd iterations (broadcast centroids, max_by
+    assignment, avg re-centering — all DataFrame ops) must recover
+    it."""
+    import hashlib
+
+    from pdfplumber_rs_spark.functions.similarity import (cosine_topk,
+                                                          ivf_topk)
+
+    def jit(i, d):
+        return (int(hashlib.md5(f"j:{i}:{d}".encode()).hexdigest()[:6],
+                    16) % 101 - 50) / 500.0
+
+    dim = 8
+    rows = []
+    for i in range(100):
+        c = 0 if i < 4 else i % 4  # seeds 0..3 ALL in cluster 0
+        v = [jit(i, d) for d in range(dim)]
+        v[c] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id").isin([11, 22, 33, 44, 55, 66, 77, 88]))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(df, q, k=5).collect()}
+
+    def recall(train_iters):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(df, q, n_cells=4, nprobe=1, k=5,
+                                    train_iters=train_iters).collect()}
+        return len(approx & exact) / len(exact)
+
+    r_untrained, r_trained = recall(0), recall(2)
+    assert r_untrained <= 0.85  # the skew really hurts the seed path
+    assert r_trained >= 0.95    # Lloyd recovers (measured 0.75 -> 1.0)
+    assert r_trained > r_untrained
+
+
 def test_dedup_components_until_stable_closes_long_chain(spark):
     """An 8-link mutation chain needs more propagation rounds than the
     fixed default n_rounds=3 covers; until_stable=True must keep
