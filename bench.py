@@ -37,6 +37,153 @@ HEADLINE = [
 ]
 
 
+# Reference-published per-operator numbers (Rust, per-core) from
+# /root/reference/crates/pdfplumber/benches/README.md:44-49; the bench
+# bodies below replicate crates/pdfplumber/benches/extraction.rs
+# criterion groups (:512-523) on the same five fixture classes
+# (README.md:26-36). Groups without a published Rust number show None.
+MICRO_RUST_MS = {
+    ("text_extraction", "simple_1page"): 0.12,
+    ("text_extraction", "medium_10page"): 4.8,
+    ("text_extraction", "complex_10page"): 2.9,
+    ("table_detection_lattice", "20x5_single_table"): 0.12,
+    ("table_detection_stream", "20x5_single_table"): 0.20,
+    ("table_detection_lattice", "complex_10page"): 2.3,
+}
+
+
+def _micro_benches():
+    """(group, fixture, body) triples mirroring extraction.rs: the doc
+    is opened OUTSIDE the timed body (criterion's Pdf::open outside
+    b.iter); each body re-interprets the page(s) then runs the
+    operator, exactly like the Rust b.iter closures."""
+    from pdfplumber_rs_spark.config import TableSettings, TextOptions
+    from pdfplumber_rs_spark.kernel.document import open_pdf
+    from pdfplumber_rs_spark.sources import pdfgen
+
+    line = ("Line {} of the document with some words to measure "
+            "extraction speed here")
+    simple = pdfgen.build_pdf([pdfgen.text_page_content(
+        [line.format(i + 1) for i in range(10)], font="F1")])
+    medium = pdfgen.build_pdf([pdfgen.text_page_content(
+        [line.format(i + 1) for i in range(30)], font="F1")
+        for _ in range(10)])
+    complex_ = pdfgen.fixture_complex(10)
+    lattice = pdfgen.fixture_lattice(20, 5)
+    stream = pdfgen.fixture_stream(20, 5)
+
+    docs = {name: open_pdf(data) for name, data in [
+        ("simple_1page", simple), ("medium_10page", medium),
+        ("complex_10page", complex_), ("20x5_lattice", lattice),
+        ("20x5_stream", stream)]}
+    raw = {"simple_1page": simple, "medium_10page": medium,
+           "complex_10page": complex_}
+
+    def all_pages(doc, op):
+        def body():
+            for i in range(doc.page_count):
+                op(doc.page(i))
+        return body
+
+    text_opts = TextOptions()
+    layout_opts = TextOptions(layout=True)
+    lattice_settings = TableSettings()
+    stream_settings = TableSettings(strategy="stream",
+                                    min_words_vertical=2,
+                                    min_words_horizontal=1)
+    benches = []
+    for fx in ("simple_1page", "medium_10page", "complex_10page"):
+        data = raw[fx]
+        benches.append(("pdf_open", fx, lambda d=data: open_pdf(d)))
+        doc = docs[fx]
+        benches.append(("char_extraction", fx,
+                        all_pages(doc, lambda p: len(p.chars))))
+        benches.append(("word_extraction", fx,
+                        all_pages(doc, lambda p: len(p.extract_words()))))
+        benches.append(("text_extraction", fx,
+                        all_pages(doc, lambda p: len(
+                            p.extract_text(text_opts)))))
+    benches.append(("text_extraction_layout", "complex_10page",
+                    all_pages(docs["complex_10page"],
+                              lambda p: len(p.extract_text(layout_opts)))))
+    benches.append(("table_detection_lattice", "20x5_single_table",
+                    all_pages(docs["20x5_lattice"],
+                              lambda p: len(p.find_tables(
+                                  lattice_settings)))))
+    benches.append(("table_detection_lattice", "complex_10page",
+                    all_pages(docs["complex_10page"],
+                              lambda p: len(p.find_tables(
+                                  lattice_settings)))))
+    benches.append(("table_detection_stream", "20x5_single_table",
+                    all_pages(docs["20x5_stream"],
+                              lambda p: len(p.find_tables(
+                                  stream_settings)))))
+    benches.append(("edge_computation", "lattice_20x5",
+                    all_pages(docs["20x5_lattice"],
+                              lambda p: len(p.edges()))))
+    benches.append(("edge_computation", "complex_10page",
+                    all_pages(docs["complex_10page"],
+                              lambda p: len(p.edges()))))
+    return benches
+
+
+def _time_ms(body, min_time: float = 0.2, epochs: int = 3) -> float:
+    """Best-epoch mean ms per body call (criterion-style: calibrate the
+    iteration count to fill min_time, take the fastest epoch to shed
+    host-noise spikes)."""
+    best = float("inf")
+    n = 1
+    while True:  # calibrate
+        t0 = time.perf_counter()
+        for _ in range(n):
+            body()
+        dt = time.perf_counter() - t0
+        if dt >= min_time or n >= 4096:
+            break
+        n *= 2
+    for _ in range(epochs):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            body()
+        dt = time.perf_counter() - t0
+        best = min(best, dt / n)
+    return best * 1000.0
+
+
+def micro() -> None:
+    """Per-operator kernel microbenchmark, criterion-parity with the
+    reference's bench suite. Prints one JSON line plus the
+    BASELINE.md markdown table. Single-core pure-kernel numbers — the
+    Spark battery (default mode) measures the distributed path."""
+    results = {}
+    for group, fx, body in _micro_benches():
+        ms = _time_ms(body)
+        results[f"{group}/{fx}"] = round(ms, 3)
+    print(json.dumps({
+        "metric": "kernel per-operator ms (criterion-parity, 1 core)",
+        "unit": "ms", "micro": results,
+    }))
+    print()
+    print("| Group | Fixture | this repo (ms, 1 core) | "
+          "pdfplumber-rs (ms) | Python pdfplumber (ms) |")
+    print("|---|---|---|---|---|")
+    python_ms = {  # benches/README.md:44-49 published Python column
+        ("text_extraction", "simple_1page"): 5.0,
+        ("text_extraction", "medium_10page"): 50.0,
+        ("text_extraction", "complex_10page"): 80.0,
+        ("table_detection_lattice", "20x5_single_table"): 15.0,
+        ("table_detection_stream", "20x5_single_table"): 20.0,
+        ("table_detection_lattice", "complex_10page"): 120.0,
+    }
+    for key, ms in results.items():
+        group, fx = key.split("/", 1)
+        rust = MICRO_RUST_MS.get((group, fx))
+        py = python_ms.get((group, fx))
+        rust_s = f"~{rust}" if rust is not None else "unpublished"
+        py_s = f"~{py:g}" if py is not None else "unpublished"
+        print(f"| {group} | {fx} | {ms:.2f} | {rust_s} | {py_s} |")
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -103,4 +250,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--micro" in sys.argv:
+        micro()
+    else:
+        main()
