@@ -2376,6 +2376,40 @@ def q_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("url", "fp").orderBy("url"))
 
 
+def q_job_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resumable extraction job, end to end (north rule:
+    'resumable from checkpoint with per-partition lineage + metrics'):
+    run 1 extracts the even documents and commits batch 0; run 2 sees
+    the WHOLE corpus and must extract ONLY the odd remainder (left-anti
+    resume against the committed batches); run 3 is a no-op. The
+    returned read-back of committed results proves exactly-once per
+    url — any re-extraction or duplication breaks the row count and
+    hash against the closed-form oracle."""
+    import tempfile
+
+    from pdfplumber_rs_spark import jobs
+    from pdfplumber_rs_spark.sources.corpus import corpus_table
+
+    tmp = tempfile.mkdtemp(prefix="job_resume_")
+    corpus = corpus_table(spark, sf_dir)
+    ids = _corpus_ids(spark, sf_dir)
+    even = corpus.join(
+        ids.filter(F.col("doc_id") % 2 == 0).select("url"), "url",
+        "left_semi")
+    jobs.run_extract_job(spark, even, tmp)
+    jobs.run_extract_job(spark, corpus, tmp)
+    noop = jobs.run_extract_job(spark, corpus, tmp)
+    assert noop["n_processed"] == 0
+    res = jobs.committed_results(spark, tmp)
+    return (
+        res.join(ids, "url")
+        .select("doc_id",
+                F.col("n_chars").cast("long").alias("n_chars"),
+                F.col("n_words").cast("long").alias("n_words"))
+        .orderBy("doc_id")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -2422,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "dedup_cc": q_dedup_cc,                 # convergence stop option
         "ivf_topk": q_ivf_topk,                 # Lloyd-trainable codebook
+        "job_resume": q_job_resume,             # NEW r4: resumable job
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -2699,6 +2734,14 @@ with toks as (
                    cast(len(list_filter(
                      regexp_split_to_array({_SANITIZED}, '[ \n]+'),
                      x -> x <> '')) as bigint) as n_words_extracted
+            from documents order by doc_id""",
+        "job_resume": f"""
+            select doc_id,
+                   cast(length(replace({_SANITIZED}, chr(10), ''))
+                     as bigint) as n_chars,
+                   cast(len(list_filter(
+                     regexp_split_to_array({_SANITIZED}, '[ \n]+'),
+                     x -> x <> '')) as bigint) as n_words
             from documents order by doc_id""",
         "pdf_table_cells": """
             with li as (
