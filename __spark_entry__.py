@@ -2410,6 +2410,34 @@ def q_job_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style web-corpus cleaning (Raffel et al. 2020 §2.2): each
+    document is decorated with planted lines probing every rule — a
+    good sentence, a <3-word line, a no-terminal-punct line, a
+    javascript line, and (every 5th doc) a lorem-ipsum marker — then
+    line-filtered and doc-gated. Pure codegen projection, no
+    shuffle."""
+    from pdfplumber_rs_spark.functions.text import c4_clean
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("\nGood sentence line number "), did, F.lit("."),
+        F.lit("\nshort line."),
+        F.lit("\nNo terminal punctuation here"),
+        F.lit("\nThis javascript line is filtered out."),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\nlorem ipsum")).otherwise(F.lit("")),
+        F.lit("\nAnother good sentence here. And more words here. "
+              "Plus a third. Then a fourth."),
+    )
+    return (
+        c4_clean(docs.select("doc_id", txt.alias("text")))
+        .orderBy("doc_id")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.similarity import lsh_buckets
 
@@ -2457,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": q_dedup_cc,                 # convergence stop option
         "ivf_topk": q_ivf_topk,                 # Lloyd-trainable codebook
         "job_resume": q_job_resume,             # NEW r4: resumable job
+        "c4_clean": q_c4_clean,                 # NEW r4: C4 filters
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -2735,6 +2764,56 @@ with toks as (
                      regexp_split_to_array({_SANITIZED}, '[ \n]+'),
                      x -> x <> '')) as bigint) as n_words_extracted
             from documents order by doc_id""",
+        "c4_clean": r"""
+            with t as (
+              select doc_id,
+                     coalesce(text, '')
+                     || chr(10) || 'Good sentence line number '
+                       || cast(doc_id as varchar) || '.'
+                     || chr(10) || 'short line.'
+                     || chr(10) || 'No terminal punctuation here'
+                     || chr(10) || 'This javascript line is filtered out.'
+                     || case when doc_id % 5 = 0
+                        then chr(10) || 'lorem ipsum' else '' end
+                     || chr(10) || 'Another good sentence here. '
+                       || 'And more words here. Plus a third. '
+                       || 'Then a fourth.'
+                     as txt
+              from documents
+            ), l as (
+              select doc_id, txt, string_split(txt, chr(10)) as lines
+              from t
+            ), k as (
+              select doc_id, txt, lines,
+                     list_filter(lines, x ->
+                       regexp_matches(trim(x), '[.!?]$')
+                       and len(list_filter(
+                         regexp_split_to_array(trim(x), '\s+'),
+                         w -> w <> '')) >= 3
+                       and not contains(lower(x), 'javascript'))
+                     as kept_lines
+              from l
+            ), c as (
+              select doc_id, txt, lines, kept_lines,
+                     array_to_string(
+                       list_transform(kept_lines, x -> trim(x)),
+                       chr(10)) as clean
+              from k
+            ), s as (
+              select *,
+                     length(regexp_replace(clean, '[^.!?]', '', 'g'))
+                       as n_sent
+              from c
+            )
+            select doc_id,
+                   cast(len(lines) as bigint) as n_lines,
+                   cast(len(kept_lines) as bigint) as n_kept_lines,
+                   cast(n_sent as bigint) as n_sentences,
+                   (n_sent >= 5
+                    and not contains(lower(txt), 'lorem ipsum')
+                    and not contains(lower(txt), '{')) as kept,
+                   md5(clean) as clean_md5
+            from s order by doc_id""",
         "job_resume": f"""
             select doc_id,
                    cast(length(replace({_SANITIZED}, chr(10), ''))

@@ -161,6 +161,51 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def c4_clean(df, id_col: str = "doc_id", text_col: str = "text"):
+    """C4-style cleaning (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning…", §2.2 heuristics), the canonical web-corpus
+    line+document filter, as pure Column expressions:
+
+    Line level — a line survives iff its trimmed form (a) ends in a
+    terminal punctuation mark (. ! ?), (b) has ≥ 3 whitespace-separated
+    words, and (c) does not contain 'javascript' (case-insensitive).
+    Document level — kept iff the surviving lines carry ≥ 5 terminal
+    punctuation marks (the sentence-count proxy) and the ORIGINAL text
+    contains neither 'lorem ipsum' nor '{'.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, kept,
+    clean_md5) — clean_md5 hashes the newline-joined surviving lines
+    (trimmed), empty string when nothing survives. One narrow
+    projection, no shuffle, whole-stage codegen at any scale; the
+    regexes live in the Java∩RE2 dialect so the same logic runs as the
+    SQL oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept_lines = F.filter(
+        lines,
+        lambda l: F.regexp_like(F.trim(l), F.lit(r"[.!?]$"))
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                           lambda w: w != "")) >= 3)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    clean = F.array_join(F.transform(kept_lines, F.trim), "\n")
+    n_sentences = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    low = F.lower(t)
+    kept = (
+        (n_sentences >= 5)
+        & ~F.contains(low, F.lit("lorem ipsum"))
+        & ~F.contains(low, F.lit("{"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        n_sentences.cast("long").alias("n_sentences"),
+        kept.alias("kept"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def repetition_features(df, id_col: str = "doc_id",
                         text_col: str = "text"):
     """Gopher/MassiveText-style within-document repetition signals:

@@ -1120,6 +1120,35 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_c4_clean_rules(spark):
+    """Every C4 rule individually: terminal-punct line filter, 3-word
+    minimum, javascript line drop, lorem-ipsum / brace doc gates, and
+    the 5-sentence document threshold."""
+    good5 = ("One good sentence here. Another good sentence there. "
+             "A third sentence now. A fourth sentence too. "
+             "And a fifth one.")
+    df = spark.createDataFrame(
+        [(1, good5 + "\nshort one.\nno punct line here\n"
+             "A javascript warning sentence appears."),
+         (2, "Only two sentences live here. That is not enough."),
+         (3, good5 + "\nlorem ipsum"),
+         (4, good5 + "\nvar x = { a: 1 }"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.c4_clean(df).collect()}
+    r1 = rows[1]
+    assert r1.kept  # 5 sentences survive in one kept line
+    assert r1.n_lines == 4 and r1.n_kept_lines == 1
+    assert r1.n_sentences == 5
+    assert not rows[2].kept          # < 5 sentences
+    assert not rows[3].kept          # lorem ipsum doc gate
+    assert not rows[4].kept          # '{' doc gate
+    assert not rows[5].kept and rows[5].n_kept_lines == 0  # null text
+    import hashlib
+    assert r1.clean_md5 == hashlib.md5(good5.encode()).hexdigest()
+
+
 def test_ivf_trained_codebook_beats_skewed_seed(spark):
     """Skewed-seed fixture: the first n_cells=4 corpus vectors (the
     deterministic seed codebook) all sit in ONE cluster, so untrained
