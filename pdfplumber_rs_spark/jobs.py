@@ -90,7 +90,8 @@ def _next_batch_no(spark: SparkSession, out_dir: str) -> int:
 
 
 def run_extract_job(spark: SparkSession, corpus: DataFrame, out_dir: str,
-                    handle_skew: bool = True) -> dict:
+                    handle_skew: bool = True,
+                    include: tuple = ()) -> dict:
     """One resumable pass: extract every document NOT yet in a
     committed batch, commit results + lineage + metrics as the next
     batch, and return the metrics dict. Invoke repeatedly until
@@ -107,7 +108,7 @@ def run_extract_job(spark: SparkSession, corpus: DataFrame, out_dir: str,
     batch_no = _next_batch_no(spark, out_dir)
     todo = corpus if done is None else P.resume_filter(corpus, done)
     pages = P.extract_pages(todo, handle_skew=handle_skew,
-                            include=()).persist()
+                            include=include).persist()
     doc = (
         P.document_text(pages)
         .select("url", "text", "n_pages", "n_chars", "n_words")

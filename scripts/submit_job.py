@@ -7,11 +7,14 @@
 Reads an Iceberg/parquet corpus of Common-Crawl-style pages
 (url, html:binary, ...), runs the full extraction pipeline (skew-aware:
 giant blobs spill once and ship pointer rows), assembles per-url text,
-and APPENDS results plus per-partition lineage rows to the output.
-Re-running with the same output is checkpoint-resumable: already-
-committed urls are dropped with a left-anti join before any kernel work
-(SURVEY §4(d); in production the append is an Iceberg transactional
-commit and this degenerates to snapshot-diff semantics).
+and commits results + per-partition lineage + a metrics JSON through
+jobs.run_extract_job: numbered batch directories durable iff Spark's
+_SUCCESS marker exists (the parquet stand-in for Iceberg snapshot
+commits). Re-running with the same output is checkpoint-resumable —
+already-committed urls are dropped with a left-anti join before any
+kernel work, a run killed mid-write leaves only an ignorable
+uncommitted directory, and the job is a no-op once caught up
+(SURVEY §4(d)).
 """
 
 from __future__ import annotations
@@ -40,31 +43,23 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark import jobs
 
     corpus = spark.read.parquet(args.input)
-    out_docs = f"{args.output.rstrip('/')}/documents"
-    out_lineage = f"{args.output.rstrip('/')}/lineage"
-
-    if not args.no_resume:
-        try:
-            committed = spark.read.parquet(out_docs)
-            corpus = P.resume_filter(corpus, committed)
-        except Exception:  # noqa: BLE001 — first run: nothing committed yet
-            pass
-
+    out = args.output.rstrip("/")
+    if args.no_resume:
+        # fresh batch over everything: point resume at a scratch view
+        # by clearing the committed set — simplest honest semantics is
+        # a distinct output; refuse the footgun instead of clobbering
+        if jobs.committed_batches(spark, out):
+            raise SystemExit(
+                "--no-resume with an existing committed output would "
+                "double-ingest; use a fresh --output directory")
     include = tuple(s for s in args.include.split(",") if s)
-    pages = P.extract_pages(corpus, handle_skew=args.handle_skew,
-                            include=include)
-    # two consumers (text sink + lineage) — materialize the kernel
-    # output once (PLANS.md "multi-reference reuse"; production writes
-    # the page table to Iceberg and derives both from the commit)
-    pages = pages.persist()
-    try:
-        P.document_text(pages).write.mode("append").parquet(out_docs)
-        P.lineage(pages).write.mode("append").parquet(out_lineage)
-    finally:
-        pages.unpersist()
+    metrics = jobs.run_extract_job(spark, corpus, out,
+                                   handle_skew=args.handle_skew,
+                                   include=include)
+    print(__import__("json").dumps(metrics))
     spark.stop()
 
 

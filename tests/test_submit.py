@@ -58,10 +58,12 @@ def test_spark_submit_extract_and_resume(artifact, tmp_path, spark):
                        check=False)
     assert r.returncode == 0, r.stderr[-3000:]
 
-    docs = spark.read.parquet(str(out / "documents"))
+    from pdfplumber_rs_spark import jobs
+
+    docs = jobs.committed_results(spark, str(out))
     got = {row.url: row.text for row in docs.collect()}
     assert got == {f"u{i}": f"doc number {i} body" for i in range(6)}
-    lineage = spark.read.parquet(str(out / "lineage"))
+    lineage = spark.read.parquet(str(out / "lineage" / "batch=0"))
     assert lineage.groupBy().sum("n_pages").collect()[0][0] == 6
 
     # drop two NEW docs next to the old file; rerun must only add those
@@ -73,6 +75,7 @@ def test_spark_submit_extract_and_resume(artifact, tmp_path, spark):
                         env={**__import__("os").environ, "PYTHONPATH": ""},
                         check=False)
     assert r2.returncode == 0, r2.stderr[-3000:]
-    rows_after = spark.read.parquet(str(out / "documents")).collect()
-    assert len(rows_after) == 8  # u0-u5 written once, v0-v1 appended
+    rows_after = jobs.committed_results(spark, str(out)).collect()
+    assert len(rows_after) == 8  # u0-u5 committed once, v0-v1 in batch=1
     assert {r_.url for r_ in rows_after} == {f"u{i}" for i in range(6)} | {"v0", "v1"}
+    assert len(jobs.committed_batches(spark, str(out))) == 2
