@@ -1891,6 +1891,18 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_by_token_budget(docs, budget=50_000).orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (LM pretraining batching):
+    the whole corpus token stream cut into 2048-token training
+    sequences, one row per (sequence, document) overlap with in-doc
+    and in-sequence offsets. Distributed prefix sum + bounded
+    explode."""
+    from pdfplumber_rs_spark.functions.sampling import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=2048).orderBy("seq_id", "doc_id")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the inverted-list scale path alongside LSH):
     corpus binned once to its nearest coarse centroid (deterministic
@@ -2486,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,                 # Lloyd-trainable codebook
         "job_resume": q_job_resume,             # NEW r4: resumable job
         "c4_clean": q_c4_clean,                 # NEW r4: C4 filters
+        "pack_sequences": q_pack_sequences,     # NEW r4: LM seq packing
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -4392,6 +4405,40 @@ with toks as (
                    cast(floor((cum_tokens - n_tokens) / 50000.0)
                         as bigint) as shard
             from c order by doc_id""",
+        "pack_sequences": r"""
+            with t as (
+              select doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '')) as n_tokens
+              from documents
+            ), c as (
+              select doc_id, n_tokens,
+                     sum(n_tokens) over (order by doc_id
+                       rows between unbounded preceding and current row)
+                       as cum
+              from t
+            ), s as (
+              select doc_id,
+                     cast(cum - n_tokens as bigint) as tok_start,
+                     cast(cum as bigint) as tok_end
+              from c where n_tokens > 0
+            ), e as (
+              select doc_id, tok_start, tok_end,
+                     unnest(generate_series(tok_start // 2048,
+                                            (tok_end - 1) // 2048))
+                       as seq_id
+              from s
+            )
+            select cast(seq_id as bigint) as seq_id, doc_id,
+                   cast(greatest(tok_start, seq_id * 2048) - tok_start
+                        as bigint) as doc_offset,
+                   cast(greatest(tok_start, seq_id * 2048)
+                        - seq_id * 2048 as bigint) as seq_offset,
+                   cast(least(tok_end, (seq_id + 1) * 2048)
+                        - greatest(tok_start, seq_id * 2048)
+                        as bigint) as n_tokens
+            from e order by seq_id, doc_id""",
         "av_meta": """
             select doc_id as media_id,
                    case when doc_id % 2 = 0 then 'audio' else 'video' end

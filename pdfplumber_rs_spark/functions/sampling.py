@@ -18,6 +18,53 @@ from pyspark.sql import functions as F
 from .text import token_count
 
 
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LM-pretraining batching
+    step: conceptually concatenate every document's tokens in id order
+    and cut the stream into fixed `seq_len` training sequences. Emits
+    one row per (sequence, document) overlap:
+
+      (seq_id, doc_id, doc_offset, seq_offset, n_tokens)
+
+    doc_offset = where this slice starts inside the document,
+    seq_offset = where it lands inside the sequence; a document
+    crossing a boundary contributes a row to each sequence it touches
+    (the attention-mask / document-boundary metadata packers need).
+    Every sequence except the last is exactly seq_len tokens.
+
+    Scale shape: token offsets come from shard_by_token_budget's
+    DISTRIBUTED two-phase prefix sum (no global window), then each doc
+    explodes into ceil(span/seq_len) rows — fan-out proportional to
+    the OUTPUT size, never a cross join; zero-token docs are filtered
+    before the sequence explode (the descending-F.sequence crash
+    class)."""
+    cum = shard_by_token_budget(docs, seq_len, id_col, text_col,
+                                num_partitions)
+    spans = cum.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col),
+        (F.col("cum_tokens") - F.col("n_tokens")).alias("tok_start"),
+        F.col("cum_tokens").alias("tok_end"),
+    )
+    seqs = spans.select(
+        id_col, "tok_start", "tok_end",
+        F.explode(F.sequence(
+            F.floor(F.col("tok_start") / seq_len),
+            F.floor((F.col("tok_end") - 1) / seq_len),
+        )).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("tok_end"), (F.col("seq_id") + 1) * seq_len)
+    return seqs.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col(id_col),
+        (lo - F.col("tok_start")).cast("long").alias("doc_offset"),
+        (lo - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (hi - lo).cast("long").alias("n_tokens"),
+    )
+
+
 def stratified_take(df: DataFrame, strata_col: str, quota: int,
                     id_col: str = "doc_id") -> DataFrame:
     """Keep at most `quota` rows per stratum, chosen by md5(id) order

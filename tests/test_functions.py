@@ -1120,6 +1120,40 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: full sequences are exactly seq_len
+    tokens, a boundary-crossing doc continues at the right doc_offset,
+    per-doc token totals are conserved, zero-token docs vanish."""
+    from pdfplumber_rs_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 7)),     # tokens [0, 7)
+         (2, " ".join(["b"] * 10)),    # [7, 17) — crosses both cuts
+         (3, ""),                      # zero tokens: no rows
+         (4, " ".join(["c"] * 3))],    # [17, 20)
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        ((r.seq_id, r.doc_id, r.doc_offset, r.seq_offset, r.n_tokens)
+         for r in pack_sequences(docs, seq_len=8).collect()))
+    assert rows == [
+        (0, 1, 0, 0, 7),   # doc1 fills seq0[0:7)
+        (0, 2, 0, 7, 1),   # doc2 starts at seq0[7]
+        (1, 2, 1, 0, 8),   # ...continues through all of seq1
+        (2, 2, 9, 0, 1),   # ...ends at seq2[0]
+        (2, 4, 0, 1, 3),   # doc4 follows immediately
+    ]
+    # conservation + exact-fill invariants
+    per_doc = {}
+    per_seq = {}
+    for seq, doc, _, _, n in rows:
+        per_doc[doc] = per_doc.get(doc, 0) + n
+        per_seq[seq] = per_seq.get(seq, 0) + n
+    assert per_doc == {1: 7, 2: 10, 4: 3}
+    assert per_seq[0] == 8 and per_seq[1] == 8  # every full seq exact
+    assert per_seq[2] == 4  # the tail
+
+
 def test_c4_clean_rules(spark):
     """Every C4 rule individually: terminal-punct line filter, 3-word
     minimum, javascript line drop, lorem-ipsum / brace doc gates, and
