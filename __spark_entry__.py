@@ -1891,6 +1891,17 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_by_token_budget(docs, budget=50_000).orderBy("doc_id")
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (CCNet stage, one order above
+    unigram_logprob): corpus-trained add-one bigram model scored per
+    document; gram-keyed shuffled hash join, never a broadcast of the
+    corpus-scaled model."""
+    from pdfplumber_rs_spark.functions.text import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_logprob(docs).orderBy("doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (LM pretraining batching):
     the whole corpus token stream cut into 2048-token training
@@ -2499,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "job_resume": q_job_resume,             # NEW r4: resumable job
         "c4_clean": q_c4_clean,                 # NEW r4: C4 filters
         "pack_sequences": q_pack_sequences,     # NEW r4: LM seq packing
+        "bigram_logprob": q_bigram_logprob,     # NEW r4: bigram LM filter
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -4405,6 +4417,43 @@ with toks as (
                    cast(floor((cum_tokens - n_tokens) / 50000.0)
                         as bigint) as shard
             from c order by doc_id""",
+        "bigram_logprob": """
+            with l as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), bi as (
+              select doc_id,
+                     toks[cast(u.i as int)] as w1,
+                     toks[cast(u.i as int) + 1] as w2
+              from l, lateral unnest(generate_series(1, len(toks) - 1))
+                as u(i)
+              where len(toks) >= 2
+            ), bc as (
+              select w1, w2, count(*) as cb from bi group by w1, w2
+            ), tok as (
+              select unnest(toks) as tok from l
+            ), uni as (
+              select tok, count(*) as cu from tok group by tok
+            ), v as (
+              select cast(count(*) as double) as v from uni
+            ), scored as (
+              select bi.doc_id,
+                     -ln((bc.cb + 1.0) / (uni.cu + v.v)) as nlp
+              from bi
+              join bc on bc.w1 = bi.w1 and bc.w2 = bi.w2
+              join uni on uni.tok = bi.w1, v
+            ), pd as (
+              select doc_id, count(*) as n_bigrams,
+                     round(avg(nlp), 6) as neg_logprob
+              from scored group by doc_id
+            )
+            select d.doc_id,
+                   cast(coalesce(pd.n_bigrams, 0) as bigint) as n_bigrams,
+                   pd.neg_logprob
+            from documents d left join pd on d.doc_id = pd.doc_id
+            order by d.doc_id""",
         "pack_sequences": r"""
             with t as (
               select doc_id,

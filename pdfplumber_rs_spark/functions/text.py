@@ -298,6 +298,74 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Bigram-LM perplexity proxy (the CCNet/KenLM filtering stage one
+    order up from unigram_logprob): mean negative log-probability of a
+    document's bigrams under the corpus's own add-one-smoothed bigram
+    model, P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V).
+    High scores flag incoherent token sequences even when every
+    individual token is common — what unigram statistics cannot see.
+
+    Plan (10^12-doc shape): one bigram explode feeds BOTH the corpus
+    bigram counts and the per-doc stream; the bigram model scales WITH
+    the corpus so it is joined back on the uniform gram key (shuffled
+    hash join, never broadcast); prev-token counts join on the token
+    key; the vocabulary size V is a 1-row broadcast crossJoin. Short
+    docs (<2 tokens) yield no bigrams and return a NULL neg_logprob.
+    Returns (doc_id, n_bigrams, neg_logprob)."""
+    from pyspark.sql import functions as F
+
+    arr = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                 lambda t: t != "").alias("l"),
+    )
+    # sequence(0, -1) steps DOWN — short docs must yield empty arrays
+    idx = F.when(
+        F.size("l") >= 2, F.sequence(F.lit(0), F.size("l") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = arr.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("l", i + 1).alias("w1"),
+                F.element_at("l", i + 2).alias("w2")),
+        )).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda t: t != "")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    vsize = uni.agg(F.count("*").cast("double").alias("v"))
+    scored = (
+        bi.join(bi_counts, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            (-F.log((F.col("cb") + 1.0)
+                    / (F.col("cu") + F.col("v")))).alias("nlp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("neg_logprob"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            "neg_logprob",
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercased, whitespace collapsed, trimmed)."""

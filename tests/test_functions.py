@@ -1120,6 +1120,34 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_bigram_logprob_model(spark):
+    """Add-one bigram model pinned by hand on a 3-doc corpus, plus the
+    ordering property: a doc of corpus-frequent bigrams scores lower
+    (more probable) than one whose bigrams never co-occur."""
+    import math
+
+    from pdfplumber_rs_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "ran the dog"),
+         (4, "cat"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # corpus: bigrams (the,cat)x2 (cat,sat) (cat,ran) (ran,the) (the,dog)
+    # unigrams: the x3, cat x3, sat, ran x2, dog ; V = 5
+    v = 5.0
+    nlp1 = -(math.log((2 + 1) / (3 + v))       # the cat
+             + math.log((1 + 1) / (3 + v))) / 2  # cat sat
+    assert rows[1].n_bigrams == 2
+    assert abs(rows[1].neg_logprob - nlp1) < 1e-6
+    # short/null docs: no bigrams, NULL score
+    assert rows[4].n_bigrams == 0 and rows[4].neg_logprob is None
+    assert rows[5].n_bigrams == 0 and rows[5].neg_logprob is None
+    # repeated bigram (the cat) makes doc1/doc2 more probable than doc3
+    assert rows[1].neg_logprob < rows[3].neg_logprob
+
+
 def test_pack_sequences_invariants(spark):
     """Concat-and-chunk packing: full sequences are exactly seq_len
     tokens, a boundary-crossing doc continues at the right doc_offset,
