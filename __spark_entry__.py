@@ -1891,6 +1891,20 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_by_token_budget(docs, budget=50_000).orderBy("doc_id")
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R temperature sampling over the language strata:
+    p_s ∝ n_s^0.7 rebalances head-heavy corpora toward rare strata;
+    deterministic md5 coin per doc; one stratum-sized shuffle +
+    broadcast rate table + codegen filter."""
+    from pdfplumber_rs_spark.functions.sampling import temperature_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, "lang", alpha=0.7, target=200)
+        .orderBy("doc_id")
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity filter (CCNet stage, one order above
     unigram_logprob): corpus-trained add-one bigram model scored per
@@ -2511,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,                 # NEW r4: C4 filters
         "pack_sequences": q_pack_sequences,     # NEW r4: LM seq packing
         "bigram_logprob": q_bigram_logprob,     # NEW r4: bigram LM filter
+        "temperature_sample": q_temperature_sample,  # NEW r4: mT5 mixing
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -4417,6 +4432,22 @@ with toks as (
                    cast(floor((cum_tokens - n_tokens) / 50000.0)
                         as bigint) as shard
             from c order by doc_id""",
+        "temperature_sample": """
+            with c as (
+              select lang, count(*) as n_s from documents group by lang
+            ), z as (
+              select sum(pow(n_s, 0.7)) as z from c
+            ), r as (
+              select lang,
+                     least(1.0, 200.0 * pow(n_s, 0.7) / z.z / n_s)
+                       as rate
+              from c, z
+            )
+            select d.doc_id, d.lang, round(r.rate, 6) as rate,
+                   (('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))
+                      ::bigint / 4294967296.0) < r.rate as kept
+            from documents d join r on d.lang = r.lang
+            order by d.doc_id""",
         "bigram_logprob": """
             with l as (
               select doc_id,

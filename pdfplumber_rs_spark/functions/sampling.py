@@ -81,6 +81,50 @@ def stratified_take(df: DataFrame, strata_col: str, quota: int,
     )
 
 
+def temperature_sample(df: DataFrame, strata_col: str,
+                       alpha: float = 0.7, target: int = 1000,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    rebalancing rule, Conneau et al. 2020 §3.1): stratum s is drawn
+    with probability p_s ∝ n_s^alpha — alpha < 1 UP-samples small
+    strata (rare languages/domains) and flattens head-heavy corpora —
+    so for a target budget of `target` documents each doc in s is kept
+    with rate min(1, target·p_s/n_s). The draw is a deterministic
+    md5-derived uniform per doc (reproducible, SQL-expressible, no RNG
+    state; the same coin at any cluster size).
+
+    Plan: one stratum groupBy (stratum-cardinality output), the rate
+    table broadcast back, then a pure codegen filter — one tiny
+    shuffle regardless of corpus size. Returns (id, stratum, rate,
+    kept)."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    mass = counts.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), alpha)).alias("z"))
+    rates = (
+        counts.crossJoin(F.broadcast(mass))
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target))
+                * F.pow(F.col("n_s").cast("double"), alpha)
+                / F.col("z") / F.col("n_s"),
+            ).alias("rate"),
+        )
+    )
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("double") / F.lit(4294967296.0))
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.round("rate", 6).alias("rate"),
+            (u < F.col("rate")).alias("kept"),
+        )
+    )
+
+
 def shard_by_token_budget(docs: DataFrame, budget: int,
                           id_col: str = "doc_id",
                           text_col: str = "text",

@@ -1120,6 +1120,35 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_temperature_sample_rebalances(spark):
+    """alpha<1 must UP-weight rare strata: the small stratum's keep
+    rate exceeds its natural share, the huge stratum's is below it;
+    alpha=1 reproduces proportional sampling; draws are deterministic
+    md5 coins (same result twice)."""
+    from pdfplumber_rs_spark.functions.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", alpha=0.5, target=500)
+    rates = {r.lang: r.rate for r in
+             out.select("lang", "rate").distinct().collect()}
+    # natural shares: big 0.9, small 0.1 -> alpha=0.5 weights 30/10
+    assert rates["small"] > rates["big"]
+    assert abs(rates["small"] - min(1.0, 500 * 0.25 / 100)) < 1e-6
+    assert abs(rates["big"] - 500 * 0.75 / 900) < 1e-6
+    # alpha=1: proportional -> every stratum keeps target/total
+    out1 = temperature_sample(df, "lang", alpha=1.0, target=500)
+    r1 = {r.lang: r.rate for r in
+          out1.select("lang", "rate").distinct().collect()}
+    assert abs(r1["big"] - 0.5) < 1e-6 and abs(r1["small"] - 0.5) < 1e-6
+    # deterministic coin: identical kept sets across invocations
+    k1 = {r.doc_id for r in out.filter("kept").collect()}
+    k2 = {r.doc_id for r in temperature_sample(
+        df, "lang", alpha=0.5, target=500).filter("kept").collect()}
+    assert k1 == k2 and len(k1) > 0
+
+
 def test_bigram_logprob_model(spark):
     """Add-one bigram model pinned by hand on a 3-doc corpus, plus the
     ordering property: a doc of corpus-frequent bigrams scores lower
