@@ -27,6 +27,9 @@ ALLOW_BNLJ = {
     "bm25", "unigram_logprob", "cosine_topk", "lsh_topk", "ivf_topk",
     "stratified_sample", "token_shards", "gopher_filter", "pipeline_e2e",
     "stream_windowed", "bpe", "bpe_encode", "nb_quality",
+    # r4: 1-row stats crossJoins — vocabulary size (bigram model) and
+    # the summed stratum mass (temperature rates)
+    "bigram_logprob", "temperature_sample",
 }
 
 
