@@ -282,6 +282,65 @@ def image_features(df: DataFrame, data_col: str = "data",
     return df.select(id_col, data_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def image_dhash(df: DataFrame, data_col: str = "data",
+                id_col: str = "media_id") -> DataFrame:
+    """Difference-hash (dHash) image fingerprint — the standard
+    perceptual key for near-duplicate IMAGE dedup in multimodal
+    training corpora: decode to grayscale (real PNG/JPEG/GIF/BMP
+    codecs, functions/{multimodal,jpeg,gif}.py), nearest-neighbor
+    subsample onto a 9×8 grid (source index sr=(r·h)//8, sc=(c·w)//9),
+    bit (r,c) = px[r][c] > px[r][c+1], packed row-major MSB-first into
+    two 32-bit halves (dhash_hi = rows 0-3, dhash_lo = rows 4-7; both
+    fit signed 64 for the SQL oracle). Near-identical crops/re-encodes
+    differ in a few bits — band the halves exactly like
+    dedup.simhash_candidates for the candidate join.
+
+    Arrow-batched per-row map, no shuffle; corrupt bytes degrade to a
+    decode_error row. Returns (media_id, format, dhash_hi, dhash_lo,
+    decode_error)."""
+    import numpy as np
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+
+    w_hi = (1 << np.arange(31, -1, -1)).astype(np.int64)
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                row = {"media_id": int(mid), "format": None,
+                       "dhash_hi": None, "dhash_lo": None,
+                       "decode_error": None}
+                dims = parse_image_dimensions(data)
+                if dims is not None:
+                    row["format"] = dims[0]
+                try:
+                    w, h, px = decode_image(data)
+                    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    rows = (np.arange(8) * h) // 8
+                    cols = (np.arange(9) * w) // 9
+                    g = a[rows][:, cols].astype(np.int16)
+                    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # 8×8
+                    flat = bits.reshape(64)
+                    row["dhash_hi"] = int((flat[:32] * w_hi).sum())
+                    row["dhash_lo"] = int((flat[32:] * w_hi).sum())
+                except NotImplementedError as e:
+                    row["decode_error"] = f"unsupported codec: {e}"
+                except Exception as e:  # noqa: BLE001
+                    row["decode_error"] = f"corrupt: {e}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col).mapInPandas(dhash, schema)
+
+
 def make_png(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic REAL PNG (8-bit grayscale, zlib-compressed) for
     fixtures — valid per the PNG spec, no image library involved."""

@@ -1120,6 +1120,62 @@ def test_dedup_components_closes_planted_chain(spark):
     assert len(set(comp.values())) == 1, comp
 
 
+def test_image_dhash_perceptual_property(spark):
+    """dHash is a PERCEPTUAL key: a lightly perturbed copy of an image
+    stays within a few bits, an unrelated image is far, a flat image
+    hashes to 0, corrupt bytes degrade to decode_error."""
+    import numpy as np
+
+    from pdfplumber_rs_spark.functions.multimodal import image_dhash
+
+    w, h = 24, 16
+
+    def png_from(pix):
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)
+                                  & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(pix[y * w:(y + 1) * w])
+                       for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    base = [(x * 9 + y * 3) % 256 for y in range(h) for x in range(w)]
+    near = list(base)
+    near[5] = (near[5] + 2) % 256  # one-pixel nudge
+    far = [((x * 31 + y * 57) ** 2 + 13) % 256
+           for y in range(h) for x in range(w)]
+    flat = [128] * (w * h)
+    rows = [(0, png_from(base)), (1, png_from(near)),
+            (2, png_from(far)), (3, png_from(flat)),
+            (4, b"\x89PNG garbage")]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in image_dhash(df).collect()}
+
+    def h64(r):
+        return (int(r.dhash_hi) << 32) | int(r.dhash_lo)
+
+    def ham(a, b):
+        return bin(h64(a) ^ h64(b)).count("1")
+
+    assert ham(got[0], got[1]) <= 2            # near-dup: tiny distance
+    assert ham(got[0], got[2]) >= 10           # unrelated: far
+    assert h64(got[3]) == 0                    # flat: no gradients
+    assert got[4].decode_error is not None     # corrupt: lenient row
+    assert got[0].format == "png"
+    # numpy cross-check of the packing convention on the base image
+    a = np.array(base, dtype=np.uint8).reshape(h, w)
+    g = a[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9] \
+        .astype(np.int16)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).reshape(64)
+    exp_hi = int((bits[:32] << np.arange(31, -1, -1)).sum())
+    assert int(got[0].dhash_hi) == exp_hi
+
+
 def test_temperature_sample_rebalances(spark):
     """alpha<1 must UP-weight rare strata: the small stratum's keep
     rate exceeds its natural share, the huge stratum's is below it;
