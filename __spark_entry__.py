@@ -1468,6 +1468,67 @@ def q_image_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared closed-form dHash CTE (grid × media-generator pixel formulas →
+# 64 gradient bits in two 32-bit halves) — consumed by the image_dhash
+# and image_dedup oracles.
+_DHASH_CTE = """
+            with g as (
+              select d.doc_id, r.r, c.c,
+                     ((r.r * (d.doc_id % 17 + 1)) // 8) as sr,
+                     ((c.c * (d.doc_id % 31 + 1)) // 9) as sc
+              from documents d,
+                   (select unnest(generate_series(0, 7)) as r) r,
+                   (select unnest(generate_series(0, 8)) as c) c
+            ), p as (
+              select doc_id, r, c,
+                     case cast(doc_id % 3 as int)
+                       when 0 then
+                         ((doc_id + (sr * (doc_id % 31 + 1) + sc)) * 31)
+                           % 256
+                       when 1 then (doc_id * 2) % 256
+                       else
+                         ((doc_id + (sr * (doc_id % 31 + 1) + sc)) * 37)
+                           % 256
+                     end as px
+              from g
+            ), b as (
+              select a.doc_id, a.r, a.c,
+                     case when a.px > n.px then 1 else 0 end as bit
+              from p a join p n
+                on n.doc_id = a.doc_id and n.r = a.r and n.c = a.c + 1
+              where a.c < 8
+            ), h as (
+              select doc_id,
+                     sum(case when r < 4 then bit * (cast(1 as bigint)
+                       << cast(31 - (r * 8 + c) as int)) else 0 end)
+                       as hi,
+                     sum(case when r >= 4 then bit * (cast(1 as bigint)
+                       << cast(31 - ((r - 4) * 8 + c) as int)) else 0
+                       end) as lo
+              from b group by doc_id
+            )
+"""
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image REMOVAL over the dHash key: 4×16-bit bands
+    (complete to Hamming 3 by pigeonhole) with per-bucket min-id
+    representatives — O(bucket) rows even for the flat-image
+    mega-bucket (every solid-color JPEG hashes to 0 and meets in one
+    bucket; pair enumeration would be quadratic there)."""
+    from pdfplumber_rs_spark.functions.multimodal import (dhash_dedup,
+                                                          image_dhash)
+    from pdfplumber_rs_spark.sources.corpus import media_corpus_table
+
+    media = media_corpus_table(spark, sf_dir)
+    hashes = image_dhash(media).filter(F.col("decode_error").isNull())
+    return (
+        dhash_dedup(hashes)
+        .select("media_id", F.col("keep_id").cast("long").alias("keep_id"))
+        .orderBy("media_id")
+    )
+
+
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image fingerprint (dHash) over REAL decoded pixels —
     the near-duplicate image dedup key: PNG zlib / JPEG DCT / GIF LZW
@@ -2545,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,     # NEW r4: bigram LM filter
         "temperature_sample": q_temperature_sample,  # NEW r4: mT5 mixing
         "image_dhash": q_image_dhash,           # NEW r4: image near-dup key
+        "image_dedup": q_image_dedup,           # NEW r4: banded image dedup
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -4451,48 +4513,34 @@ with toks as (
                    cast(floor((cum_tokens - n_tokens) / 50000.0)
                         as bigint) as shard
             from c order by doc_id""",
-        "image_dhash": """
-            with g as (
-              select d.doc_id, r.r, c.c,
-                     ((r.r * (d.doc_id % 17 + 1)) // 8) as sr,
-                     ((c.c * (d.doc_id % 31 + 1)) // 9) as sc
-              from documents d,
-                   (select unnest(generate_series(0, 7)) as r) r,
-                   (select unnest(generate_series(0, 8)) as c) c
-            ), p as (
-              select doc_id, r, c,
-                     case cast(doc_id % 3 as int)
-                       when 0 then
-                         ((doc_id + (sr * (doc_id % 31 + 1) + sc)) * 31)
-                           % 256
-                       when 1 then (doc_id * 2) % 256
-                       else
-                         ((doc_id + (sr * (doc_id % 31 + 1) + sc)) * 37)
-                           % 256
-                     end as px
-              from g
-            ), b as (
-              select a.doc_id, a.r, a.c,
-                     case when a.px > n.px then 1 else 0 end as bit
-              from p a join p n
-                on n.doc_id = a.doc_id and n.r = a.r and n.c = a.c + 1
-              where a.c < 8
-            ), h as (
-              select doc_id,
-                     sum(case when r < 4 then bit * (cast(1 as bigint)
-                       << cast(31 - (r * 8 + c) as int)) else 0 end)
-                       as hi,
-                     sum(case when r >= 4 then bit * (cast(1 as bigint)
-                       << cast(31 - ((r - 4) * 8 + c) as int)) else 0
-                       end) as lo
-              from b group by doc_id
-            )
+        "image_dhash": _DHASH_CTE + """
             select doc_id as media_id,
                    case cast(doc_id % 3 as int) when 0 then 'png'
                      when 1 then 'jpeg' else 'gif' end as format,
                    cast(hi as bigint) as dhash_hi,
                    cast(lo as bigint) as dhash_lo
             from h order by media_id""",
+        "image_dedup": _DHASH_CTE + """
+            , bsel as (
+              select doc_id as media_id, 0 as band,
+                     cast(hi as bigint) >> 16 as key from h
+              union all
+              select doc_id, 1, cast(hi as bigint) & 65535 from h
+              union all
+              select doc_id, 2, cast(lo as bigint) >> 16 from h
+              union all
+              select doc_id, 3, cast(lo as bigint) & 65535 from h
+            ), reps as (
+              select band, key, min(media_id) as rep
+              from bsel group by band, key
+            ), dd as (
+              select b.media_id, min(r.rep) as keep_id
+              from bsel b join reps r
+                on r.band = b.band and r.key = b.key
+              group by b.media_id
+            )
+            select media_id, cast(keep_id as bigint) as keep_id
+            from dd where keep_id < media_id order by media_id""",
         "temperature_sample": """
             with c as (
               select lang, count(*) as n_s from documents group by lang

@@ -341,6 +341,43 @@ def image_dhash(df: DataFrame, data_col: str = "data",
     return df.select(id_col, data_col).mapInPandas(dhash, schema)
 
 
+def dhash_dedup(hashes: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate IMAGE removal over dHash fingerprints: band the
+    64-bit hash into four 16-bit chunks — any pair within Hamming
+    distance 3 shares at least one identical band (pigeonhole, the
+    same recall contract as dedup.simhash_candidates) — and per
+    (band, key) bucket keep the min-id representative; an image's
+    keep_id is the min representative over its bands. LINEAR in
+    bucket size (a crawl's 10^6 identical thumbnails cost 10^6 rows,
+    never 5·10^11 pairs — flat/solid-color images all hash to 0 and
+    WOULD meet in one mega-bucket, the exact case pair enumeration
+    melts down on). Single-pass union semantics like minhash_dedup.
+
+    Input: image_dhash output (media_id, dhash_hi, dhash_lo). Returns
+    (media_id, keep_id) for images to drop."""
+    bands = hashes.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.shiftright("dhash_hi", 16).alias("key")),
+            F.struct(F.lit(1).alias("band"),
+                     F.col("dhash_hi").bitwiseAND(0xFFFF).alias("key")),
+            F.struct(F.lit(2).alias("band"),
+                     F.shiftright("dhash_lo", 16).alias("key")),
+            F.struct(F.lit(3).alias("band"),
+                     F.col("dhash_lo").bitwiseAND(0xFFFF).alias("key")),
+        )).alias("bk"),
+    ).select("media_id", "bk.band", "bk.key")
+    reps = bands.groupBy("band", "key").agg(
+        F.min("media_id").alias("rep"))
+    return (
+        bands.join(reps, ["band", "key"])
+        .groupBy("media_id")
+        .agg(F.min("rep").alias("keep_id"))
+        .filter(F.col("keep_id") < F.col("media_id"))
+    )
+
+
 def make_png(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic REAL PNG (8-bit grayscale, zlib-compressed) for
     fixtures — valid per the PNG spec, no image library involved."""

@@ -1176,6 +1176,28 @@ def test_image_dhash_perceptual_property(spark):
     assert int(got[0].dhash_hi) == exp_hi
 
 
+def test_dhash_dedup_flat_mega_bucket(spark):
+    """All flat images hash to 0 and meet in ONE bucket — the
+    representative join must dedup them all to the min id with
+    O(bucket) rows, and leave distinct-content images alone."""
+    from pdfplumber_rs_spark.functions.multimodal import (dhash_dedup,
+                                                          image_dhash,
+                                                          make_png)
+
+    rows = [(i, make_png(12, 10, seed=0)) for i in range(10, 14)]  # flat-ish? no: seeded gradient
+    # seed=0 gives identical gradient images -> identical hashes
+    rows += [(20, make_png(12, 10, seed=777)), (21, make_png(12, 10, seed=91))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashes = image_dhash(df).filter(F.col("decode_error").isNull())
+    out = {r.media_id: r.keep_id for r in dhash_dedup(hashes).collect()}
+    assert out[11] == 10 and out[12] == 10 and out[13] == 10
+    assert 10 not in out  # the representative survives
+    # distinct-content images may only be dropped if a band collides
+    # with the cluster — never mapped to a HIGHER id
+    for mid, keep in out.items():
+        assert keep < mid
+
+
 def test_temperature_sample_rebalances(spark):
     """alpha<1 must UP-weight rare strata: the small stratum's keep
     rate exceeds its natural share, the huge stratum's is below it;
