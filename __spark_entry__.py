@@ -1604,6 +1604,45 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay-aware politeness: per-host robots carry
+    `Crawl-delay: hid+1` for the * group (hosts hid%3==2 omit it →
+    default 1.0 s) plus a decoy 99 s delay in the crawler-x group that
+    must NOT apply. fetch_offset_s = slot × delay."""
+    from pdfplumber_rs_spark.functions.webclean import (parse_crawl_delay,
+                                                        politeness_schedule)
+
+    docs = _read(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 7).alias("hid")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.lpad(F.col("hid").cast("string"), 2, "0"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: crawler-x\nCrawl-delay: 99\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /private\n"),
+            F.when(F.col("hid") % 3 != 2,
+                   F.concat(F.lit("Crawl-delay: "),
+                            (F.col("hid") + 1).cast("string"),
+                            F.lit("\n"))).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"),
+                 F.lpad((F.col("doc_id") % 7).cast("string"), 2, "0"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("page-"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+        .alias("url"),
+    )
+    delays = parse_crawl_delay(robots)
+    return (
+        politeness_schedule(pages, delays, per_slot=2, default_delay=1.0)
+        .select("doc_id", "host", "fetch_slot", "fetch_offset_s")
+        .orderBy("doc_id")
+    )
+
+
 def q_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier politeness schedule: pack each host's urls two
     per time slot (deterministic url order) — one host-keyed window
@@ -2607,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,  # NEW r4: mT5 mixing
         "image_dhash": q_image_dhash,           # NEW r4: image near-dup key
         "image_dedup": q_image_dedup,           # NEW r4: banded image dedup
+        "crawl_delay": q_crawl_delay,           # NEW r4: delay-aware schedule
         # --- PDF battery: most load-bearing first (last driver-checked
         # r02; protected meanwhile by pytest + 104-file golden parity) ---
         "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
@@ -3996,6 +4036,26 @@ with toks as (
             from d, pr where len(toks) = 0
             order by doc_id""",
         "bpe_encode": _bpe_encode_oracle_sql(5),
+        "crawl_delay": """
+            with p as (
+              select doc_id,
+                     'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com' as host,
+                     'page-' || lpad(cast(doc_id as varchar), 6, '0')
+                       as url,
+                     cast(doc_id % 7 as int) as hid
+              from documents
+            ), s as (
+              select doc_id, host, hid,
+                     cast((row_number() over (partition by host
+                       order by url) - 1) // 2 as int) as fetch_slot
+              from p
+            )
+            select doc_id, host, fetch_slot,
+                   round(fetch_slot * (case when hid % 3 <> 2
+                     then cast(hid + 1 as double) else 1.0 end), 6)
+                     as fetch_offset_s
+            from s order by doc_id""",
         "politeness": """
             with p as (
               select doc_id,

@@ -183,6 +183,65 @@ def parse_robots(df: DataFrame, host_col: str = "host",
     return df.select(host_col, txt_col).mapInPandas(parse, schema)
 
 
+def parse_crawl_delay(df: DataFrame, host_col: str = "host",
+                      txt_col: str = "robots_txt",
+                      user_agent: str = "*") -> DataFrame:
+    """Crawl-delay directive per host for the groups whose User-agent
+    set contains `user_agent` (same RFC 9309 grouping as parse_robots;
+    Crawl-delay is a de-facto extension most crawlers honor). The
+    LARGEST applying delay wins (conservative). Non-numeric values are
+    ignored. Returns (host, crawl_delay:double) — hosts without a
+    directive are absent (callers supply the default).
+
+    Arrow-batched line parse; output is host-cardinality tiny."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("host", StringType()),
+        StructField("crawl_delay", DoubleType()),
+    ])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                uas: list[str] = []
+                in_rules = False
+                applies = False
+                best = None
+                for raw in (txt or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        if in_rules:
+                            uas, in_rules = [], False
+                        uas.append(val.lower())
+                        applies = user_agent.lower() in uas
+                    elif key in ("allow", "disallow", "crawl-delay"):
+                        in_rules = True
+                        if key == "crawl-delay" and applies:
+                            try:
+                                d = float(val)
+                            except ValueError:
+                                continue
+                            if best is None or d > best:
+                                best = d
+                if best is not None:
+                    out.append({"host": host, "crawl_delay": best})
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return df.select(host_col, txt_col).mapInPandas(parse, schema)
+
+
 def robots_filter(pages: DataFrame, rules: DataFrame,
                   host_col: str = "host",
                   path_col: str = "path") -> DataFrame:
@@ -237,6 +296,32 @@ def detect_license(html: Column) -> Column:
         F.when(cc != "", F.concat(cc, F.lit("-"), ver))
         .when(zero != "", F.concat(F.lit("cc0-"), zero))
         .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def politeness_schedule(pages: DataFrame, delays: DataFrame,
+                        per_slot: int = 2, default_delay: float = 1.0,
+                        host_col: str = "host",
+                        url_col: str = "url") -> DataFrame:
+    """Crawl-delay-aware frontier schedule: politeness_slots' per-host
+    slot packing, with each host's slots spaced by its robots
+    Crawl-delay (parse_crawl_delay output; `default_delay` seconds
+    where absent). Adds fetch_slot and fetch_offset_s = slot × delay —
+    the dispatch timestamp offset a frontier worker sleeps to.
+
+    Scale: the host-keyed window shuffle politeness already pays, plus
+    one broadcast join against the host-cardinality delay table."""
+    slotted = politeness_slots(pages, per_slot, host_col, url_col)
+    d = delays.select(F.col("host").alias(host_col),
+                      F.col("crawl_delay"))
+    return (
+        slotted.join(F.broadcast(d), host_col, "left")
+        .withColumn(
+            "fetch_offset_s",
+            F.round(F.col("fetch_slot")
+                    * F.coalesce("crawl_delay", F.lit(default_delay)), 6),
+        )
+        .drop("crawl_delay")
     )
 
 

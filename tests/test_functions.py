@@ -865,6 +865,25 @@ def test_robots_parse_and_filter(spark):
                    ("d.com", "/shop/item?id=3"): True}  # longest Allow wins
 
 
+def test_parse_crawl_delay(spark):
+    """Crawl-delay grouping: wrong-agent delays never leak, the
+    largest applying delay wins, non-numeric values are ignored,
+    hosts without a directive are absent."""
+    from pdfplumber_rs_spark.functions.webclean import parse_crawl_delay
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: evilbot\nCrawl-delay: 99\n\n"
+                   "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+         ("b.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n"),
+         ("c.com", "User-agent: *\nCrawl-delay: soon\nDisallow: /\n"),
+         ("d.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.crawl_delay
+           for r in parse_crawl_delay(robots).collect()}
+    assert got == {"a.com": 2.5, "b.com": 4.0}
+
+
 def test_sniff_content_router(spark):
     from pdfplumber_rs_spark.functions.gif import make_gif_gray
     from pdfplumber_rs_spark.functions.jpeg import encode_jpeg_gray
