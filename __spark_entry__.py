@@ -2600,6 +2600,175 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(emb, dim=64, n_planes=8).orderBy("vec_id")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup (webclean.canonical_url + url_dedup):
+    groups of four scheme/WWW/port/tracking-param/param-order/
+    trailing-slash variants of the same resource collapse to one
+    canonical key, winner = smallest doc_id. The oracle re-derives the
+    canonicalization independently in SQL — semantic parity, not a
+    shared implementation. One uniform canonical-key aggregation."""
+    from pdfplumber_rs_spark.functions.webclean import url_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 4).cast("long")
+    h = F.pmod(g, F.lit(7)).cast("int")
+    url = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.format_string(
+            "https://WWW.Host%02d.example.com:443/Page/%d"
+            "?utm_source=feed&b=2&a=1", h, g))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.format_string(
+            "http://host%02d.example.com/Page/%d?a=1&b=2#frag", h, g))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.format_string(
+            "https://host%02d.example.com/Page/%d/?b=2&a=1&gclid=x%d",
+            h, g, F.col("doc_id")))
+        .otherwise(F.format_string(
+            "host%02d.example.com/Page/%d?a=1&b=2", h, g))
+    )
+    return (
+        url_dedup(docs.select("doc_id", url.alias("url")))
+        .select("canon_url", "doc_id",
+                F.col("n_variants").cast("long").alias("n_variants"))
+        .orderBy("canon_url")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (C4's keep-first-occurrence span
+    rule, dedup.line_dedup over 10-token lines): every line occurrence
+    after the corpus-wide first is removed and documents reassemble.
+    min(struct) winner per line key — no corpus window."""
+    from pdfplumber_rs_spark.functions.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        line_dedup(docs, line_tokens=10)
+        .select("doc_id", "n_lines", "n_kept",
+                F.md5("kept_text").alias("kept_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter (webclean.blocklist_filter — the UT1
+    pass of RefinedWeb-class pipelines): a page is blocked when its
+    host OR any parent domain is listed; ancestor-suffix explode +
+    broadcast blocklist join, host-keyed verdict join-back."""
+    from pdfplumber_rs_spark.functions.webclean import blocklist_filter
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.format_string(
+            "host%02d.example.com",
+            F.pmod("doc_id", F.lit(7)).cast("int")))
+        .when(F.pmod("doc_id", F.lit(5)) == 1, F.lit("x.ads.example.net"))
+        .when(F.pmod("doc_id", F.lit(5)) == 2, F.lit("ads.example.net"))
+        .when(F.pmod("doc_id", F.lit(5)) == 3, F.lit("a.b.blocked.org"))
+        .otherwise(F.lit("safe.example.org"))
+    )
+    bl = spark.createDataFrame(
+        [("ads.example.net",), ("blocked.org",), ("host03.example.com",)],
+        "entry string")
+    return (
+        blocklist_filter(docs.select("doc_id", host.alias("host")), bl)
+        .select("doc_id", "host", "blocked", "blocked_by")
+        .orderBy("doc_id")
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (text.ccnet_buckets):
+    per-language perplexity terciles over the corpus-trained bigram
+    LM score — the stage CCNet runs after lang-ID and before mixing.
+    The per-lang rank is a DISTRIBUTED two-phase prefix count, never
+    an ntile over a single per-language task; the oracle's ntile
+    formula must agree exactly."""
+    from pdfplumber_rs_spark.functions.text import bigram_logprob, ccnet_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = (
+        bigram_logprob(docs)
+        .filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        ccnet_buckets(scored)
+        .select("doc_id", "lang", "neg_logprob", "lm_rank", "n_lang",
+                "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite normalization (webclean.normalize_text): every doc is
+    decorated with an NFC-composable combining sequence (e+U+0301),
+    U+212B ANGSTROM SIGN, a BEL control byte, and tab/space noise;
+    the kernel must compose, strip, and collapse them. Two independent
+    NFC implementations (pandas .str.normalize vs DuckDB
+    nfc_normalize) must agree byte-for-byte."""
+    from pdfplumber_rs_spark.functions.webclean import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Cafe\u0301 \u212B "),  # decomposed acute; angstrom sign
+            F.lit("\x07"),
+            F.lit("tab\there  done "),
+        ).alias("text"),
+    )
+    return normalize_text(decorated).orderBy("doc_id")
+
+
+def q_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Sitemap cross-references (webclean.parse_sitemaps):
+    Sitemap lines are NOT group-scoped — the second sitemap sits
+    inside the crawler-x group and must still be returned. File-order
+    rank per host."""
+    from pdfplumber_rs_spark.functions.webclean import parse_sitemaps
+
+    docs = _read(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 7).alias("hid")).distinct()
+    hostname = F.concat(F.lit("host"),
+                        F.lpad(F.col("hid").cast("string"), 2, "0"),
+                        F.lit(".example.com"))
+    robots = hosts.select(
+        hostname.alias("host"),
+        F.concat(
+            F.lit("Sitemap: https://"), hostname, F.lit("/sitemap.xml\n"),
+            F.lit("User-agent: crawler-x\nDisallow: /\n"),
+            F.when(
+                F.col("hid") % 2 == 0,
+                F.concat(F.lit("Sitemap: https://"), hostname,
+                         F.lit("/news-sitemap.xml\n")),
+            ).otherwise(F.lit("")),
+            F.lit("User-agent: *\nDisallow: /private\n"),
+        ).alias("robots_txt"),
+    )
+    return parse_sitemaps(robots).orderBy("host", "sm_rank")
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target (graph.anchor_text_agg
+    over pipeline.html_anchors): the web-corpus enrichment that
+    describes a destination by the text of the links pointing at it.
+    Absolute targets only; one destination-keyed aggregation."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.functions.graph import anchor_text_agg
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    return (
+        anchor_text_agg(P.html_anchors(corpus))
+        .select("dst_url",
+                F.col("n_sources").cast("long").alias("n_sources"),
+                F.col("n_source_hosts").cast("long")
+                .alias("n_source_hosts"),
+                "anchor_texts")
+        .orderBy("dst_url")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -2617,6 +2786,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + 104-file golden parity — rotates behind, most load-bearing
     # first so they re-enter the window as earlier entries graduate.
     return {
+        # --- NEW this round (never driver-verified) ---
+        "url_dedup": q_url_dedup,               # canonical-URL dedup
+        "line_dedup": q_line_dedup,             # C4 corpus line dedup
+        "domain_blocklist": q_domain_blocklist,  # UT1 ancestor-domain
+        "ccnet_buckets": q_ccnet_buckets,       # head/middle/tail ppl
+        "anchor_text": q_anchor_text,           # dst-aggregated anchors
+        "normalize_text": q_normalize_text,     # NFC/control/ws hygiene
+        "sitemaps": q_sitemaps,                 # robots Sitemap lines
         # --- the 7 queries no driver window has EVER verified (judge
         # re-ran them green at r3; this puts a DRIVER verdict on them) ---
         "stratified_sample": q_stratified_sample,
@@ -2911,6 +3088,219 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "url_dedup": r"""
+            with u as (
+              select doc_id,
+                     case cast(doc_id % 4 as int)
+                       when 0 then printf(
+                         'https://WWW.Host%02d.example.com:443/Page/%d'
+                         || '?utm_source=feed&b=2&a=1',
+                         cast((doc_id // 4) % 7 as int), doc_id // 4)
+                       when 1 then printf(
+                         'http://host%02d.example.com/Page/%d?a=1&b=2#frag',
+                         cast((doc_id // 4) % 7 as int), doc_id // 4)
+                       when 2 then printf(
+                         'https://host%02d.example.com/Page/%d/'
+                         || '?b=2&a=1&gclid=x%d',
+                         cast((doc_id // 4) % 7 as int), doc_id // 4,
+                         doc_id)
+                       else printf(
+                         'host%02d.example.com/Page/%d?a=1&b=2',
+                         cast((doc_id // 4) % 7 as int), doc_id // 4)
+                     end as url
+              from documents
+            ), parts as (
+              select doc_id,
+                     regexp_replace(regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '')
+                       as noscheme
+              from u
+            ), split as (
+              select doc_id,
+                     regexp_extract(noscheme, '^([^?]*)', 1) as base,
+                     regexp_extract(noscheme, '\?(.*)$', 1) as query
+              from parts
+            ), canon as (
+              select doc_id,
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(base, '^([^/]*)', 1)),
+                         ':(80|443)$', ''), '^www\.', '')
+                     || regexp_replace(
+                         regexp_extract(base, '^[^/]*(/.*)?$', 1),
+                         '/+$', '')
+                     || case when len(list_filter(string_split(query, '&'),
+                          p -> p <> '' and not regexp_matches(p,
+                          '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))) > 0
+                        then '?' || array_to_string(list_sort(
+                          list_filter(string_split(query, '&'),
+                          p -> p <> '' and not regexp_matches(p,
+                          '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))), '&')
+                        else '' end as canon_url
+              from split
+            )
+            select canon_url, min(doc_id) as doc_id,
+                   cast(count(*) as bigint) as n_variants
+            from canon group by canon_url order by canon_url""",
+        "line_dedup": r"""
+            with l as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), lines as (
+              select doc_id, cast(u.i as bigint) as line_idx,
+                     array_to_string(
+                       toks[(cast(u.i as int) * 10 + 1)
+                            :(cast(u.i as int) * 10 + 10)], ' ') as line
+              from l, lateral unnest(generate_series(0,
+                cast(ceil(len(toks) / 10.0) as int) - 1)) as u(i)
+              where len(toks) > 0
+            ), ranked as (
+              select doc_id, line_idx, line,
+                     row_number() over (partition by line
+                       order by doc_id, line_idx) as rn
+              from lines
+            ), kept as (
+              select doc_id, count(*) as n_kept,
+                     string_agg(line, ' ' order by line_idx) as kept_text
+              from ranked where rn = 1 group by doc_id
+            )
+            select l.doc_id,
+                   cast(case when len(l.toks) > 0
+                        then ceil(len(l.toks) / 10.0) else 0 end
+                        as bigint) as n_lines,
+                   cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+                   md5(coalesce(k.kept_text, '')) as kept_md5
+            from l left join kept k on l.doc_id = k.doc_id
+            order by l.doc_id""",
+        "domain_blocklist": """
+            with bl(entry) as (values ('ads.example.net'),
+                                      ('blocked.org'),
+                                      ('host03.example.com')),
+            p as (
+              select doc_id,
+                     case cast(doc_id % 5 as int)
+                       when 0 then printf('host%02d.example.com',
+                                          cast(doc_id % 7 as int))
+                       when 1 then 'x.ads.example.net'
+                       when 2 then 'ads.example.net'
+                       when 3 then 'a.b.blocked.org'
+                       else 'safe.example.org'
+                     end as host
+              from documents
+            ), m as (
+              select p.doc_id, min(bl.entry) as blocked_by
+              from p join bl
+                on p.host = bl.entry or p.host like '%.' || bl.entry
+              group by p.doc_id
+            )
+            select p.doc_id, p.host,
+                   m.blocked_by is not null as blocked,
+                   m.blocked_by
+            from p left join m on p.doc_id = m.doc_id
+            order by p.doc_id""",
+        "ccnet_buckets": """
+            with l as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), bi as (
+              select doc_id,
+                     toks[cast(u.i as int)] as w1,
+                     toks[cast(u.i as int) + 1] as w2
+              from l, lateral unnest(generate_series(1, len(toks) - 1))
+                as u(i)
+              where len(toks) >= 2
+            ), bc as (
+              select w1, w2, count(*) as cb from bi group by w1, w2
+            ), tok as (
+              select unnest(toks) as tok from l
+            ), uni as (
+              select tok, count(*) as cu from tok group by tok
+            ), v as (
+              select cast(count(*) as double) as v from uni
+            ), scored as (
+              select bi.doc_id,
+                     -ln((bc.cb + 1.0) / (uni.cu + v.v)) as nlp
+              from bi
+              join bc on bc.w1 = bi.w1 and bc.w2 = bi.w2
+              join uni on uni.tok = bi.w1, v
+            ), pd as (
+              select doc_id, round(avg(nlp), 6) as neg_logprob
+              from scored group by doc_id
+            ), r as (
+              select d.doc_id, d.lang, pd.neg_logprob,
+                     row_number() over (partition by d.lang
+                       order by pd.neg_logprob, d.doc_id) as lm_rank,
+                     count(*) over (partition by d.lang) as n_lang
+              from documents d join pd on d.doc_id = pd.doc_id
+            )
+            select doc_id, lang, neg_logprob,
+                   cast(lm_rank as bigint) as lm_rank,
+                   cast(n_lang as bigint) as n_lang,
+                   case cast(floor((lm_rank - 1) * 3 / n_lang) + 1 as int)
+                     when 1 then 'head' when 2 then 'middle'
+                     else 'tail' end as bucket
+            from r order by doc_id""",
+        "normalize_text": r"""
+            with t as (
+              select doc_id,
+                     text || ' Cafe' || chr(769) || ' ' || chr(8491)
+                          || ' ' || chr(7) || 'tab' || chr(9)
+                          || 'here  done ' as raw
+              from documents
+            ), n as (
+              select doc_id, length(raw) as n_chars_raw,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(raw),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '[ \t]+', ' ', 'g')) as text_norm
+              from t
+            )
+            select doc_id, text_norm,
+                   cast(n_chars_raw as int) as n_chars_raw,
+                   cast(length(text_norm) as int) as n_chars_norm
+            from n order by doc_id""",
+        "sitemaps": """
+            with h as (
+              select distinct doc_id % 7 as hid from documents
+            ), hn as (
+              select hid, 'host' || lpad(cast(hid as varchar), 2, '0')
+                       || '.example.com' as host
+              from h
+            ), s as (
+              select host, 'https://' || host || '/sitemap.xml'
+                       as sitemap_url, 1 as sm_rank
+              from hn
+              union all
+              select host, 'https://' || host || '/news-sitemap.xml', 2
+              from hn where hid % 2 = 0
+            )
+            select host, sitemap_url, cast(sm_rank as int) as sm_rank
+            from s order by host, sm_rank""",
+        "anchor_text": """
+            with a as (
+              select 'https://host' || lpad(cast((doc_id + 1) % 7
+                       as varchar), 2, '0') || '.example.com/p' as dst_url,
+                     'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com' as src_host,
+                     'Partner' as anchor
+              from documents
+              union all
+              select 'https://host' || lpad(cast((doc_id * 3 + 2) % 7
+                       as varchar), 2, '0') || '.example.com/q',
+                     'host' || lpad(cast(doc_id % 7 as varchar), 2, '0')
+                       || '.example.com',
+                     'Mirror'
+              from documents
+            )
+            select dst_url, cast(count(*) as bigint) as n_sources,
+                   cast(count(distinct src_host) as bigint)
+                     as n_source_hosts,
+                   array_to_string(list_sort(list(distinct anchor)), '|')
+                     as anchor_texts
+            from a group by dst_url order by dst_url""",
         "pdf_text_roundtrip": f"""
             select doc_id, {_EXPECTED_TEXT} as extracted_text
             from documents order by doc_id""",

@@ -497,3 +497,78 @@ def remove_duplicate_spans(df: DataFrame, k: int = 5,
             F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+def line_dedup(df: DataFrame, line_tokens: int = 10,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level exact line dedup — the C4 "three-sentence span"
+    rule (Raffel et al. 2020 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set"),
+    re-expressed over fixed `line_tokens`-token lines (this corpus has
+    no sentence boundaries; the unit is a parameter, the mechanics are
+    identical). Every occurrence of a line EXCEPT its first — first =
+    smallest (doc_id, line_idx) over the whole corpus — is removed,
+    and each document's surviving lines reassemble in order.
+
+    Returns (doc_id, n_lines, n_kept, kept_text), one row per input
+    document (kept_text = '' when every line was a duplicate).
+
+    Scale (10^12 docs): lines are keyed by their md5 (uniform,
+    collision-free); the first-occurrence winner is ONE min(struct)
+    aggregation per line key — never a window over the corpus — and
+    occurrences join the winner set back on the same uniform key
+    (shuffled hash join; the winner set scales with the corpus, so it
+    is NOT broadcast). Reassembly is doc_id-keyed, bounded per doc.
+    Mirrors the reference's dedup surface at the line grain the way
+    dedup_exact does at the document grain."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n_lines = F.ceil(F.size("toks") / F.lit(float(line_tokens)))
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_lines.cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"),
+                                i * line_tokens + 1, line_tokens),
+                        " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("line_idx", "line"),
+    ).withColumn("g", F.md5("line"))
+    winners = lines.groupBy("g").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("w"))
+    kept = (
+        lines.join(winners, "g")
+        .filter((F.col("doc_id") == F.col("w.doc_id"))
+                & (F.col("line_idx") == F.col("w.line_idx")))
+        .select("doc_id", "line_idx", "line")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"]),
+            " ").alias("kept_text"),
+    )
+    return (
+        d.select("doc_id",
+                 F.when(F.size("toks") > 0, n_lines)
+                 .otherwise(F.lit(0)).alias("n_lines"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

@@ -94,3 +94,39 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
         else:
             ranks = new_ranks
     return ranks
+
+
+def anchor_text_agg(anchors: DataFrame, url_col: str = "url",
+                    href_col: str = "href",
+                    anchor_col: str = "anchor") -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic web-corpus
+    enrichment (anchor text describes the destination better than the
+    destination describes itself; used for retrieval indexing and as
+    extra training text for link-heavy pages). From exploded
+    (url, href, anchor) rows, keep absolute http(s) targets and
+    aggregate per destination:
+
+      (dst_url, n_sources, n_source_hosts, anchor_texts)
+
+    anchor_texts = the DISTINCT non-empty anchor strings, sorted and
+    '|'-joined (deterministic, SQL-twin-able).
+
+    Scale (10^12 pages): ONE aggregation keyed on the destination URL
+    (uniform — URL-string key), with map-side partial counts;
+    collect_set is bounded per destination by distinct anchor
+    wording, and a mega-target (everyone links home with the same
+    text) still collapses map-side because the SET of texts is tiny
+    even when the link count is 10^9."""
+    e = anchors.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.col(href_col).alias("dst_url"),
+        F.col(anchor_col).alias("anchor"),
+    ).filter(F.col("dst_url").rlike("^https?://"))
+    return e.groupBy("dst_url").agg(
+        F.count("*").alias("n_sources"),
+        F.count_distinct("src_host").alias("n_source_hosts"),
+        F.array_join(
+            F.array_sort(F.collect_set(
+                F.when(F.col("anchor") != "", F.col("anchor")))),
+            "|").alias("anchor_texts"),
+    )

@@ -578,3 +578,70 @@ def bpe_encode(df, merges, id_col: str = "doc_id", text_col: str = "text"):
                      lambda s: s["enc"]),
                  " ")).alias("enc_md5"))
     )
+
+
+def ccnet_buckets(scored, lang_col: str = "lang",
+                  score_col: str = "neg_logprob",
+                  id_col: str = "doc_id", n_buckets: int = 3,
+                  num_partitions: int | None = None):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.3: each language's documents split into head/middle/tail
+    by LM perplexity terciles; head ≈ Wikipedia-like, tail ≈ noise).
+    Input is any (id, lang, score) frame — compose with
+    bigram_logprob/unigram_logprob for the LM score. Lower score =
+    better, rank 1 = best; bucket b of rank r among n docs is
+    floor((r-1)·k/n)+1, which for k=3 is exactly SQL ntile(3)
+    (remainder docs land in the earlier buckets).
+
+    Returns (id, lang, score, lm_rank, n_lang, bucket) with bucket in
+    {'head','middle','tail'} for k=3, else 'b<i>'.
+
+    Scale (10^12 docs): a naive ntile() OVER (PARTITION BY lang) sorts
+    each language in ONE task — a 10^11-row English partition is the
+    exact single-task funnel PLANS.md forbids. Instead the global
+    per-lang rank is a DISTRIBUTED two-phase prefix count (the
+    token_shards machinery): repartitionByRange over (lang, score, id)
+    gives ordered partitions; each ranks locally per (partition, lang)
+    slice; per-slice counts (one row per partition×lang — tiny) yield
+    broadcast offsets; rank = local rank + offset. The big side
+    shuffles twice (range exchange + the bounded local window), both
+    uniform, no per-lang funnel."""
+    from pyspark.sql import Window
+
+    spark = scored.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    part = (
+        scored.repartitionByRange(n, lang_col, score_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid", lang_col).orderBy(
+        score_col, id_col)
+    local = part.withColumn("_local_rank", F.row_number().over(w_local))
+    counts = local.groupBy("_pid", lang_col).agg(
+        F.count("*").alias("_cnt"))
+    w_off = (Window.partitionBy(lang_col).orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    totals = counts.groupBy(lang_col).agg(
+        F.sum("_cnt").alias("n_lang"))
+    ranked = (
+        local
+        .join(F.broadcast(offsets.select("_pid", lang_col, "_offset")),
+              ["_pid", lang_col])
+        .join(F.broadcast(totals), lang_col)
+        .withColumn("lm_rank", F.col("_local_rank") + F.col("_offset"))
+    )
+    b = (F.floor((F.col("lm_rank") - 1) * n_buckets / F.col("n_lang"))
+         + 1).cast("int")
+    if n_buckets == 3:
+        bucket = (F.when(b == 1, "head").when(b == 2, "middle")
+                  .otherwise("tail"))
+    else:
+        bucket = F.concat(F.lit("b"), b.cast("string"))
+    return ranked.select(
+        F.col(id_col), F.col(lang_col), F.col(score_col),
+        F.col("lm_rank").cast("long").alias("lm_rank"),
+        F.col("n_lang").cast("long").alias("n_lang"),
+        bucket.alias("bucket"),
+    )

@@ -342,3 +342,220 @@ def politeness_slots(pages: DataFrame, per_slot: int = 2,
     return pages.withColumn(
         "fetch_slot",
         ((F.row_number().over(w) - 1) / per_slot).cast("int"))
+
+
+# Query parameters that never affect page identity: analytics /
+# click-tracking noise stripped before URL dedup (the SURT-style
+# canonicalization every crawl dedup pass runs; same default set as
+# common crawl tooling). Kept as a regex so the DuckDB oracle can run
+# the IDENTICAL pattern.
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Full crawl-grade URL canonicalization (the dedup key, one step
+    beyond normalize_url's display form): scheme dropped, host
+    lowercased with `www.` and default :80/:443 ports stripped,
+    fragment dropped, tracking query parameters removed
+    (TRACKING_PARAM_RE), surviving parameters SORTED so parameter
+    order never splits a dedup group, trailing slash trimmed. Path
+    case is preserved (paths are case-sensitive; hosts are not).
+
+    Pure Column expressions — whole-stage codegen, no shuffle."""
+    u = F.coalesce(url, F.lit(""))
+    u = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    hostport = F.lower(F.regexp_extract(base, r"^([^/]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(base, r"^[^/]*(/.*)?$", 1), r"/+$", "")
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+    return F.concat(
+        host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup — the crawl-ingest pass that collapses
+    scheme/www/port/tracking-param/param-order/trailing-slash variants
+    of the same resource before any content fetch or text dedup runs.
+    Winner per canonical key = smallest id (deterministic keep-first).
+
+    Returns one row per canonical URL: (canon_url, doc_id, n_variants)
+    with doc_id = the winning row's id.
+
+    Scale (10^12 urls): canonicalization is a pure per-row map; the
+    dedup itself is ONE min/count aggregation keyed on the canonical
+    string (uniform — md5-like key distribution comes free from URL
+    diversity; a pathological single-URL flood is bounded by the agg's
+    map-side partial combine)."""
+    return (
+        pages.select(F.col(id_col).alias("doc_id"),
+                     canonical_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count("*").alias("n_variants"))
+    )
+
+
+def host_suffixes(host: Column) -> Column:
+    """All registrable-suffix ancestors of a host that a domain
+    blocklist entry could match: the host itself plus every parent
+    suffix with >= 2 labels ('a.b.example.com' → ['a.b.example.com',
+    'b.example.com', 'example.com']). Bounded by the label count
+    (hosts have < ~10 labels), so the fan-out is O(1) per row."""
+    labels = F.split(F.coalesce(host, F.lit("")), r"\.")
+    n = F.size(labels)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array(F.coalesce(host, F.lit(""))))
+
+
+def blocklist_filter(pages: DataFrame, blocklist: DataFrame,
+                     host_col: str = "host") -> DataFrame:
+    """Domain-blocklist filter (the UT1/adult-list pass of CC-derived
+    corpora, e.g. RefinedWeb §3.1): a page is blocked when its host OR
+    ANY parent domain appears in the blocklist — 'x.ads.example.net'
+    is blocked by the entry 'ads.example.net'. Adds `blocked` and
+    `blocked_by` (the LONGEST matching entry, ties broken
+    lexicographically; NULL when allowed).
+
+    Scale (10^12 pages, 10^6-entry blocklist): each page explodes into
+    its <= ~10 ancestor suffixes and inner-joins the BROADCAST
+    blocklist, so the explode side collapses to one row per DISTINCT
+    blocked host before anything wide happens; the verdict joins back
+    host-keyed (blocked-host cardinality << page count — AQE broadcasts
+    it when small). Never a regex scan over entries."""
+    cand = pages.select(
+        F.col(host_col).alias("_bl_host"),
+        F.explode(host_suffixes(F.col(host_col))).alias("_suffix"),
+    ).join(
+        F.broadcast(blocklist.select(F.col("entry").alias("_suffix"))),
+        "_suffix",
+    ).groupBy("_bl_host").agg(
+        F.max(F.struct(F.length("_suffix").alias("l"),
+                       F.col("_suffix").alias("e"))).alias("_m"))
+    return (
+        pages.join(
+            cand.select(F.col("_bl_host").alias(host_col),
+                        F.col("_m.e").alias("blocked_by")),
+            host_col, "left")
+        .withColumn("blocked", F.col("blocked_by").isNotNull())
+    )
+
+
+# Control characters stripped by normalize_text: C0 minus \t \n \r,
+# plus DEL. Written with textual \x escapes so the IDENTICAL pattern
+# string runs under Python re, Java regex, and DuckDB RE2.
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """ftfy-lite text normalization — the encoding-hygiene pass every
+    web-text pipeline runs before tokenization/dedup (mojibake-adjacent
+    combining sequences, stray control bytes, whitespace noise):
+
+      1. Unicode NFC (combining sequences compose: 'e'+U+0301 → 'é',
+         U+212B ANGSTROM SIGN → 'Å') — without this, byte-level dedup
+         treats canonically-equal texts as distinct.
+      2. C0/DEL control characters stripped (CONTROL_RE; \\t \\n kept).
+      3. Runs of spaces/tabs collapse to one space.
+      4. Leading/trailing spaces trimmed.
+
+    Returns (id, text_norm, n_chars_raw, n_chars_norm).
+
+    Scale: Arrow-batched mapInPandas with VECTORIZED pandas .str ops
+    (Series.str.normalize is the C-side ICU-equivalent path, never a
+    Python-level per-row loop) — a pure per-row map, no shuffle,
+    pipelined into the scan. The DuckDB oracle re-derives the same
+    transform via nfc_normalize + regexp_replace — semantic parity
+    across two independent NFC implementations."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text_norm", StringType()),
+        StructField("n_chars_raw", IntegerType()),
+        StructField("n_chars_norm", IntegerType()),
+    ])
+
+    def fix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            s = pdf[text_col].fillna("")
+            t = s.str.normalize("NFC")
+            t = t.str.replace(CONTROL_RE, "", regex=True)
+            t = t.str.replace(r"[ \t]+", " ", regex=True)
+            t = t.str.strip(" ")
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "text_norm": t,
+                "n_chars_raw": s.str.len().astype("int32"),
+                "n_chars_norm": t.str.len().astype("int32"),
+            })
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col)).mapInPandas(fix, schema)
+
+
+def parse_sitemaps(df: DataFrame, host_col: str = "host",
+                   txt_col: str = "robots_txt") -> DataFrame:
+    """Sitemap cross-references from robots.txt (sitemaps.org
+    protocol; RFC 9309 treats unknown lines as extensions): `Sitemap:`
+    lines are NOT group-scoped — they apply to every crawler no matter
+    which User-agent group they appear near, so the parser collects
+    them independently of the group state machine parse_robots runs.
+    Returns (host, sitemap_url, sm_rank) with sm_rank = 1-based file
+    order (crawl schedulers fetch in published order).
+
+    Arrow-batched line parse; output is host-cardinality tiny."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("host", StringType()),
+        StructField("sitemap_url", StringType()),
+        StructField("sm_rank", IntegerType()),
+    ])
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for host, txt in zip(pdf[host_col], pdf[txt_col]):
+                rank = 0
+                for raw in (txt or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    key, _, val = line.partition(":")
+                    if key.strip().lower() == "sitemap" and val.strip():
+                        rank += 1
+                        out.append({"host": host,
+                                    "sitemap_url": val.strip(),
+                                    "sm_rank": rank})
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
+
+    return df.select(host_col, txt_col).mapInPandas(parse, schema)

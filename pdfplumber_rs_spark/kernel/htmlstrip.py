@@ -37,6 +37,8 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int, bool]] = []
         self.links: list[str] = []  # every href, incl. dropped subtrees
+        self.anchors: list[tuple[str, str]] = []  # (href, anchor text)
+        self._a_stack: list[list] = []  # open <a>: [href, text parts]
         # current block accumulators
         self._parts: list[str] = []
         self._link_words = 0
@@ -63,6 +65,7 @@ class _Extractor(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+                    self._a_stack.append([v, []])
                     break
         if tag in _DROP:
             self._drop_depth += 1
@@ -76,7 +79,13 @@ class _Extractor(HTMLParser):
             if tag in _HEADING:
                 self._heading = True
 
+    def _pop_anchor(self) -> None:
+        href, parts = self._a_stack.pop()
+        self.anchors.append((href, " ".join("".join(parts).split())))
+
     def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._a_stack:
+            self._pop_anchor()
         if tag in _DROP:
             self._drop_depth = max(0, self._drop_depth - 1)
             return
@@ -88,14 +97,19 @@ class _Extractor(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        if data:  # anchor text accumulates even in dropped chrome —
+            for a in self._a_stack:  # the link graph wants ALL anchors
+                a[1].append(data)
         if self._drop_depth or not data:
             return
         self._parts.append(data)
         if self._link_depth:
             self._link_words += len(data.split())
 
-    def close(self) -> None:  # final partial block
+    def close(self) -> None:  # final partial block + unclosed anchors
         super().close()
+        while self._a_stack:
+            self._pop_anchor()
         self._flush()
 
 
@@ -124,4 +138,5 @@ def extract_main_content(html: bytes | str, min_words: int = 5,
         "n_blocks_kept": len(kept),
         "n_blocks_total": len(p.blocks),
         "links": p.links,
+        "anchors": p.anchors,
     }

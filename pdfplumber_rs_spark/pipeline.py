@@ -1411,6 +1411,37 @@ def html_links(df: DataFrame) -> DataFrame:
     return df.select("url", "html").mapInArrow(kernel, HTML_LINKS_SCHEMA)
 
 
+HTML_ANCHORS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+
+def html_anchors(df: DataFrame) -> DataFrame:
+    """Outgoing links WITH their anchor text: (url, href, anchor)
+    exploded rows from every <a href>…</a> (chrome subtrees included —
+    anchor-text aggregation wants nav/footer links too). Same per-row
+    map + in-kernel explode as html_links, no shuffle."""
+    arrow_schema = _arrow_schema_for(HTML_ANCHORS_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.htmlstrip import extract_main_content
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                for href, anchor in (
+                        extract_main_content(html or b"")["anchors"]):
+                    out.append({"url": url, "href": href, "anchor": anchor})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, HTML_ANCHORS_SCHEMA)
+
+
 def lineage(pages: DataFrame) -> DataFrame:
     """Per-partition lineage rows (north-rule D12/D13): url/page/char/
     error counts and kernel wall time by Spark partition."""

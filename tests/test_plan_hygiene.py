@@ -28,8 +28,9 @@ ALLOW_BNLJ = {
     "stratified_sample", "token_shards", "gopher_filter", "pipeline_e2e",
     "stream_windowed", "bpe", "bpe_encode", "nb_quality",
     # r4: 1-row stats crossJoins — vocabulary size (bigram model) and
-    # the summed stratum mass (temperature rates)
-    "bigram_logprob", "temperature_sample",
+    # the summed stratum mass (temperature rates); ccnet_buckets
+    # composes bigram_logprob so it inherits the same 1-row V join
+    "bigram_logprob", "temperature_sample", "ccnet_buckets",
 }
 
 
