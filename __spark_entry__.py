@@ -2698,6 +2698,32 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 L1-normalized power iterations) over
+    the host link graph — the second iterative-centrality algorithm
+    beside pagerank_hosts; the oracle unrolls both iterations in
+    SQL."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.functions.graph import hits, host_link_graph
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    return (
+        hits(host_link_graph(P.html_links(corpus)), n_iter=2)
+        .orderBy("host")
+    )
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (text.zipf_fit): ln-ln regression of the top-100
+    token frequencies against rank — one corpus-health row computed
+    with ANSI regr_slope/regr_intercept on both engines."""
+    from pdfplumber_rs_spark.functions.text import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=100)
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite normalization (webclean.normalize_text): every doc is
     decorated with an NFC-composable combining sequence (e+U+0301),
@@ -2794,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,           # dst-aggregated anchors
         "normalize_text": q_normalize_text,     # NFC/control/ws hygiene
         "sitemaps": q_sitemaps,                 # robots Sitemap lines
+        "hits_hosts": q_hits_hosts,             # HITS hubs/authorities
+        "zipf": q_zipf,                         # Zipf ln-ln regression
         # --- the 7 queries no driver window has EVER verified (judge
         # re-ran them green at r3; this puts a DRIVER verdict on them) ---
         "stratified_sample": q_stratified_sample,
@@ -3243,6 +3271,64 @@ with toks as (
                      when 1 then 'head' when 2 then 'middle'
                      else 'tail' end as bucket
             from r order by doc_id""",
+        "hits_hosts": """
+            with e0 as (
+              select doc_id % 7 as s, (doc_id + 1) % 7 as t from documents
+              union all
+              select doc_id % 7, (doc_id * 3 + 2) % 7 from documents
+            ), e as (
+              select s, t, cast(count(*) as double) as w from e0 group by 1, 2
+            ), nodes as (
+              select distinct s as h from e union select distinct t from e
+            ),
+            a1r as (select e.t as n, sum(e.w * 1.0) as v from e group by e.t),
+            a1m as (select sum(v) as m from a1r),
+            a1 as (select nodes.h as n,
+                          coalesce(a1r.v, 0) / a1m.m as a
+                   from nodes left join a1r on a1r.n = nodes.h, a1m),
+            h1r as (select e.s as n, sum(e.w * a1.a) as v
+                    from e join a1 on a1.n = e.t group by e.s),
+            h1m as (select sum(v) as m from h1r),
+            h1 as (select nodes.h as n,
+                          coalesce(h1r.v, 0) / h1m.m as h
+                   from nodes left join h1r on h1r.n = nodes.h, h1m),
+            a2r as (select e.t as n, sum(e.w * h1.h) as v
+                    from e join h1 on h1.n = e.s group by e.t),
+            a2m as (select sum(v) as m from a2r),
+            a2 as (select nodes.h as n,
+                          coalesce(a2r.v, 0) / a2m.m as a
+                   from nodes left join a2r on a2r.n = nodes.h, a2m),
+            h2r as (select e.s as n, sum(e.w * a2.a) as v
+                    from e join a2 on a2.n = e.t group by e.s),
+            h2m as (select sum(v) as m from h2r),
+            h2 as (select nodes.h as n,
+                          coalesce(h2r.v, 0) / h2m.m as h
+                   from nodes left join h2r on h2r.n = nodes.h, h2m)
+            select 'host' || lpad(cast(a2.n as varchar), 2, '0')
+                     || '.example.com' as host,
+                   round(a2.a, 6) as authority,
+                   round(h2.h, 6) as hub
+            from a2 join h2 on a2.n = h2.n
+            order by host""",
+        "zipf": r"""
+            with toks as (
+              select unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) as tok
+              from documents
+            ), c as (
+              select tok, count(*) as freq from toks group by tok
+            ), top as (
+              select tok, freq from c order by freq desc, tok limit 100
+            ), r as (
+              select freq, row_number() over (order by freq desc, tok)
+                as r
+              from top
+            )
+            select cast(count(*) as bigint) as n_top,
+                   round(regr_slope(ln(freq), ln(r)), 6) as zipf_slope,
+                   round(regr_intercept(ln(freq), ln(r)), 6)
+                     as zipf_intercept
+            from r""",
         "normalize_text": r"""
             with t as (
               select doc_id,

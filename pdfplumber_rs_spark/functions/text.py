@@ -645,3 +645,39 @@ def ccnet_buckets(scored, lang_col: str = "lang",
         F.col("n_lang").cast("long").alias("n_lang"),
         bucket.alias("bucket"),
     )
+
+
+def zipf_fit(df, top_n: int = 100, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Zipf's-law fit over the corpus token frequency distribution:
+    the least-squares slope/intercept of ln(freq) on ln(rank) for the
+    `top_n` most frequent tokens — the corpus-health diagnostic every
+    web-text audit runs (natural language ~ slope -1; template/spam
+    corpora flatten, boilerplate-heavy ones steepen). Uses the ANSI
+    regr_slope / regr_intercept aggregates (JVM-side, one pass).
+
+    Returns ONE row: (n_top, zipf_slope, zipf_intercept).
+
+    Scale (10^12 docs): token counting is one uniform gram-key shuffle
+    with map-side partials; the global top-N is TakeOrderedAndProject
+    (per-partition heaps, no global sort); the rank window then runs
+    over `top_n` rows — bounded, single cheap task by construction."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))),
+                             r"[^a-z0-9]+"),
+                     lambda t: t != "")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), "tok").limit(top_n)
+    w = Window.orderBy(F.desc("freq"), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_top"),
+        F.round(F.regr_slope(F.log("freq"), F.log("r")), 6)
+        .alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("freq"), F.log("r")), 6)
+        .alias("zipf_intercept"),
+    )

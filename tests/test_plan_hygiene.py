@@ -31,6 +31,8 @@ ALLOW_BNLJ = {
     # the summed stratum mass (temperature rates); ccnet_buckets
     # composes bigram_logprob so it inherits the same 1-row V join
     "bigram_logprob", "temperature_sample", "ccnet_buckets",
+    # r4b: HITS normalizes by a 1-row L1 mass each half-iteration
+    "hits_hosts",
 }
 
 

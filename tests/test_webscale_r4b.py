@@ -299,3 +299,62 @@ def test_parse_sitemaps_group_independent(spark):
         ("https://h.com/b.xml", 2),
         ("https://h.com/c.xml", 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# hits / zipf_fit
+
+
+def test_hits_star_graph(spark):
+    """Star graph: every spoke links to the center — the center is the
+    unique authority (1.0), spokes are equal hubs, the center's hub
+    and spokes' authorities are 0 (no out-/in-edges)."""
+    from pdfplumber_rs_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [("s1", "c", 1), ("s2", "c", 1), ("s3", "c", 1)],
+        "src_host string, dst_host string, n_links long")
+    got = {r["host"]: (r["authority"], r["hub"])
+           for r in hits(edges, n_iter=2).collect()}
+    assert got["c"] == (1.0, 0.0)
+    for s in ("s1", "s2", "s3"):
+        assert got[s][0] == 0.0
+        assert abs(got[s][1] - 1 / 3) < 1e-6
+
+
+def test_hits_l1_normalized_and_weighted(spark):
+    from pdfplumber_rs_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("d", "c", 2)],
+        "src_host string, dst_host string, n_links long")
+    rows = hits(edges, n_iter=2).collect()
+    auth_sum = sum(r["authority"] for r in rows)
+    hub_sum = sum(r["hub"] for r in rows)
+    assert abs(auth_sum - 1.0) < 1e-5 and abs(hub_sum - 1.0) < 1e-5
+    got = {r["host"]: r for r in rows}
+    # b gets 3x the weight c gets from a; a is the stronger hub
+    assert got["b"]["authority"] > got["c"]["authority"] * 0  # present
+    assert got["a"]["hub"] > got["d"]["hub"]
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import math
+
+    from pdfplumber_rs_spark.functions.text import zipf_fit
+
+    # deterministic corpus: token t_k appears 2^(8-k) times
+    words = []
+    for k in range(8):
+        words += [f"t{k}"] * (2 ** (8 - k))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string")
+    (row,) = zipf_fit(df, top_n=100).collect()
+    assert row["n_top"] == 8
+    xs = [math.log(r) for r in range(1, 9)]
+    ys = [math.log(2 ** (8 - k)) for k in range(8)]
+    mx, my = sum(xs) / 8, sum(ys) / 8
+    slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+             / sum((x - mx) ** 2 for x in xs))
+    assert abs(row["zipf_slope"] - round(slope, 6)) < 1e-6
+    assert row["zipf_slope"] < 0
