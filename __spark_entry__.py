@@ -2724,6 +2724,63 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (sampling.hash_split):
+    md5-bucket assignment with 98/1/1 weights — a pure per-row codegen
+    projection (no shuffle), so holdout membership is stable across
+    cluster sizes, reruns, and incremental re-crawls. The oracle
+    re-derives bucket and boundaries independently in SQL."""
+    from pdfplumber_rs_spark.functions.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs).orderBy("doc_id")
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WET sink → source round trip (sources.warc.write_wet
+    / read_wet): documents become (url, warc_ts, text), the executor-
+    side writer emits Common-Crawl WET files (`conversion` records,
+    text/plain, per-record gzip members), and the reader parses them
+    back — the interchange format for extracted text. Same closed-form
+    oracle shape as warc_roundtrip, on chars instead of bytes."""
+    import tempfile
+
+    from pdfplumber_rs_spark.sources.warc import read_wet, write_wet
+
+    tmp = tempfile.mkdtemp(prefix="wet_rt_")
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        .alias("warc_ts"),
+        "text",
+    ).repartition(4, "url")
+    write_wet(docs, tmp).collect()  # materialize the sink (an action)
+    return (
+        read_wet(spark, tmp)
+        .filter(F.col("warning").isNull())
+        .select("url",
+                F.col("warc_ts").cast("long").alias("ts_epoch"),
+                F.length("text").cast("long").alias("n_chars"),
+                F.md5(F.col("text")).alias("text_md5"))
+        .orderBy("url")
+    )
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine similarity join (text.tfidf_pairs): the
+    inverted-index all-pairs pass with stop-term / singleton / top-m
+    pruning — never materializes O(N²). The oracle replays the same
+    vector definition (pruned vocab, pruned norms) in SQL."""
+    from pdfplumber_rs_spark.functions.text import tfidf_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        tfidf_pairs(docs, threshold=0.5, top_terms=20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ftfy-lite normalization (webclean.normalize_text): every doc is
     decorated with an NFC-composable combining sequence (e+U+0301),
@@ -2813,6 +2870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "hash_split": q_hash_split,             # md5 train/val/test
+        "wet_roundtrip": q_wet_roundtrip,       # WET sink→source
+        "tfidf_pairs": q_tfidf_pairs,           # sparse cosine join
         "url_dedup": q_url_dedup,               # canonical-URL dedup
         "line_dedup": q_line_dedup,             # C4 corpus line dedup
         "domain_blocklist": q_domain_blocklist,  # UT1 ancestor-domain
@@ -3116,6 +3176,59 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "hash_split": """
+            with b as (
+              select doc_id,
+                     ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                       ::bigint % 10000 as bucket
+              from documents
+            )
+            select doc_id, bucket,
+                   case when bucket < 9800 then 'train'
+                        when bucket < 9900 then 'val'
+                        else 'test' end as split
+            from b order by doc_id""",
+        "wet_roundtrip": """
+            select 'doc://' || cast(doc_id as varchar) as url,
+                   cast(1704067200 + doc_id as bigint) as ts_epoch,
+                   cast(length(coalesce(text, '')) as bigint) as n_chars,
+                   md5(coalesce(text, '')) as text_md5
+            from documents order by url""",
+        "tfidf_pairs": f"""
+            with toks as (
+              select doc_id, unnest({toks}) as term from documents
+            ), postings as (
+              select doc_id, term, cast(count(*) as double) as tf
+              from toks group by doc_id, term
+            ), nd as (
+              select cast(count(*) as double) as n_docs from documents
+            ), docfreq as (
+              select term, ln(n_docs / df_t) as idf
+              from (select term, cast(count(*) as double) as df_t
+                    from postings group by term), nd
+              where df_t >= 2 and df_t <= 0.5 * n_docs
+            ), weighted as (
+              select doc_id, term, w,
+                     row_number() over (partition by doc_id
+                                        order by w desc, term asc) as rnk
+              from (select p.doc_id, p.term, p.tf * d.idf as w
+                    from postings p join docfreq d using (term))
+            ), pruned as (
+              select * from weighted where rnk <= 20
+            ), norms as (
+              select doc_id, sqrt(sum(w * w)) as nrm
+              from pruned group by doc_id
+            ), unit as (
+              select p.doc_id, p.term, p.w / n.nrm as u
+              from pruned p join norms n using (doc_id)
+            )
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   round(sum(a.u * b.u), 6) as sim
+            from unit a join unit b
+              on a.term = b.term and a.doc_id < b.doc_id
+            group by doc_a, doc_b
+            having round(sum(a.u * b.u), 6) >= 0.5
+            order by doc_a, doc_b""",
         "url_dedup": r"""
             with u as (
               select doc_id,

@@ -81,6 +81,43 @@ def stratified_take(df: DataFrame, strata_col: str, quota: int,
     )
 
 
+def hash_split(df: DataFrame, key_col: str = "doc_id",
+               weights: tuple[float, ...] = (0.98, 0.01, 0.01),
+               names: tuple[str, ...] = ("train", "val", "test"),
+               buckets: int = 10000) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the
+    standard leakage-safe corpus split: every row with the same key
+    lands in the same split on any cluster size, any partitioning, any
+    rerun (no RNG state, no global sort). The key is hashed to one of
+    `buckets` buckets via the first 8 hex digits of md5 (uniform on
+    [0, 2^32)), and cumulative weight boundaries carve bucket ranges —
+    so holdout membership survives incremental re-crawls: new
+    documents never move old ones across splits.
+
+    Plan shape: a pure per-row codegen projection — NO shuffle, NO
+    aggregation; the split is a function of the row alone, which is
+    what makes it safe at 10^12 rows. Output adds (bucket, split).
+    Dedup before splitting (hash_split assigns duplicates of the same
+    key to the same split, but near-duplicates with different keys
+    still leak — run minhash dedup first)."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must pair 1:1")
+    total = float(sum(weights))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(buckets))
+    edge = 0.0
+    expr = None
+    for w, name in zip(weights, names):
+        edge += w / total * buckets
+        cond = bucket < F.lit(int(round(edge)))
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    out = expr.otherwise(names[-1])  # float-edge guard: last split
+    return df.withColumn("bucket", bucket).withColumn("split", out)
+
+
 def temperature_sample(df: DataFrame, strata_col: str,
                        alpha: float = 0.7, target: int = 1000,
                        id_col: str = "doc_id") -> DataFrame:

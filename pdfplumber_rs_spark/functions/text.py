@@ -6,7 +6,7 @@ DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker sets for the n-gram/stopword heuristic.
@@ -432,6 +432,72 @@ def bm25_topk(df, terms: list[str], topk: int = 10,
         .groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+
+
+def tfidf_pairs(df, threshold: float = 0.5, top_terms: int = 20,
+                max_df_frac: float = 0.5,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """All-pairs tf-idf cosine similarity above a threshold — the
+    sparse-vector complement to minhash/simhash near-dup detection
+    (catches rewordings those miss, since weights survive word
+    reordering and partial overlap). Classic inverted-index similarity
+    join (Baraglia et al. / DIMSUM lineage): never materializes the
+    O(N²) pair space — candidate pairs exist only where two documents
+    share a surviving term.
+
+    The three scale valves, each a pure pre-join filter:
+    - stop-term drop: terms with df > max_df_frac·N generate the
+      quadratic posting-list blowup and carry ~zero idf — dropped.
+    - singleton drop: df < 2 terms can never pair — dropped.
+    - per-doc top-`top_terms` pruning by weight (ties → term order):
+      bounds every document's posting contribution to a constant, so
+      the term-keyed self-join is at worst O(df·top_terms) per term.
+    Cosine is defined over the PRUNED vectors (norms computed after
+    pruning) — self-similarity stays exactly 1, and the oracle
+    re-derives the same definition in SQL.
+
+    Plan: one explode + (doc, term) hash-agg, one term-df agg, two
+    broadcast joins of tiny frames, one per-doc window (doc-keyed, so
+    it parallelizes), one term-keyed self-join + pair hash-agg.
+    Returns (doc_a, doc_b, sim) with sim rounded to 6dp."""
+    postings = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(word_tokens(F.coalesce(F.col(text_col),
+                                                   F.lit("")))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = df.select(F.count("*").cast("double").alias("n_docs"))
+    docfreq = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("df_t") >= 2)
+                & (F.col("df_t") <= max_df_frac * F.col("n_docs")))
+        .select("term",
+                F.log(F.col("n_docs") / F.col("df_t")).alias("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    weighted = (
+        postings.join(docfreq, "term")
+        .select("doc_id", "term", (F.col("tf") * F.col("idf")).alias("w"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    unit = (weighted.join(norms, "doc_id")
+            .select("doc_id", "term", (F.col("w") / F.col("nrm"))
+                    .alias("u")))
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.round(F.sum(F.col("a.u") * F.col("b.u")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 BPE_SEP = "\x01"

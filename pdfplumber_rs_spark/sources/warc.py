@@ -60,11 +60,15 @@ def _split_gzip_members(data: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_warc(data: bytes, source_name: str = "") -> list[dict]:
+def parse_warc(data: bytes, source_name: str = "",
+               want_types: tuple[str, ...] = ("response",)) -> list[dict]:
     """Parse WARC bytes into rows (dicts matching WARC_SCHEMA).
-    `response` records yield the HTTP body in `html`; other record
-    types (warcinfo, request, metadata) are skipped. Malformed records
-    become warning rows and parsing resumes at the next boundary."""
+    Records whose WARC-Type is in `want_types` yield their payload in
+    `html` (the HTTP envelope is stripped when present); other record
+    types (warcinfo, request, metadata) are skipped. WET files are the
+    same grammar with `conversion` records, so `want_types=
+    ("conversion",)` reads them. Malformed records become warning rows
+    and parsing resumes at the next boundary."""
     if data[:2] == b"\x1f\x8b":
         data = _split_gzip_members(data)
     rows: list[dict] = []
@@ -113,7 +117,7 @@ def parse_warc(data: bytes, source_name: str = "") -> list[dict]:
                          "warc_file": source_name, "record_offset": start,
                          "warning": "truncated record body"})
             break
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") not in want_types:
             continue
         url = headers.get("warc-target-uri")
         ts = None
@@ -134,7 +138,8 @@ def parse_warc(data: bytes, source_name: str = "") -> list[dict]:
 
 
 def read_warc(spark: SparkSession, path: str,
-              n_partitions: int | None = None) -> DataFrame:
+              n_partitions: int | None = None,
+              want_types: tuple[str, ...] = ("response",)) -> DataFrame:
     """WARC files → corpus rows. binaryFile scan (one row per file,
     content pruned to what the parse consumes) → Arrow-batched
     mapInPandas parse. Pass n_partitions to spread many small files
@@ -151,7 +156,8 @@ def read_warc(spark: SparkSession, path: str,
             out = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    out.extend(parse_warc(bytes(content), str(p)))
+                    out.extend(parse_warc(bytes(content), str(p),
+                                          want_types=want_types))
                 except Exception as e:  # noqa: BLE001 — lenient source
                     out.append({"url": None, "warc_ts": None, "html": None,
                                 "warc_file": str(p), "record_offset": 0,
@@ -161,12 +167,32 @@ def read_warc(spark: SparkSession, path: str,
     return files.mapInPandas(parse, WARC_SCHEMA)
 
 
+def read_wet(spark: SparkSession, path: str,
+             n_partitions: int | None = None) -> DataFrame:
+    """WET files (Common Crawl's extracted-text sibling of WARC:
+    `conversion` records, text/plain payload) → (url, warc_ts, text)
+    corpus rows. Same file-grain parallelism as read_warc; the UTF-8
+    decode happens JVM-side via a cast on the parsed payload."""
+    import pyspark.sql.functions as F
+
+    rows = read_warc(spark, path, n_partitions=n_partitions,
+                     want_types=("conversion",))
+    return rows.select(
+        "url", "warc_ts",
+        F.col("html").cast("string").alias("text"),
+        F.col("warc_file").alias("wet_file"),
+        "record_offset", "warning")
+
+
 def build_warc(records: list[tuple[str, datetime, bytes]],
                gzip_per_record: bool = False,
-               with_http: bool = True) -> bytes:
+               with_http: bool = True,
+               warc_type: str = "response",
+               plain_content_type: str = "application/octet-stream") -> bytes:
     """Serialize (url, ts, body) triples as a WARC/1.0 file — the test
     twin of parse_warc, emitting the CC layout (optionally one gzip
-    member per record)."""
+    member per record). warc_type/plain_content_type support the WET
+    layout (`conversion` + text/plain) via the same grammar."""
     out = bytearray()
     for i, (url, ts, body) in enumerate(records):
         if with_http:
@@ -176,9 +202,9 @@ def build_warc(records: list[tuple[str, datetime, bytes]],
             ctype = "application/http; msgtype=response"
         else:
             http = body
-            ctype = "application/octet-stream"
+            ctype = plain_content_type
         hdr = (f"WARC/1.0\r\n"
-               f"WARC-Type: response\r\n"
+               f"WARC-Type: {warc_type}\r\n"
                f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
                f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
                f"WARC-Target-URI: {url}\r\n"
@@ -196,7 +222,11 @@ def build_warc(records: list[tuple[str, datetime, bytes]],
 
 
 def write_warc(df: DataFrame, out_dir: str,
-               gzip_per_record: bool = True) -> DataFrame:
+               gzip_per_record: bool = True,
+               warc_type: str = "response",
+               with_http: bool = True,
+               plain_content_type: str = "application/octet-stream",
+               ext_base: str = "warc") -> DataFrame:
     """Distributed WARC sink: each partition serializes its (url,
     warc_ts, html) rows into ONE WARC file (per-record gzip members —
     the CC layout) and returns a manifest row (warc_file, n_records,
@@ -256,9 +286,11 @@ def write_warc(df: DataFrame, out_dir: str,
                 yield pd.DataFrame(
                     [], columns=[f.name for f in manifest_schema])
             return
-        data = build_warc(recs, gzip_per_record=gzip_per_record)
+        data = build_warc(recs, gzip_per_record=gzip_per_record,
+                          warc_type=warc_type, with_http=with_http,
+                          plain_content_type=plain_content_type)
         digest = hashlib.sha1(data).hexdigest()[:12]
-        ext = "warc.gz" if gzip_per_record else "warc"
+        ext = f"{ext_base}.gz" if gzip_per_record else ext_base
         name = f"part-{pid:05d}-{digest}.{ext}"
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, name)
@@ -272,3 +304,22 @@ def write_warc(df: DataFrame, out_dir: str,
 
     return df.select("url", "warc_ts", "html").mapInPandas(
         write, manifest_schema)
+
+
+def write_wet(df: DataFrame, out_dir: str,
+              gzip_per_record: bool = True) -> DataFrame:
+    """Distributed WET sink: (url, warc_ts, text) rows → Common-Crawl
+    WET files (`conversion` records, text/plain, no HTTP envelope),
+    one file per partition with the same atomic-publish + manifest
+    discipline as write_warc. Null text serializes as empty payload;
+    null url rows are skipped and counted, matching the WARC sink."""
+    import pyspark.sql.functions as F
+
+    wet = df.select(
+        "url", "warc_ts",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+        .alias("html"))
+    m = write_warc(wet, out_dir, gzip_per_record=gzip_per_record,
+                   warc_type="conversion", with_http=False,
+                   plain_content_type="text/plain", ext_base="wet")
+    return m.withColumnRenamed("warc_file", "wet_file")

@@ -17,6 +17,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "store_dedup", "stream_dedup", "stream_windowed", "stream_sessionize",
     "warc_roundtrip",  # runs the sink action when the DataFrame is built
+    "wet_roundtrip",   # same: WET sink action at build time
 }
 
 # deliberate BroadcastNestedLoopJoin users: 1-row corpus-stats
@@ -33,6 +34,8 @@ ALLOW_BNLJ = {
     "bigram_logprob", "temperature_sample", "ccnet_buckets",
     # r4b: HITS normalizes by a 1-row L1 mass each half-iteration
     "hits_hosts",
+    # r4c: tf-idf idf derivation crossJoins the 1-row n_docs stats
+    "tfidf_pairs",
 }
 
 
