@@ -486,9 +486,13 @@ def tfidf_pairs(df, threshold: float = 0.5, top_terms: int = 20,
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # unit feeds BOTH sides of the self-join — persist it so the
+    # explode + two aggs + window run once, not twice (at cluster
+    # depth the pruned table is ≤ top_terms·N rows, far smaller than
+    # its lineage)
     unit = (weighted.join(norms, "doc_id")
             .select("doc_id", "term", (F.col("w") / F.col("nrm"))
-                    .alias("u")))
+                    .alias("u"))).persist()
     a, b = unit.alias("a"), unit.alias("b")
     return (
         a.join(b, (F.col("a.term") == F.col("b.term"))
