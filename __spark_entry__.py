@@ -2724,6 +2724,52 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (webclean.html_meta) over a head-rich
+    corpus with presence gaps, attribute-order flips, and quote-style
+    variation per doc_id residue. The oracle recomputes every field in
+    closed form from documents columns (including the html-escape of
+    title/description) — the Spark side must PARSE what the generator
+    wrote; nothing is shared."""
+    from pdfplumber_rs_spark.functions.webclean import html_meta
+    from pdfplumber_rs_spark.sources.corpus import html_head_corpus_table
+
+    pages = html_head_corpus_table(spark, sf_dir)
+    return (
+        html_meta(pages)
+        .select("doc_id", "title", "description", "og_title",
+                "canonical", "page_lang", "charset")
+        .orderBy("doc_id")
+    )
+
+
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode writing-system detection (text.script_detect): docs are
+    decorated with Cyrillic / Han / Kana payloads by doc_id residue
+    (base text truncated so the injected script dominates); counts and
+    the argmax come from Java's \\p{IsX} classes on the Spark side and
+    RE2's \\p{X} classes in DuckDB — two independent Unicode-property
+    implementations that must agree."""
+    from pdfplumber_rs_spark.functions.text import script_detect
+
+    docs = _read(spark, sf_dir, "documents")
+    base8 = F.substring("text", 1, 8)
+    dec = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0,
+               F.concat(base8, F.lit(" Привет мир Привет мир Привет")))
+        .when(F.pmod("doc_id", F.lit(4)) == 1,
+              F.concat(base8, F.lit(" 你好世界你好世界你好世界")))
+        .when(F.pmod("doc_id", F.lit(4)) == 2,
+              F.concat(base8, F.lit(" こんにちはカタカナ")))
+        .otherwise(F.col("text"))
+    )
+    out = script_detect(docs.select("doc_id", dec.alias("text")))
+    counts = [c for c in out.columns if c.startswith("n_")]
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in counts],
+        "dominant").orderBy("doc_id")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (sampling.hash_split):
     md5-bucket assignment with 98/1/1 weights — a pure per-row codegen
@@ -2870,6 +2916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "html_meta": q_html_meta,               # head metadata parse
+        "script_detect": q_script_detect,       # Unicode script mix
         "hash_split": q_hash_split,             # md5 train/val/test
         "wet_roundtrip": q_wet_roundtrip,       # WET sink→source
         "tfidf_pairs": q_tfidf_pairs,           # sparse cosine join
@@ -3176,6 +3224,84 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "html_meta": """
+            with w as (
+              select doc_id, lang,
+                     list_filter(regexp_split_to_array(trim(text),
+                       '\\s+'), x -> x <> '') as l
+              from documents
+            ), esc as (
+              -- html.escape(): & first, then < > " '
+              select doc_id, lang,
+                replace(replace(replace(replace(replace(
+                  array_to_string(l[1:4], ' '),
+                  '&','&amp;'), '<','&lt;'), '>','&gt;'),
+                  '"','&quot;'), chr(39),'&#x27;') as t4,
+                replace(replace(replace(replace(replace(
+                  array_to_string(l[1:12], ' '),
+                  '&','&amp;'), '<','&lt;'), '>','&gt;'),
+                  '"','&quot;'), chr(39),'&#x27;') as t12
+              from w
+            )
+            select doc_id,
+              'Doc ' || cast(doc_id as varchar) || ': ' || t4 as title,
+              case when doc_id % 5 <> 0 then t12 end as description,
+              case when doc_id % 2 = 0
+                   then 'OG Doc ' || cast(doc_id as varchar)
+              end as og_title,
+              case when doc_id % 4 <> 3
+                   then printf('https://host%02d.example.com/%08d',
+                               cast(doc_id % 7 as int),
+                               cast(doc_id as int))
+              end as canonical,
+              lang as page_lang,
+              case when doc_id % 6 <> 0 then 'utf-8' end as charset
+            from esc order by doc_id""",
+        "script_detect": """
+            with d as (
+              select doc_id,
+                case cast(doc_id % 4 as int)
+                  when 0 then substr(text, 1, 8)
+                    || ' Привет мир Привет мир Привет'
+                  when 1 then substr(text, 1, 8)
+                    || ' 你好世界你好世界你好世界'
+                  when 2 then substr(text, 1, 8)
+                    || ' こんにちはカタカナ'
+                  else text end as t
+              from documents
+            ), c as (
+              select doc_id,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Arabic}', '', 'g')) as n_arabic,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Cyrillic}', '', 'g')) as n_cyrillic,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Greek}', '', 'g')) as n_greek,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Han}', '', 'g')) as n_han,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Hangul}', '', 'g')) as n_hangul,
+                length(t) - length(regexp_replace(t,
+                  '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) as n_kana,
+                length(t) - length(regexp_replace(t,
+                  '\\p{Latin}', '', 'g')) as n_latin
+              from d
+            ), m as (
+              select *, greatest(n_arabic, n_cyrillic, n_greek, n_han,
+                                 n_hangul, n_kana, n_latin) as mx
+              from c
+            )
+            select doc_id, n_arabic, n_cyrillic, n_greek, n_han,
+                   n_hangul, n_kana, n_latin,
+                   case when mx = 0 then 'none'
+                        when n_arabic = mx then 'arabic'
+                        when n_cyrillic = mx then 'cyrillic'
+                        when n_greek = mx then 'greek'
+                        when n_han = mx then 'han'
+                        when n_hangul = mx then 'hangul'
+                        when n_kana = mx then 'kana'
+                        else 'latin' end as dominant
+            from m order by doc_id""",
         "hash_split": """
             with b as (
               select doc_id,

@@ -434,6 +434,45 @@ def bm25_topk(df, terms: list[str], topk: int = 10,
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
 
 
+# Unicode script classes for writing-system detection. Java regex
+# spells scripts \p{IsX}; the DuckDB oracle re-derives the same counts
+# with RE2's \p{X} — two independent engines, same Unicode property.
+SCRIPT_PATTERNS = {
+    "arabic": r"\p{IsArabic}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "greek": r"\p{IsGreek}",
+    "han": r"\p{IsHan}",
+    "hangul": r"\p{IsHangul}",
+    "kana": r"[\p{IsHiragana}\p{IsKatakana}]",
+    "latin": r"\p{IsLatin}",
+}
+
+
+def script_detect(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Writing-system detection — the script-mix pass that runs beside
+    (and sanity-checks) language ID in multilingual pipelines: per-doc
+    character counts for seven Unicode script classes plus the
+    dominant script (argmax; ties → alphabetically first; 'none' when
+    no script character occurs — e.g. digits/punctuation only).
+
+    A pure codegen regexp_count projection — no shuffle, no Python, at
+    any corpus size. Mixed-script documents (a CJK page quoting a
+    Latin URL, Cyrillic spam injected into English text) surface as
+    multi-nonzero rows, the usual trigger for a closer quality look."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counted = df.select(
+        F.col(id_col),
+        *[F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+          for name, pat in SCRIPT_PATTERNS.items()],
+    )
+    names = sorted(SCRIPT_PATTERNS)
+    m = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(m == 0, F.lit("none"))
+    for n in names:  # alphabetical order → ties pick the first name
+        dom = dom.when(F.col(f"n_{n}") == m, F.lit(n))
+    return counted.withColumn("dominant", dom)
+
+
 def tfidf_pairs(df, threshold: float = 0.5, top_terms: int = 20,
                 max_df_frac: float = 0.5,
                 id_col: str = "doc_id", text_col: str = "text"):

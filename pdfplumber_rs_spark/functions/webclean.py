@@ -299,6 +299,53 @@ def detect_license(html: Column) -> Column:
     )
 
 
+def _meta_attr(h: Column, key_attr: str, key: str,
+               val_attr: str, tag: str = "meta") -> Column:
+    """Value of <tag key_attr=key ... val_attr=V> tolerating BOTH
+    attribute orders and either quote style. Returns '' when absent."""
+    qv = "[\"']"
+    fwd = F.regexp_extract(
+        h, rf"(?i)<{tag}\s+{key_attr}={qv}{key}{qv}\s+"
+           rf"{val_attr}={qv}([^\"']*)", 1)
+    rev = F.regexp_extract(
+        h, rf"(?i)<{tag}\s+{val_attr}={qv}([^\"']*){qv}\s+"
+           rf"{key_attr}={qv}{key}{qv}", 1)
+    return F.when(fwd != "", fwd).otherwise(rev)
+
+
+def html_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Page-metadata extraction — the head-parsing pass beside
+    boilerplate stripping: <title>, meta description, og:title,
+    canonical link, html-lang, and declared charset, each NULL when
+    absent. Attribute order and quote style both vary in the wild and
+    are tolerated (name=/content= in either order, " or ').
+
+    Entirely JVM-side regexp_extract over the decoded page — a pure
+    codegen projection pipelined into the scan: no shuffle, no Python,
+    at any corpus size. Values come back HTML-escaped exactly as
+    written in the markup (unescaping is normalize_text's job)."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+
+    def opt(c: Column) -> Column:
+        return F.nullif(c, F.lit(""))
+
+    return pages.select(
+        *[c for c in pages.columns if c != html_col],
+        opt(F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1))
+        .alias("title"),
+        opt(_meta_attr(h, "name", "description", "content"))
+        .alias("description"),
+        opt(_meta_attr(h, "property", "og:title", "content"))
+        .alias("og_title"),
+        opt(_meta_attr(h, "rel", "canonical", "href", tag="link"))
+        .alias("canonical"),
+        opt(F.regexp_extract(h, r"(?i)<html[^>]*\slang=[\"']([^\"']*)", 1))
+        .alias("page_lang"),
+        opt(F.regexp_extract(h, r"(?i)<meta\s+charset=[\"']([^\"']*)", 1))
+        .alias("charset"),
+    )
+
+
 def politeness_schedule(pages: DataFrame, delays: DataFrame,
                         per_slot: int = 2, default_delay: float = 1.0,
                         host_col: str = "host",

@@ -1045,6 +1045,65 @@ def html_page_corpus_table(spark, sf_dir: str) -> DataFrame:
     return _spread(docs).mapInArrow(_html_page_gen_kernel, CHROME_CORPUS_SCHEMA)
 
 
+def _html_head_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Head-metadata-rich pages for the html_meta surface: title, meta
+    description, og:title, canonical link, html-lang, charset — with
+    deterministic presence gaps (every field is sometimes absent),
+    attribute-order flips (content= before name= on doc_id%3==0), and
+    quote-style variation (double vs single quotes by parity), so the
+    extractor earns its robustness. The oracle recomputes every
+    expected field in closed form from documents columns."""
+    import html as _html
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id, text, lang in zip(d["doc_id"], d["text"], d["lang"]):
+            doc_id = int(doc_id)
+            words = (text or "").split()
+            q = '"' if doc_id % 2 == 0 else "'"
+            head = []
+            if doc_id % 6 != 0:
+                head.append(f"<meta charset={q}utf-8{q}>")
+            title = _html.escape(f"Doc {doc_id}: " + " ".join(words[:4]))
+            head.append(f"<title>{title}</title>")
+            if doc_id % 5 != 0:
+                desc = _html.escape(" ".join(words[:12]))
+                if doc_id % 3 == 0:
+                    head.append(f"<meta content={q}{desc}{q} "
+                                f"name={q}description{q}>")
+                else:
+                    head.append(f"<meta name={q}description{q} "
+                                f"content={q}{desc}{q}>")
+            if doc_id % 2 == 0:
+                head.append(f"<meta property={q}og:title{q} "
+                            f"content={q}OG Doc {doc_id}{q}>")
+            if doc_id % 4 != 3:
+                head.append(
+                    f"<link rel={q}canonical{q} href={q}https://"
+                    f"host{doc_id % 7:02d}.example.com/{doc_id:08d}{q}>")
+            page = (f"<html lang={q}{lang}{q}><head>" + "".join(head)
+                    + "</head><body><p>body</p></body></html>")
+            out.append({
+                "doc_id": doc_id,
+                "url": (f"https://host{doc_id % 7:02d}.example.com/"
+                        f"{doc_id:08d}.html"),
+                "html": page.encode("utf-8"),
+            })
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+@cached_builder
+def html_head_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang")
+    return _spread(docs).mapInArrow(_html_head_gen_kernel,
+                                    CHROME_CORPUS_SCHEMA)
+
+
 def expected_text_col(text):
     """Spark Column mirror of the oracle transform: what extract_text
     must return for a pdf_from_text document."""

@@ -162,3 +162,72 @@ def test_tfidf_pairs_top_terms_prunes(spark):
                                    top_terms=1).collect()}
     assert (1, 2) in full
     assert pruned == {(1, 3), (2, 4)}  # only the heavy aa/bb pairings
+
+
+# ---------------------------------------------------------------------------
+# webclean.html_meta
+
+
+def _pages(spark, htmls):
+    return spark.createDataFrame(
+        [(i, h.encode()) for i, h in enumerate(htmls)],
+        "doc_id long, html binary")
+
+
+def test_html_meta_both_attr_orders_and_quotes(spark):
+    from pdfplumber_rs_spark.functions.webclean import html_meta
+
+    htmls = [
+        '<html lang="en"><head><title>A &amp; B</title>'
+        '<meta name="description" content="first desc">'
+        '<link rel="canonical" href="https://a.com/x"></head></html>',
+        "<html lang='fr'><head><meta content='flipped' "
+        "name='description'><meta charset='utf-8'>"
+        "<meta property='og:title' content='OGT'></head></html>",
+    ]
+    rows = {r.doc_id: r for r in html_meta(_pages(spark, htmls)).collect()}
+    assert rows[0].title == "A &amp; B"  # escaped exactly as written
+    assert rows[0].description == "first desc"
+    assert rows[0].canonical == "https://a.com/x"
+    assert rows[0].page_lang == "en" and rows[0].charset is None
+    assert rows[1].description == "flipped"  # content= before name=
+    assert rows[1].og_title == "OGT" and rows[1].charset == "utf-8"
+    assert rows[1].page_lang == "fr" and rows[1].title is None
+
+
+def test_html_meta_absent_fields_are_null(spark):
+    from pdfplumber_rs_spark.functions.webclean import html_meta
+
+    (r,) = html_meta(_pages(spark, ["<html><body>x</body></html>"])).collect()
+    assert (r.title, r.description, r.og_title, r.canonical,
+            r.page_lang, r.charset) == (None,) * 6
+
+
+# ---------------------------------------------------------------------------
+# text.script_detect
+
+
+def test_script_detect_counts_and_dominant(spark):
+    from pdfplumber_rs_spark.functions.text import script_detect
+
+    df = spark.createDataFrame(
+        [(1, "hello Привет мир"),     # latin 5, cyrillic 9 → cyrillic
+         (2, "漢字かなカナ한글"),        # han 2, kana 4, hangul 2 → kana
+         (3, "12345 .,!"),            # no script chars → none
+         (4, "abcd Ωμέγα")],          # latin 4, greek 5 → greek
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in script_detect(df).collect()}
+    assert rows[1].n_cyrillic == 9 and rows[1].dominant == "cyrillic"
+    assert (rows[2].n_han, rows[2].n_kana, rows[2].n_hangul) == (2, 4, 2)
+    assert rows[2].dominant == "kana"
+    assert rows[3].dominant == "none"
+    assert rows[4].n_greek == 5 and rows[4].dominant == "greek"
+
+
+def test_script_detect_tie_breaks_alphabetically(spark):
+    from pdfplumber_rs_spark.functions.text import script_detect
+
+    # 2 cyrillic vs 2 latin — tie → 'cyrillic' (alphabetically first)
+    (r,) = script_detect(spark.createDataFrame(
+        [(1, "ab Пр")], "doc_id long, text string")).collect()
+    assert r.n_latin == r.n_cyrillic == 2 and r.dominant == "cyrillic"
