@@ -2724,6 +2724,104 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): corpus = embeddings plus a
+    scaled copy of every vector (vec_id+100000, same direction,
+    cosine 1.0). k-means cells come from the deterministic first-8
+    seed; within each cell every vector with a lower-id neighbor at
+    cosine >= 0.95 is dropped, keep_id = the smallest such neighbor.
+    Every planted copy must flag against its original (same cell by
+    scale invariance); the oracle re-derives assignment and the pair
+    scan in SQL."""
+    from pdfplumber_rs_spark.functions.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return (
+        semdedup(corpus, n_cells=8, threshold=0.95)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"),
+                F.col("keep_id").cast("long").alias("keep_id"))
+        .orderBy("vec_id")
+    )
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_weights): target = the
+    lang='en' slice of documents, raw = all documents, 64 hashed
+    unigram buckets. The oracle rebuilds both smoothed bucket
+    distributions and the per-doc weighted sum independently in SQL —
+    md5 bucketing keeps the feature hash portable."""
+    from pdfplumber_rs_spark.functions.sampling import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return (
+        dsir_weights(raw, target, n_buckets=64)
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                "log_weight")
+        .orderBy("doc_id")
+    )
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (text.sentence_split) over documents:
+    terminator-attached sentences with 0-based positions and word
+    counts. Pattern lives in the Java∩RE2 dialect, so the oracle runs
+    the identical regex."""
+    from pdfplumber_rs_spark.functions.text import sentence_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return sentence_split(docs).orderBy("doc_id", "sent_id")
+
+
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical keys (webclean.surt_key) over four URL shapes
+    per doc_id residue — mixed case, www, ports, multi-label public
+    suffixes, query/fragment junk, trailing slashes. The oracle states
+    the EXPECTED key in closed form per residue (printf), so any
+    regression in scheme/host/path handling hash-mismatches."""
+    from pdfplumber_rs_spark.functions.webclean import surt_key
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod("doc_id", F.lit(7)).cast("int")
+    url = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.format_string(
+            "https://WWW.Host%02d.Example.co.uk:8443/Dir/Page%d/?utm=x&b=2",
+            h, "doc_id"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.format_string(
+            "http://host%02d.example.com/a/b/c/%d#frag", h, "doc_id"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.format_string(
+            "host%02d.example.com/%d/", h, "doc_id"))
+        .otherwise(F.format_string(
+            "https://host%02d.sub.example.org/", h))
+    )
+    return docs.select("doc_id", surt_key(url).alias("surt")) \
+        .orderBy("doc_id")
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (webclean.html_tables) over the
+    table-rich generated corpus: noisy markup (th/td mix, class
+    attributes, <b> wrapping, indentation) must parse back to the
+    closed-form cell grid the oracle regenerates with
+    generate_series. rpos/cpos aliases dodge SQL keywords."""
+    from pdfplumber_rs_spark.functions.webclean import html_tables
+    from pdfplumber_rs_spark.sources.corpus import html_table_corpus_table
+
+    pages = html_table_corpus_table(spark, sf_dir)
+    return (
+        html_tables(pages)
+        .select("doc_id", "table_id", F.col("row").alias("rpos"),
+                F.col("col").alias("cpos"), "cell")
+        .orderBy("doc_id", "table_id", "rpos", "cpos")
+    )
+
+
 def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-metadata extraction (webclean.html_meta) over a head-rich
     corpus with presence gaps, attribute-order flips, and quote-style
@@ -2916,6 +3014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "semdedup": q_semdedup,                 # k-means ε-ball dedup
+        "dsir_weights": q_dsir,                 # hashed importance LM
+        "sentence_split": q_sentence_split,     # terminator segmenter
+        "surt_keys": q_surt_keys,               # archive-sort keys
+        "html_tables": q_html_tables,           # table-cell grid parse
         "html_meta": q_html_meta,               # head metadata parse
         "script_detect": q_script_detect,       # Unicode script mix
         "hash_split": q_hash_split,             # md5 train/val/test
@@ -3224,6 +3327,126 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "semdedup": """
+            with u as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 100000 as vec_id,
+                     list_transform(embedding, x -> x * 2.0) as embedding
+              from embeddings
+            ), cents as (
+              select vec_id as cell, embedding as cvec
+              from embeddings where vec_id < 8
+            ), ascore as (
+              select u.vec_id, c.cell,
+                     round(list_dot_product(u.embedding, c.cvec) /
+                       greatest(sqrt(list_dot_product(u.embedding, u.embedding))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)),
+                         1e-12), 4) as cos_c
+              from u, cents c
+            ), assigned as (
+              select vec_id, cell from (
+                select *, row_number() over (partition by vec_id
+                  order by cos_c desc, cell asc) as rn from ascore)
+              where rn = 1
+            ), v as (
+              select a.vec_id, a.cell, u.embedding
+              from assigned a join u using (vec_id)
+            ), near as (
+              select i.vec_id, i.cell, j.vec_id as j_id
+              from v i join v j
+                on i.cell = j.cell and j.vec_id < i.vec_id
+              where round(list_dot_product(i.embedding, j.embedding) /
+                      greatest(sqrt(list_dot_product(i.embedding, i.embedding))
+                        * sqrt(list_dot_product(j.embedding, j.embedding)),
+                        1e-12), 4) >= 0.95
+            )
+            select vec_id, cast(cell as int) as cell,
+                   cast(min(j_id) as bigint) as keep_id
+            from near group by vec_id, cell order by vec_id""",
+        "dsir_weights": """
+            with rt as (
+              select doc_id, t.tok from documents,
+              lateral unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) as t(tok)
+            ), rb as (
+              select doc_id,
+                cast(('0x' || substr(md5(tok), 1, 8))::bigint % 64 as int)
+                  as b
+              from rt
+            ), rawh as (
+              select b, count(*) as cnt from rb group by b
+            ), rtot as (
+              select cast(sum(cnt) as double) as total from rawh
+            ), tgth as (
+              select b, count(*) as cnt from rb
+              where doc_id in (select doc_id from documents
+                               where lang = 'en')
+              group by b
+            ), ttot as (
+              select cast(coalesce(sum(cnt), 0) as double) as total
+              from tgth
+            ), ratios as (
+              select rawh.b,
+                ln(coalesce((tgth.cnt + 1.0) / (ttot.total + 64.0),
+                            1.0 / (ttot.total + 64.0))
+                   / ((rawh.cnt + 1.0) / (rtot.total + 64.0))) as log_ratio
+              from rawh left join tgth using (b), rtot, ttot
+            ), docb as (
+              select doc_id, b, count(*) as c from rb group by doc_id, b
+            )
+            select doc_id, cast(sum(c) as bigint) as n_tokens,
+                   round(sum(c * log_ratio), 6) as log_weight
+            from docb join ratios using (b)
+            group by doc_id order by doc_id""",
+        "sentence_split": r"""
+            with s as (
+              select doc_id, list_filter(list_transform(
+                regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
+                x -> trim(x)), x -> x <> '') as arr
+              from documents
+            )
+            select doc_id, cast(t.i - 1 as int) as sent_id,
+                   arr[cast(t.i as int)] as sentence,
+                   cast(len(list_filter(regexp_split_to_array(
+                     arr[cast(t.i as int)], '\s+'), x -> x <> ''))
+                     as int) as n_words
+            from s, lateral unnest(generate_series(1, len(arr))) as t(i)
+            order by doc_id, sent_id""",
+        "surt_keys": """
+            select doc_id,
+              case cast(doc_id % 4 as int)
+                when 0 then printf('uk,co,example,host%02d)/dir/page%d',
+                                   cast(doc_id % 7 as int), doc_id)
+                when 1 then printf('com,example,host%02d)/a/b/c/%d',
+                                   cast(doc_id % 7 as int), doc_id)
+                when 2 then printf('com,example,host%02d)/%d',
+                                   cast(doc_id % 7 as int), doc_id)
+                else printf('org,example,sub,host%02d)',
+                            cast(doc_id % 7 as int))
+              end as surt
+            from documents order by doc_id""",
+        "html_tables": """
+            with t as (
+              select doc_id,
+                     case when doc_id % 5 = 0 then 2 else 1 end as nt
+              from documents
+            ), tt as (
+              select doc_id, cast(i.i - 1 as int) as table_id
+              from t, lateral unnest(generate_series(1, nt)) as i(i)
+            ), rr as (
+              select doc_id, table_id, cast(r.r - 1 as int) as rpos
+              from tt, lateral unnest(generate_series(1,
+                2 + cast((doc_id + table_id) % 3 as int))) as r(r)
+            ), cc as (
+              select doc_id, table_id, rpos, cast(c.c - 1 as int) as cpos
+              from rr, lateral unnest(generate_series(1,
+                2 + cast((doc_id + table_id) % 2 as int))) as c(c)
+            )
+            select doc_id, table_id, rpos, cpos,
+                   printf('t%dr%dc%dd%d', table_id, rpos, cpos, doc_id)
+                     as cell
+            from cc order by doc_id, table_id, rpos, cpos""",
         "html_meta": """
             with w as (
               select doc_id, lang,

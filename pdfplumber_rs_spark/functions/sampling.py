@@ -207,3 +207,72 @@ def shard_by_token_budget(docs: DataFrame, budget: int,
         F.floor((F.col("cum_tokens") - F.col("n_tokens"))
                 / F.lit(budget)).cast("long").alias("shard"),
     )
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 64,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how target-like it looks under
+    hashed unigram bag-of-words language models, the importance-
+    resampling signal that selects pretraining data matching a
+    high-quality target (Wikipedia/books) distribution.
+
+    Features are hashed token buckets (md5 → bucket, SQL-portable);
+    both corpora get add-one-smoothed bucket distributions p_target /
+    p_raw, and a document's weight is
+
+        log_weight = Σ_buckets count_doc(b) · log(p_target(b)/p_raw(b))
+
+    Returns (doc_id, n_tokens, log_weight) with log_weight rounded to
+    6dp; resample by log_weight + Gumbel noise downstream.
+
+    Scale shape: one token explode feeds (a) the per-corpus bucket
+    histograms — n_buckets rows each, aggregated map-side then
+    broadcast — and (b) the per-(doc, bucket) counts whose only
+    shuffle key is doc_id after a map-side partial agg. The log-ratio
+    table join is a broadcast; nothing quadratic, nothing collected.
+    The float sum is over ≤ n_buckets grouped terms per doc, so 6dp
+    rounding is far outside reassociation error."""
+    def toks(df):
+        t = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                     lambda x: x != "")
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.explode(t).alias("tok"))
+
+    def bucket(col):
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets)).cast("int")
+
+    raw_tok = toks(raw).withColumn("b", bucket(F.col("tok")))
+    tgt_tok = toks(target).withColumn("b", bucket(F.col("tok")))
+
+    def dist(tok_df, p_name):
+        h = tok_df.groupBy("b").agg(F.count("*").alias("cnt"))
+        total = h.agg(F.sum("cnt").cast("double").alias("total"))
+        return h.crossJoin(F.broadcast(total)).select(
+            "b",
+            ((F.col("cnt") + 1.0)
+             / (F.col("total") + float(n_buckets))).alias(p_name))
+
+    # left-join raw buckets onto the target distribution: buckets the
+    # target never saw still get smoothed mass 1/(total+n_buckets)
+    p_raw = dist(raw_tok, "p_raw")
+    p_tgt = dist(tgt_tok, "p_tgt")
+    tgt_total = tgt_tok.groupBy().agg(
+        F.sum(F.lit(1)).cast("double").alias("tgt_total"))
+    ratios = (p_raw.join(p_tgt, "b", "left")
+              .crossJoin(F.broadcast(tgt_total))
+              .select(
+                  "b",
+                  F.log(F.coalesce(
+                      F.col("p_tgt"),
+                      1.0 / (F.col("tgt_total") + float(n_buckets)))
+                      / F.col("p_raw")).alias("log_ratio")))
+    doc_b = raw_tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (doc_b.join(F.broadcast(ratios), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.round(F.sum(F.col("c") * F.col("log_ratio")), 6)
+                 .alias("log_weight")))

@@ -275,6 +275,47 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, n_cells: int = 8,
             .filter(F.col("rank") <= k))
 
 
+def semdedup(corpus: DataFrame, n_cells: int = 8,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             train_iters: int = 0) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and dropping,
+    within each cluster, every member of an ε-ball but one. The
+    deterministic keep rule here is lowest-id-wins: vector i is
+    dropped iff some j < i in the SAME cluster has cosine(i, j) ≥
+    threshold. Returns the drop list (vec_id, cell, keep_id) with
+    keep_id = the smallest such j (the surviving exemplar), ordered
+    for stable comparison.
+
+    Scale shape: clustering reuses the IVF coarse path — broadcast
+    centroids (seed = first n_cells ids when train_iters=0, else
+    Lloyd-refined), map-side max_by assignment, then ONE shuffle on
+    the cell key for the within-cluster self-join. The paper's whole
+    point is that k grows with the corpus so clusters stay small
+    (N/k ≈ 10⁴ at their scale); the in-cluster pair set is O(k·(N/k)²)
+    = O(N²/k), the knob a 10^12-row run turns by raising n_cells.
+    Unlike embedding_dedup (LSH, representative-only, recall-bounded),
+    this is the exact-within-cluster variant the paper measures."""
+    cents = (ivf_train_codebook(corpus, n_cells, train_iters,
+                                id_col, vec_col)
+             if train_iters > 0 else
+             corpus.filter(F.col(id_col) < n_cells).select(
+                 F.col(id_col).cast("int").alias("cell"),
+                 F.col(vec_col).alias("cvec")))
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    v = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec")).join(assigned, "vec_id")
+    left = v.select(F.col("cell"), F.col("vec_id"), F.col("vec"))
+    right = v.select(F.col("cell"), F.col("vec_id").alias("j_id"),
+                     F.col("vec").alias("j_vec"))
+    pairs = left.join(right, "cell").filter(F.col("j_id") < F.col("vec_id"))
+    near = pairs.filter(cosine(F.col("vec"), F.col("j_vec")) >= threshold)
+    return (near.groupBy("vec_id", "cell")
+            .agg(F.min("j_id").alias("keep_id"))
+            .orderBy("vec_id"))
+
+
 def _multi_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int,
                    id_col: str, vec_col: str, out_id: str) -> DataFrame:
     """(out_id, table, bucket) memberships over n_tables independent

@@ -790,3 +790,39 @@ def zipf_fit(df, top_n: int = 100, id_col: str = "doc_id",
         F.round(F.regr_intercept(F.log("freq"), F.log("r")), 6)
         .alias("zipf_intercept"),
     )
+
+
+# One "sentence" = a run of non-terminators plus its trailing run of
+# terminators. No lookarounds, so the identical pattern runs on Java
+# (Spark) and RE2 (DuckDB); an unmatched leading terminator run
+# (ellipsis openers) is skipped identically by both engines.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentence_split(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Rule-based sentence segmentation — the pass before per-sentence
+    dedup, contamination checks, and translation-pair mining: cut text
+    at sentence terminators (. ! ?), keeping the terminators with
+    their sentence, and emit one row per non-blank sentence:
+
+      (doc_id, sent_id, sentence, n_words)
+
+    sent_id is the 0-based position within the document; sentence is
+    whitespace-trimmed. A pure codegen regexp_extract_all + posexplode
+    — per-row work linear in text length, no shuffle introduced, so it
+    pipelines into whatever scan feeds it at any corpus size."""
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(SENTENCE_PATTERN), F.lit(0)),
+            lambda s: F.trim(s)),
+        lambda s: s != "")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sents).alias("sent_id", "sentence"),
+    ).select(
+        "doc_id", "sent_id", "sentence",
+        F.size(F.filter(F.split(F.col("sentence"), r"\s+"),
+                        lambda t: t != "")).alias("n_words"),
+    )

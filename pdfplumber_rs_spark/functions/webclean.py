@@ -606,3 +606,71 @@ def parse_sitemaps(df: DataFrame, host_col: str = "host",
             yield pd.DataFrame(out, columns=[f.name for f in schema])
 
     return df.select(host_col, txt_col).mapInPandas(parse, schema)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the archive-
+    native canonical form (Heritrix / OpenWayback / CDX convention):
+    lowercase, scheme and leading www. dropped, host labels reversed
+    and comma-joined, then ')' and the path with query/fragment and
+    trailing slashes stripped:
+
+        https://WWW.News.Example.co.uk:8080/World/s1/?id=2
+            → uk,co,example,news)/world/s1
+
+    Same-site URLs become lexicographic neighbors, which is the whole
+    point: a sort or range-partition on the SURT key co-locates a
+    site's pages in the same partitions/files, so per-site crawl diffs
+    and CDX lookups touch one file range instead of scattering. Pure
+    codegen string ops — no shuffle, no Python."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(u, r"^([^/]*)", 1)
+    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_replace(u, r"^[^/]*", "")
+    path = F.regexp_replace(F.regexp_replace(path, r"[?#].*$", ""),
+                            r"/+$", "")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def html_tables(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML table extraction — the tabular half of main-content
+    extraction (the web-page mirror of the PDF lattice/stream table
+    surface): every <table> in the page becomes (doc_id, table_id,
+    row, col, cell) rows, 0-indexed, with <th> and <td> cells treated
+    alike, inner markup stripped, and text whitespace-trimmed.
+
+    Three nested regexp_extract_all + posexplode stages (tables →
+    rows → cells), all JVM-side codegen — per-row work linear in page
+    size, no shuffle, so it pipelines straight out of the scan at any
+    corpus size. Tolerates attributes on any tag, arbitrary
+    inter-tag whitespace, and mixed th/td rows; built for the
+    well-formed-markup common case (a malformed page yields fewer
+    rows, never an error)."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    keep = [c for c in pages.columns if c != html_col]
+    tables = pages.select(
+        *keep,
+        F.posexplode(
+            F.regexp_extract_all(h, F.lit(r"(?is)<table[^>]*>(.*?)</table>"),
+                                 F.lit(1))).alias("table_id", "tbody"),
+    )
+    rows = tables.select(
+        *keep, "table_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbody"),
+                                 F.lit(r"(?is)<tr[^>]*>(.*?)</tr>"),
+                                 F.lit(1))).alias("row", "trow"),
+    )
+    return rows.select(
+        *keep, "table_id", "row",
+        F.posexplode(
+            F.transform(
+                F.regexp_extract_all(F.col("trow"),
+                                     F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"),
+                                     F.lit(1)),
+                lambda c: F.trim(F.regexp_replace(c, r"<[^>]*>", "")))
+        ).alias("col", "cell"),
+    )

@@ -1172,3 +1172,55 @@ def markdown_corpus_table(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text")
     return _spread(docs).mapInArrow(_markdown_gen_kernel, CHROME_CORPUS_SCHEMA)
+
+
+def _html_table_gen_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Table-rich pages for the html_tables surface. Per doc:
+    T = 2 if doc_id%5==0 else 1 tables; table t has R = 2+(doc_id+t)%3
+    rows x C = 2+(doc_id+t)%2 cols; cell (r, c) of table t carries the
+    closed-form text 't{t}r{r}c{c}d{doc_id}'. Markup noise the parser
+    must see through: header row uses <th> on even doc_ids, class
+    attributes on <table>/odd <tr>, newlines+indent between tags, and
+    <b> wrapping on cells where (r+c)%3==0. The oracle regenerates
+    every cell with generate_series — nothing is shared with the
+    parser."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(CHROME_CORPUS_SCHEMA)
+    for batch in batches:
+        d = batch.to_pydict()
+        out = []
+        for doc_id in d["doc_id"]:
+            doc_id = int(doc_id)
+            n_tables = 2 if doc_id % 5 == 0 else 1
+            parts = ["<html><body>\n<p>intro text</p>\n"]
+            for t in range(n_tables):
+                rows_n = 2 + (doc_id + t) % 3
+                cols_n = 2 + (doc_id + t) % 2
+                parts.append('<table class="data">\n')
+                for r in range(rows_n):
+                    tr = '<tr class="odd">' if r % 2 == 1 else "<tr>"
+                    parts.append(f"  {tr}\n")
+                    tag = "th" if (r == 0 and doc_id % 2 == 0) else "td"
+                    for c in range(cols_n):
+                        cell = f"t{t}r{r}c{c}d{doc_id}"
+                        if (r + c) % 3 == 0:
+                            cell = f"<b>{cell}</b>"
+                        parts.append(f"    <{tag}> {cell} </{tag}>\n")
+                    parts.append("  </tr>\n")
+                parts.append("</table>\n<p>between tables</p>\n")
+            parts.append("</body></html>")
+            out.append({
+                "doc_id": doc_id,
+                "url": (f"https://host{doc_id % 7:02d}.example.com/"
+                        f"{doc_id:08d}.html"),
+                "html": "".join(parts).encode("utf-8"),
+            })
+        yield pa.RecordBatch.from_pylist(out, schema=schema)
+
+
+@cached_builder
+def html_table_corpus_table(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return _spread(docs).mapInArrow(_html_table_gen_kernel,
+                                    CHROME_CORPUS_SCHEMA)
