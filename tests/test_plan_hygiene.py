@@ -36,6 +36,9 @@ ALLOW_BNLJ = {
     "hits_hosts",
     # r4c: tf-idf idf derivation crossJoins the 1-row n_docs stats
     "tfidf_pairs",
+    # r4d: semdedup reuses ivf_assign's n_cells-row centroid broadcast
+    # crossJoin; dsir crossJoins the 1-row per-corpus token totals
+    "semdedup", "dsir_weights",
 }
 
 
