@@ -227,12 +227,14 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 64,
     Returns (doc_id, n_tokens, log_weight) with log_weight rounded to
     6dp; resample by log_weight + Gumbel noise downstream.
 
-    Scale shape: one token explode feeds (a) the per-corpus bucket
-    histograms — n_buckets rows each, aggregated map-side then
-    broadcast — and (b) the per-(doc, bucket) counts whose only
-    shuffle key is doc_id after a map-side partial agg. The log-ratio
-    table join is a broadcast; nothing quadratic, nothing collected.
-    The float sum is over ≤ n_buckets grouped terms per doc, so 6dp
+    Scale shape: the raw corpus is exploded ONCE into per-(doc,
+    bucket) counts (≤ n_buckets rows per doc — the compact feature
+    representation), which is persisted and feeds BOTH the raw bucket
+    histogram (sum over it, n_buckets rows) and the per-doc weighted
+    sum; only the (typically much smaller) target corpus gets its own
+    explode. Histograms and totals ride broadcasts; the only
+    corpus-sized shuffle key is doc_id with map-side partials. The
+    float sum is over ≤ n_buckets grouped terms per doc, so 6dp
     rounding is far outside reassociation error."""
     def toks(df):
         t = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
@@ -245,11 +247,12 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 64,
             F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
             F.lit(n_buckets)).cast("int")
 
-    raw_tok = toks(raw).withColumn("b", bucket(F.col("tok")))
     tgt_tok = toks(target).withColumn("b", bucket(F.col("tok")))
+    doc_b = (toks(raw).withColumn("b", bucket(F.col("tok")))
+             .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+             .persist())
 
-    def dist(tok_df, p_name):
-        h = tok_df.groupBy("b").agg(F.count("*").alias("cnt"))
+    def dist(h, p_name):
         total = h.agg(F.sum("cnt").cast("double").alias("total"))
         return h.crossJoin(F.broadcast(total)).select(
             "b",
@@ -258,8 +261,9 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 64,
 
     # left-join raw buckets onto the target distribution: buckets the
     # target never saw still get smoothed mass 1/(total+n_buckets)
-    p_raw = dist(raw_tok, "p_raw")
-    p_tgt = dist(tgt_tok, "p_tgt")
+    p_raw = dist(doc_b.groupBy("b").agg(F.sum("c").alias("cnt")), "p_raw")
+    p_tgt = dist(tgt_tok.groupBy("b").agg(F.count("*").alias("cnt")),
+                 "p_tgt")
     tgt_total = tgt_tok.groupBy().agg(
         F.sum(F.lit(1)).cast("double").alias("tgt_total"))
     ratios = (p_raw.join(p_tgt, "b", "left")
@@ -270,7 +274,6 @@ def dsir_weights(raw: DataFrame, target: DataFrame, n_buckets: int = 64,
                       F.col("p_tgt"),
                       1.0 / (F.col("tgt_total") + float(n_buckets)))
                       / F.col("p_raw")).alias("log_ratio")))
-    doc_b = raw_tok.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     return (doc_b.join(F.broadcast(ratios), "b")
             .groupBy("doc_id")
             .agg(F.sum("c").alias("n_tokens"),

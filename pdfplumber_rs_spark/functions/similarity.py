@@ -304,8 +304,11 @@ def semdedup(corpus: DataFrame, n_cells: int = 8,
                  F.col(id_col).cast("int").alias("cell"),
                  F.col(vec_col).alias("cvec")))
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # both sides of the in-cell self-join read the assigned table;
+    # persist so the centroid-scoring pass runs once, not twice
     v = corpus.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec")).join(assigned, "vec_id")
+                      F.col(vec_col).alias("vec")).join(assigned, "vec_id") \
+        .persist()
     left = v.select(F.col("cell"), F.col("vec_id"), F.col("vec"))
     right = v.select(F.col("cell"), F.col("vec_id").alias("j_id"),
                      F.col("vec").alias("j_vec"))
