@@ -2724,6 +2724,76 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (timeseries.event_spikes) over events with
+    planted bursts: every event in an hour whose hour-of-day is 5
+    (epoch arithmetic, timezone-proof) is replicated 4x, so those
+    buckets must flag against the trailing-3-hour baseline. The
+    oracle rebuilds buckets, the bounded window average, and the
+    flag rule in SQL."""
+    from pdfplumber_rs_spark.functions.timeseries import event_spikes
+
+    ev = _read(spark, sf_dir, "events").select("ts", "event_type")
+    rep = F.when(
+        F.pmod(F.floor(F.unix_timestamp("ts") / 3600), F.lit(24)) == 5,
+        F.lit(4)).otherwise(F.lit(1))
+    dec = ev.select(
+        "ts", "event_type",
+        F.explode(F.sequence(F.lit(1), rep)).alias("_r"))
+    return (event_spikes(dec, trailing=3, factor=2.0)
+            .orderBy("event_type", "hour_ts"))
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (dedup.containment_pairs) over
+    documents — the quote/subset detector: pairs within the id window
+    where either direction's distinct-bigram containment reaches 0.2.
+    The oracle recomputes distinct gram sets, the shared-gram
+    intersection, and both ratios in SQL."""
+    from pdfplumber_rs_spark.functions.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=2, window=10, threshold=0.2) \
+        .orderBy("id_a", "id_b")
+
+
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (dedup.levenshtein_pairs) over
+    synthesized titles: groups of three variants (clean / one-char
+    typo after the block prefix / plural) that must pair at dist 1-2
+    under 4-char prefix blocking. The oracle runs DuckDB's own
+    levenshtein over the same titles — two independent DP
+    implementations that must agree."""
+    from pdfplumber_rs_spark.functions.dedup import levenshtein_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / 3).cast("long")
+    title = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0,
+               F.format_string("t%d document alpha beta", g))
+        .when(F.pmod("doc_id", F.lit(3)) == 1,
+              F.format_string("t%d documemt alpha beta", g))
+        .otherwise(F.format_string("t%d document alpha betas", g))
+    )
+    titled = docs.select("doc_id", title.alias("title"))
+    return levenshtein_pairs(titled, max_dist=2, prefix=4) \
+        .orderBy("id_a", "id_b")
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (text.oov_rate): top-200 corpus
+    vocabulary (count desc, token asc — a deterministic cut), per-doc
+    out-of-vocabulary occurrence fraction. The oracle re-derives the
+    vocabulary and rates in SQL."""
+    from pdfplumber_rs_spark.functions.text import oov_rate
+
+    docs = _read(spark, sf_dir, "documents")
+    return (oov_rate(docs, vocab_size=200)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_oov").cast("long").alias("n_oov"), "oov_rate")
+            .orderBy("doc_id"))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (similarity.semdedup): corpus = embeddings plus a
     scaled copy of every vector (vec_id+100000, same direction,
@@ -3014,6 +3084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "event_spikes": q_event_spikes,         # hourly burst flags
+        "containment_pairs": q_containment,     # quote/subset detector
+        "levenshtein_titles": q_levenshtein,    # blocked edit distance
+        "oov_rate": q_oov_rate,                 # vocab coverage audit
         "semdedup": q_semdedup,                 # k-means ε-ball dedup
         "dsir_weights": q_dsir,                 # hashed importance LM
         "sentence_split": q_sentence_split,     # terminator segmenter
@@ -3327,6 +3401,106 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "event_spikes": """
+            with dec as (
+              select ts, event_type
+              from events, lateral unnest(generate_series(1,
+                case when (epoch(ts)::bigint // 3600) % 24 = 5
+                     then 4 else 1 end)) as r(i)
+            ), hourly as (
+              select event_type, date_trunc('hour', ts) as hour,
+                     count(*) as cnt
+              from dec group by 1, 2
+            ), win as (
+              select event_type,
+                     cast(epoch(hour) as bigint) as hour_ts, cnt,
+                     round(avg(cnt) over (partition by event_type
+                       order by hour
+                       rows between 3 preceding and 1 preceding), 6)
+                       as trail_avg
+              from hourly
+            )
+            select event_type, hour_ts, cnt, trail_avg,
+                   coalesce(cnt >= trail_avg * 2.0, false) as spike
+            from win order by event_type, hour_ts""",
+        "containment_pairs": """
+            with toks as (
+              select d.doc_id, d.lang,
+                     list_filter(regexp_split_to_array(lower(d.text),
+                       '[^a-z0-9]+'), x -> x <> '') as l
+              from documents d
+            ), grams as (
+              select distinct doc_id, lang,
+                array_to_string(l[cast(t.i as int):cast(t.i as int)+1],
+                  ' ') as gram
+              from toks, lateral unnest(generate_series(1, len(l) - 1))
+                as t(i)
+              where len(l) >= 2
+            ), gs as (
+              select doc_id, lang, count(*) as ng
+              from grams group by 1, 2
+            ), inter as (
+              select a.doc_id as id_a, b.doc_id as id_b,
+                     count(*) as shared
+              from grams a join grams b
+                on a.gram = b.gram and a.lang = b.lang
+               and b.doc_id > a.doc_id and b.doc_id <= a.doc_id + 10
+              group by 1, 2
+            )
+            select id_a, id_b,
+                   round(shared / ga.ng, 6) as cont_a_in_b,
+                   round(shared / gb.ng, 6) as cont_b_in_a
+            from inter
+            join gs ga on ga.doc_id = id_a
+            join gs gb on gb.doc_id = id_b
+            where round(shared / ga.ng, 6) >= 0.2
+               or round(shared / gb.ng, 6) >= 0.2
+            order by id_a, id_b""",
+        "levenshtein_titles": """
+            with t as (
+              select doc_id,
+                case cast(doc_id % 3 as int)
+                  when 0 then printf('t%d document alpha beta',
+                                     doc_id // 3)
+                  when 1 then printf('t%d documemt alpha beta',
+                                     doc_id // 3)
+                  else printf('t%d document alpha betas', doc_id // 3)
+                end as s
+              from documents
+            ), b as (
+              select doc_id, s, substr(s, 1, 4) as blk
+              from t where length(s) >= 4
+            )
+            select a.doc_id as id_a, c.doc_id as id_b,
+                   cast(levenshtein(a.s, c.s) as int) as dist
+            from b a join b c on a.blk = c.blk and c.doc_id > a.doc_id
+            where abs(length(a.s) - length(c.s)) <= 2
+              and levenshtein(a.s, c.s) <= 2
+            order by id_a, id_b""",
+        "oov_rate": """
+            with toks as (
+              select doc_id, t.tok from documents,
+              lateral unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) as t(tok)
+            ), dt as (
+              select doc_id, tok, count(*) as c
+              from toks group by 1, 2
+            ), vocab as (
+              select tok from (
+                select tok, sum(c) as cnt from dt group by tok
+                order by cnt desc, tok asc limit 200)
+            ), agg as (
+              select dt.doc_id,
+                     sum(dt.c) as n_tokens,
+                     sum(case when v.tok is null then dt.c else 0 end)
+                       as n_oov
+              from dt left join vocab v on dt.tok = v.tok
+              group by dt.doc_id
+            )
+            select doc_id, cast(n_tokens as bigint) as n_tokens,
+                   cast(n_oov as bigint) as n_oov,
+                   round(n_oov / n_tokens, 6) as oov_rate
+            from agg order by doc_id""",
         "semdedup": """
             with u as (
               select vec_id, embedding from embeddings

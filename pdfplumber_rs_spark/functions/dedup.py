@@ -572,3 +572,89 @@ def line_dedup(df: DataFrame, line_tokens: int = 10,
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def containment_pairs(df: DataFrame, n: int = 3, window: int = 10,
+                      threshold: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      key_col: str = "lang") -> DataFrame:
+    """Asymmetric n-gram containment within a bounded candidate
+    window — the quote/subset detector Jaccard misses: a short doc
+    wholly quoted inside a long one has tiny Jaccard (union is the
+    long doc) but containment ≈ 1. For each candidate pair (a, b),
+    with G(x) the distinct word n-gram set:
+
+        cont_a_in_b = |G(a) ∩ G(b)| / |G(a)|   (and symmetrically)
+
+    Pairs survive when EITHER direction reaches the threshold.
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a), 6dp, id_a < id_b;
+    docs with no n-gram (fewer than n tokens) never pair.
+
+    Scale shape is ngram_jaccard_pairs': the join key is the
+    high-cardinality id bucket floor(id/window) (side a fans out to
+    two buckets), never the low-cardinality key_col, so the shuffle
+    spreads uniformly; key equality and the id-window bound are
+    post-join filters."""
+    from .webclean import word_ngrams
+
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    bucket = F.floor(F.col("id") / window)
+    a = t.select(
+        "id", "k", "grams",
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    ).alias("a")
+    b = t.withColumn("bucket", bucket).alias("b")
+    pairs = a.join(b, "bucket").filter(
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("b.id") > F.col("a.id"))
+        & (F.col("b.id") <= F.col("a.id") + window)
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(inter / F.size(F.col("a.grams")), 6).alias("cont_a_in_b"),
+        F.round(inter / F.size(F.col("b.grams")), 6).alias("cont_b_in_a"),
+    )
+    return out.filter((F.col("cont_a_in_b") >= threshold)
+                      | (F.col("cont_b_in_a") >= threshold))
+
+
+def levenshtein_pairs(df: DataFrame, max_dist: int = 2, prefix: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "title") -> DataFrame:
+    """Edit-distance near-duplicate pairs for SHORT strings (titles,
+    product names, author fields) with prefix blocking: candidates
+    share the first `prefix` characters of the lowercase-trimmed
+    string, and a pair is emitted when levenshtein ≤ max_dist.
+    Returns (id_a, id_b, dist), id_a < id_b.
+
+    Blocking is the standard recall trade: a typo inside the first
+    `prefix` characters escapes the block (callers needing full
+    recall union several blocking passes — e.g. prefix + suffix).
+    The cheap |len(a)-len(b)| ≤ max_dist guard runs BEFORE the DP so
+    the quadratic-per-pair cost only lands on length-compatible
+    candidates; the block key is a string prefix (high cardinality on
+    real title corpora), so the self-join shuffle spreads. Never run
+    this on full documents — edit distance is O(len²) per pair; for
+    documents use minhash/simhash/containment."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.trim(F.col(text_col))).alias("s"),
+    ).filter(F.length("s") >= prefix)
+    t = t.withColumn("block", F.substring("s", 1, prefix))
+    a = t.alias("a")
+    b = t.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+                 F.col("block")).alias("b")
+    pairs = a.join(b, "block").filter(
+        (F.col("id_b") > F.col("id"))
+        & (F.abs(F.length("s") - F.length("s_b")) <= max_dist)
+    )
+    return (pairs.select(
+        F.col("id").alias("id_a"), "id_b",
+        F.levenshtein(F.col("s"), F.col("s_b")).alias("dist"))
+        .filter(F.col("dist") <= max_dist))

@@ -826,3 +826,37 @@ def sentence_split(df, id_col: str = "doc_id", text_col: str = "text"):
         F.size(F.filter(F.split(F.col("sentence"), r"\s+"),
                         lambda t: t != "")).alias("n_words"),
     )
+
+
+def oov_rate(df, vocab_size: int = 500, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Tokenizer-coverage audit: build the top-`vocab_size` corpus
+    vocabulary (by occurrence count, ties → lexicographically first
+    token, so the cut is deterministic) and report, per document, the
+    fraction of token OCCURRENCES falling outside it:
+
+      (doc_id, n_tokens, n_oov, oov_rate)   oov_rate 6dp
+
+    High-OOV documents are the ones a fixed-vocab tokenizer shreds
+    into bytes — the standard pre-tokenizer-training health check.
+
+    Scale shape: one token explode feeds a vocab-sized count agg; the
+    top-V cut is orderBy+limit, which compiles to TakeOrderedAndProject
+    (per-partition heaps, no global sort), and the resulting V-row
+    vocab broadcasts back onto per-(doc, token) counts — the only
+    corpus-keyed shuffle is the final doc_id aggregation."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = (doc_tok.groupBy("tok").agg(F.sum("c").alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+             .select("tok", F.lit(True).alias("in_vocab")))
+    return (doc_tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), F.col("c"))
+                       .otherwise(F.lit(0))).alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
