@@ -2724,6 +2724,76 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots compliance (webclean.meta_robots): pages decorated
+    per doc_id residue — absent tag / noindex / flipped-attribute
+    'nofollow, noindex' / 'index, follow' — with quote style varying
+    by parity. The oracle states the expected booleans per residue in
+    closed form; substring directives (nofollowme) never match."""
+    from pdfplumber_rs_spark.functions.webclean import meta_robots
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    q = F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit('"')) \
+        .otherwise(F.lit("'"))
+    r = F.pmod("doc_id", F.lit(4))
+    tag = (
+        F.when(r == 1, F.concat(F.lit("<meta name="), q, F.lit("robots"),
+                                q, F.lit(" content="), q,
+                                F.lit("noindex"), q, F.lit(">")))
+        .when(r == 2, F.concat(F.lit("<meta content="), q,
+                               F.lit(" nofollow, noindex "), q,
+                               F.lit(" name="), q, F.lit("robots"), q,
+                               F.lit(">")))
+        .when(r == 3, F.concat(F.lit("<meta name="), q, F.lit("robots"),
+                               q, F.lit(" content="), q,
+                               F.lit("index, follow"), q, F.lit(">")))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head>"), tag,
+                 F.lit("<title>t</title></head></html>")).alias("html"))
+    return meta_robots(pages).orderBy("doc_id")
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl diff (webclean.crawl_diff): old snapshot =
+    every doc; new snapshot drops doc_id%7==0 (removed), rewrites
+    content for doc_id%5==0 (changed digest), and adds fresh URLs for
+    doc_id%11==0. Unchanged URLs must NOT appear. The oracle states
+    the classification in closed form as a residue-union."""
+    from pdfplumber_rs_spark.functions.webclean import crawl_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.pmod("doc_id", F.lit(7)).cast("int")
+    url = F.format_string("https://host%02d.example.com/%08d", h, "doc_id")
+    old = docs.select(url.alias("url"), F.md5("text").alias("digest"))
+    base_new = docs.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
+        url.alias("url"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.md5(F.concat("text", F.lit("v2"))))
+        .otherwise(F.md5("text")).alias("digest"))
+    added = docs.filter(F.pmod("doc_id", F.lit(11)) == 0).select(
+        F.format_string("https://host%02d.example.com/%08d", h,
+                        F.col("doc_id") + 100000).alias("url"),
+        F.md5(F.concat(F.lit("new"), F.col("doc_id").cast("string")))
+        .alias("digest"))
+    return crawl_diff(old, base_new.unionByName(added)).orderBy("url")
+
+
+def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift KL contributions (text.kl_drift): slice A = even
+    doc_ids, slice B = odd — the top-20 tokens that drifted toward A
+    under add-one smoothing over the union vocabulary. Oracle rebuilds
+    both distributions and the contribution formula in SQL."""
+    from pdfplumber_rs_spark.functions.text import kl_drift
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    b = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    return kl_drift(a, b, top_n=20)
+
+
 def q_event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection (timeseries.event_spikes) over events with
     planted bursts: every event in an hour whose hour-of-day is 5
@@ -3084,6 +3154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "meta_robots": q_meta_robots,           # noindex/nofollow parse
+        "crawl_diff": q_crawl_diff,             # snapshot add/chg/del
+        "kl_drift": q_kl_drift,                 # corpus drift monitor
         "event_spikes": q_event_spikes,         # hourly burst flags
         "containment_pairs": q_containment,     # quote/subset detector
         "levenshtein_titles": q_levenshtein,    # blocked edit distance
@@ -3401,6 +3474,61 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "meta_robots": """
+            select doc_id,
+              cast(doc_id % 4 as int) in (1, 2) as noindex,
+              cast(doc_id % 4 as int) = 2 as nofollow
+            from documents order by doc_id""",
+        "crawl_diff": """
+            with base as (
+              select doc_id, text,
+                printf('https://host%02d.example.com/%08d',
+                       cast(doc_id % 7 as int), doc_id) as url
+              from documents
+            )
+            select url, 'removed' as status, md5(text) as old_digest,
+                   cast(null as varchar) as new_digest
+            from base where doc_id % 7 = 0
+            union all
+            select url, 'changed', md5(text), md5(text || 'v2')
+            from base where doc_id % 7 <> 0 and doc_id % 5 = 0
+            union all
+            select printf('https://host%02d.example.com/%08d',
+                          cast(doc_id % 7 as int), doc_id + 100000),
+                   'added', cast(null as varchar),
+                   md5('new' || cast(doc_id as varchar))
+            from base where doc_id % 11 = 0
+            order by url""",
+        "kl_drift": """
+            with toks as (
+              select doc_id, t.tok from documents,
+              lateral unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x <> '')) as t(tok)
+            ), ca as (
+              select tok, count(*) as cnt_a from toks
+              where doc_id % 2 = 0 group by tok
+            ), cb as (
+              select tok, count(*) as cnt_b from toks
+              where doc_id % 2 = 1 group by tok
+            ), u as (
+              select tok, coalesce(cnt_a, 0) as cnt_a,
+                     coalesce(cnt_b, 0) as cnt_b
+              from ca full join cb using (tok)
+            ), stats as (
+              select cast(sum(cnt_a) as double) as tot_a,
+                     cast(sum(cnt_b) as double) as tot_b,
+                     cast(count(*) as double) as v
+              from u
+            ), scored as (
+              select tok, cnt_a, cnt_b,
+                round(((cnt_a + 1.0) / (tot_a + v))
+                  * ln(((cnt_a + 1.0) / (tot_a + v))
+                       / ((cnt_b + 1.0) / (tot_b + v))), 6) as contrib
+              from u, stats
+            )
+            select tok, cnt_a, cnt_b, contrib from scored
+            where contrib > 0
+            order by contrib desc, tok asc limit 20""",
         "event_spikes": """
             with dec as (
               select ts, event_type

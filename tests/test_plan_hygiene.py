@@ -39,6 +39,8 @@ ALLOW_BNLJ = {
     # r4d: semdedup reuses ivf_assign's n_cells-row centroid broadcast
     # crossJoin; dsir crossJoins the 1-row per-corpus token totals
     "semdedup", "dsir_weights",
+    # r4f: kl_drift crossJoins the 1-row totals/vocab-size stats
+    "kl_drift",
 }
 
 
