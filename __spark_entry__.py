@@ -2724,6 +2724,88 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS item extraction (webclean.parse_feeds) over per-doc
+    generated feeds (1-3 items, deterministic title/link presence
+    gaps, channel-level title chrome that must not leak). Oracle
+    regenerates the expected item grid with generate_series."""
+    from pdfplumber_rs_spark.functions.webclean import parse_feeds
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = (F.pmod("doc_id", F.lit(3)) + 1).cast("int")
+    did = F.col("doc_id")
+    items = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.lit("<item>"),
+            F.when(F.pmod(did + i, F.lit(5)) != 0,
+                   F.format_string("<title>Post %d-%d</title>", did, i))
+            .otherwise(F.lit("")),
+            F.when(F.pmod(did + i, F.lit(7)) != 0,
+                   F.format_string(
+                       "<link>https://h%d.example.com/post/%d</link>",
+                       did, i))
+            .otherwise(F.lit("")),
+            F.lit("</item>")))
+    feeds = docs.select(
+        F.format_string("h%d.example.com", did).alias("host"),
+        F.concat(F.lit("<rss><channel><title>chan</title>\n"),
+                 F.array_join(items, "\n"),
+                 F.lit("\n</channel></rss>")).alias("xml"))
+    return parse_feeds(feeds).orderBy("host", "item_rank")
+
+
+def q_url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier triage (webclean.url_classify) over six URL shapes per
+    doc_id residue — asset, office doc, query- and path-pagination,
+    deep query page, bare page. Oracle states every flag and the path
+    depth in closed form per residue."""
+    from pdfplumber_rs_spark.functions.webclean import url_classify
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod("doc_id", F.lit(7)).cast("int")
+    r = F.pmod("doc_id", F.lit(6))
+    url = (
+        F.when(r == 0, F.format_string(
+            "https://host%02d.example.com/img/pic%d.png", h, "doc_id"))
+        .when(r == 1, F.format_string(
+            "https://host%02d.example.com/files/r%d.pdf", h, "doc_id"))
+        .when(r == 2, F.format_string(
+            "https://host%02d.example.com/list?page=%d", h,
+            F.pmod("doc_id", F.lit(20))))
+        .when(r == 3, F.format_string(
+            "https://host%02d.example.com/blog/page/%d", h,
+            F.pmod("doc_id", F.lit(20))))
+        .when(r == 4, F.format_string(
+            "https://host%02d.example.com/a/b/c?q=%d", h, "doc_id"))
+        .otherwise(F.format_string(
+            "https://host%02d.example.com/about", h))
+    )
+    flags = url_classify(url)
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in flags.items()]).orderBy("doc_id")
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-URL Bloom filter (webclean.bloom_build/bloom_contains):
+    the filter is built over even-doc URLs and probed with EVERY doc's
+    URL — evens must all hit (no false negatives by construction);
+    odds mostly miss, with deterministic md5-position false positives
+    the oracle reproduces bit-for-bit."""
+    from pdfplumber_rs_spark.functions.webclean import (bloom_build,
+                                                        bloom_contains)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.format_string("https://host%02d.example.com/%08d",
+                          F.pmod("doc_id", F.lit(7)).cast("int"), "doc_id")
+    urls = docs.select("doc_id", url.alias("url"))
+    seen = urls.filter(F.pmod("doc_id", F.lit(2)) == 0).select("url")
+    bloom = bloom_build(seen, m_words=64, k=3)
+    return (bloom_contains(bloom, urls.select("url"), m_words=64, k=3)
+            .orderBy("key"))
+
+
 def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-robots compliance (webclean.meta_robots): pages decorated
     per doc_id residue — absent tag / noindex / flipped-attribute
@@ -3154,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "feeds": q_feeds,                       # RSS item extraction
+        "url_classify": q_url_classify,         # frontier triage flags
+        "bloom_filter": q_bloom_filter,         # seen-URL neg cache
         "meta_robots": q_meta_robots,           # noindex/nofollow parse
         "crawl_diff": q_crawl_diff,             # snapshot add/chg/del
         "kl_drift": q_kl_drift,                 # corpus drift monitor
@@ -3474,6 +3559,65 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "feeds": """
+            with n as (
+              select doc_id, 1 + cast(doc_id % 3 as int) as n
+              from documents
+            ), it as (
+              select doc_id, cast(t.i as int) as i
+              from n, lateral unnest(generate_series(1, n)) as t(i)
+            )
+            select printf('h%d.example.com', doc_id) as host,
+                   i as item_rank,
+                   case when (doc_id + i) % 5 <> 0
+                        then printf('Post %d-%d', doc_id, i) end as title,
+                   case when (doc_id + i) % 7 <> 0
+                        then printf('https://h%d.example.com/post/%d',
+                                    doc_id, i) end as link
+            from it order by host, item_rank""",
+        "url_classify": """
+            select doc_id,
+              cast(doc_id % 6 as int) = 0 as is_asset,
+              cast(doc_id % 6 as int) = 1 as is_document,
+              cast(doc_id % 6 as int) in (2, 4) as has_query,
+              cast(doc_id % 6 as int) in (2, 3) as is_pagination,
+              cast(case cast(doc_id % 6 as int)
+                when 0 then 2 when 1 then 2 when 2 then 1
+                when 3 then 3 when 4 then 3 else 1 end as int)
+                as path_depth
+            from documents order by doc_id""",
+        "bloom_filter": """
+            with urls as (
+              select doc_id,
+                printf('https://host%02d.example.com/%08d',
+                       cast(doc_id % 7 as int), doc_id) as url
+              from documents
+            ), pos as (
+              select u.url, s.i,
+                ('0x' || substr(md5('b' || cast(s.i as varchar) || ':'
+                   || u.url), 1, 8))::bigint % 2048 as p
+              from urls u, lateral unnest(generate_series(0, 2)) as s(i)
+              where u.doc_id % 2 = 0
+            ), bloom as (
+              select cast(p // 32 as int) as word_idx,
+                     bit_or(1::bigint << cast(p % 32 as int)) as bits
+              from pos group by 1
+            ), probes as (
+              select u.url as key,
+                ('0x' || substr(md5('b' || cast(s.i as varchar) || ':'
+                   || u.url), 1, 8))::bigint % 2048 as p
+              from urls u, lateral unnest(generate_series(0, 2)) as s(i)
+            ), hits as (
+              select pr.key,
+                case when b.bits is not null
+                      and (b.bits & (1::bigint
+                           << cast(pr.p % 32 as int))) <> 0
+                     then 1 else 0 end as ok
+              from probes pr
+              left join bloom b on b.word_idx = cast(pr.p // 32 as int)
+            )
+            select key, sum(ok) = 3 as maybe_seen
+            from hits group by key order by key""",
         "meta_robots": """
             select doc_id,
               cast(doc_id % 4 as int) in (1, 2) as noindex,

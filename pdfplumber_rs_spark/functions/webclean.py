@@ -730,3 +730,132 @@ def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
     return (j.withColumn("status", status)
             .filter(F.col("status").isNotNull())
             .select("url", "status", "old_digest", "new_digest"))
+
+
+def parse_feeds(feeds: DataFrame, xml_col: str = "xml",
+                host_col: str = "host") -> DataFrame:
+    """RSS 2.0 feed-item extraction — the third discovery channel
+    beside sitemaps and anchor links: every <item> yields (host,
+    item_rank, title, link), rank = 1-based document order (feeds are
+    reverse-chronological; schedulers fetch in published order).
+    Missing title/link come back NULL; CDATA and inline markup are
+    not interpreted (feed payload cleaning is normalize_text's job).
+
+    Codegen regexp_extract_all over item blocks + one posexplode —
+    pipelined into the scan, no shuffle, host-cardinality output."""
+    x = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
+    items = feeds.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(x, F.lit(r"(?is)<item[^>]*>(.*?)</item>"),
+                                 F.lit(1))).alias("pos", "item"),
+    )
+    return items.select(
+        "host",
+        (F.col("pos") + 1).alias("item_rank"),
+        F.nullif(F.regexp_extract(
+            F.col("item"), r"(?is)<title[^>]*>(.*?)</title>", 1), F.lit(""))
+        .alias("title"),
+        F.nullif(F.regexp_extract(
+            F.col("item"), r"(?is)<link[^>]*>(.*?)</link>", 1), F.lit(""))
+        .alias("link"),
+    )
+
+
+ASSET_EXTS = "jpg|jpeg|png|gif|webp|svg|ico|css|js|woff|woff2|ttf|mp4|mp3"
+DOC_EXTS = "pdf|doc|docx|xls|xlsx|ppt|pptx|epub"
+
+
+def url_classify(url: Column) -> dict[str, Column]:
+    """Frontier-triage flags for a URL — the cheap pre-fetch filter
+    that keeps asset noise out of a text crawl:
+
+      is_asset      path extension is an image/style/script/media type
+      is_document   path extension is an office/ebook format (fetch,
+                    but route to the PDF/doc pipeline, not HTML)
+      has_query     carries a query string
+      is_pagination looks like a listing page (?page=, ?p=, /page/N)
+      path_depth    number of path segments (crawl-depth budget knob)
+
+    Pure codegen regex/string ops over the URL column — zero shuffle,
+    runs in the scan projection of a frontier table at any size."""
+    u = F.lower(url)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", ""), r"[?#].*$", "")
+    path_only = F.regexp_replace(path, r"^[^/]*", "")
+    return {
+        "is_asset": F.regexp_like(path, F.lit(rf"\.({ASSET_EXTS})$")),
+        "is_document": F.regexp_like(path, F.lit(rf"\.({DOC_EXTS})$")),
+        "has_query": u.contains("?"),
+        "is_pagination": F.regexp_like(
+            u, F.lit(r"[?&](page|p)=[0-9]+|/page/[0-9]+")),
+        "path_depth": F.size(F.filter(F.split(path_only, "/"),
+                                      lambda s: s != "")),
+    }
+
+
+def bloom_build(df: DataFrame, m_words: int = 64, k: int = 3,
+                key_col: str = "url") -> DataFrame:
+    """Distributed Bloom filter build over a key column — the
+    seen-URL negative cache a recrawl frontier consults before
+    touching the (much larger) crawl history: m_words 32-bit words,
+    k md5-derived bit positions per key. Returns (word_idx, bits) —
+    only words with set bits appear (missing word = 0).
+
+    Scale shape: keys explode into k (word, bit) pairs; ONE word-keyed
+    bit_or aggregation (map-side partials) collapses any corpus to at
+    most m_words rows. md5 keeps positions SQL-portable, so the SQL
+    oracle rebuilds the identical bitset."""
+    pos = [
+        F.pmod(F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}:"),
+                                                 F.col(key_col))), 1, 8),
+                      16, 10).cast("long"),
+               F.lit(m_words * 32))
+        for i in range(k)
+    ]
+    exploded = df.select(
+        F.explode(F.array(*pos)).alias("p")
+    ).select(
+        (F.col("p") / 32).cast("int").alias("word_idx"),
+        F.pmod(F.col("p"), F.lit(32)).cast("int").alias("bit"),
+    )
+    return (exploded
+            .groupBy("word_idx")
+            .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
+
+
+def bloom_contains(bloom: DataFrame, candidates: DataFrame,
+                   m_words: int = 64, k: int = 3,
+                   key_col: str = "url") -> DataFrame:
+    """Membership probe against a bloom_build filter: a candidate is
+    'maybe seen' iff ALL k of its bits are set (false positives
+    possible by design, false negatives never). Returns every
+    candidate row's key plus `maybe_seen`.
+
+    The filter is at most m_words rows — broadcast — so probing is a
+    map-side join + per-key count aggregation however large the
+    candidate stream is."""
+    pos = [
+        F.pmod(F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}:"),
+                                                 F.col(key_col))), 1, 8),
+                      16, 10).cast("long"),
+               F.lit(m_words * 32))
+        for i in range(k)
+    ]
+    probes = candidates.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.array(*pos)).alias("p"),
+    ).select(
+        "key",
+        (F.col("p") / 32).cast("int").alias("word_idx"),
+        F.pmod(F.col("p"), F.lit(32)).cast("int").alias("bit"),
+    )
+    hit = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+        "key",
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.expr("shiftleft(1L, bit)")) != 0),
+            1).otherwise(0).alias("ok"),
+    )
+    return (hit.groupBy("key")
+            .agg((F.sum("ok") == k).alias("maybe_seen")))
