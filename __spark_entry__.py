@@ -2724,6 +2724,35 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_stream_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst monitor: the hourly (type, hour) counts come
+    out of a genuinely stateful Structured Streaming window agg
+    (1-hour tumbling windows, 1-hour watermark, append mode — only
+    windows closed by the final watermark land in the sink; cites
+    stream_windowed_counts), and timeseries.spike_flags enriches the
+    compacted sink with the trailing-average flags — the same split a
+    production monitor uses (stream keeps the state bounded, the
+    flagging pass reads the tiny bucket table). Oracle: hourly counts
+    restricted to closed windows, then the identical window math."""
+    import tempfile
+
+    from pdfplumber_rs_spark.functions.timeseries import spike_flags
+    from pdfplumber_rs_spark.streaming import stream_windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix="ev_spike_stream_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _read(spark, sf_dir, "events").write.parquet(inp)
+    q = stream_windowed_counts(spark, inp, out, ckpt,
+                               window="1 hour", watermark="1 hour")
+    q.awaitTermination(600)
+    hourly = spark.read.parquet(out).select(
+        "event_type", F.col("window_start").alias("hour"),
+        F.col("count").alias("cnt"))
+    return (spike_flags(hourly, trailing=3, factor=2.0)
+            .orderBy("event_type", "hour_ts"))
+
+
 def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS item extraction (webclean.parse_feeds) over per-doc
     generated feeds (1-3 items, deterministic title/link presence
@@ -3236,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "stream_spikes": q_stream_spikes,       # streaming burst flags
         "feeds": q_feeds,                       # RSS item extraction
         "url_classify": q_url_classify,         # frontier triage flags
         "bloom_filter": q_bloom_filter,         # seen-URL neg cache
@@ -3559,6 +3589,28 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "stream_spikes": """
+            with m as (select max(ts) as mx from events),
+            c as (
+              select date_trunc('hour', ts) as hour, event_type,
+                     count(*) as cnt
+              from events group by 1, 2
+            ), closed as (
+              select hour, event_type, cnt from c, m
+              where hour + interval 1 hour <= mx - interval 1 hour
+            ), win as (
+              select event_type,
+                     cast(epoch(hour) as bigint) as hour_ts,
+                     cast(cnt as bigint) as cnt,
+                     round(avg(cnt) over (partition by event_type
+                       order by hour
+                       rows between 3 preceding and 1 preceding), 6)
+                       as trail_avg
+              from closed
+            )
+            select event_type, hour_ts, cnt, trail_avg,
+                   coalesce(cnt >= trail_avg * 2.0, false) as spike
+            from win order by event_type, hour_ts""",
         "feeds": """
             with n as (
               select doc_id, 1 + cast(doc_id % 3 as int) as n

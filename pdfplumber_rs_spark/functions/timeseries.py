@@ -44,6 +44,16 @@ def event_spikes(events: DataFrame, trailing: int = 3,
         .groupBy("event_type", "hour")
         .agg(F.count("*").alias("cnt"))
     )
+    return spike_flags(hourly, trailing, factor)
+
+
+def spike_flags(hourly: DataFrame, trailing: int = 3,
+                factor: float = 2.0) -> DataFrame:
+    """The flagging half of event_spikes over an already-bucketed
+    (event_type, hour, cnt) frame — shared by the batch path and the
+    streaming path (where the hourly counts come out of a watermarked
+    Structured Streaming window aggregation and this enrichment runs
+    over the compacted sink, per micro-batch or at read time)."""
     w = (Window.partitionBy("event_type").orderBy("hour")
          .rowsBetween(-trailing, -1))
     return hourly.select(

@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 # DataFrame is BUILT — their plan shape is asserted by their own tests
 SKIP = {
     "store_dedup", "stream_dedup", "stream_windowed", "stream_sessionize",
+    "stream_spikes",  # streaming drain runs when the DataFrame is built
     "warc_roundtrip",  # runs the sink action when the DataFrame is built
     "wet_roundtrip",   # same: WET sink action at build time
 }
