@@ -2724,6 +2724,65 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup (dedup.paragraph_dedup): documents
+    get three blocks — a doc-specific body, a per-host newsletter
+    boilerplate, and (2/3 of docs) a global social-media footer. The
+    corpus-first copy of each boilerplate survives; every other doc
+    loses it. Oracle replays the winner rule (row_number over
+    (md5(para), doc order)) and the blank-line reassembly in SQL."""
+    from pdfplumber_rs_spark.functions.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    own = F.concat(F.lit("body "), F.col("doc_id").cast("string"),
+                   F.lit(" "), F.substring("text", 1, 40))
+    boiler = F.format_string(
+        "subscribe to host%d newsletter updates",
+        F.pmod("doc_id", F.lit(7)).cast("int"))
+    footer = F.when(F.pmod("doc_id", F.lit(3)) != 0,
+                    F.lit("\n\nfollow us on social media"))
+    t = F.concat(own, F.lit("\n\n"), boiler,
+                 F.coalesce(footer, F.lit("")))
+    return paragraph_dedup(docs.select("doc_id", t.alias("text"))) \
+        .orderBy("doc_id")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy garbage signal (text.char_entropy) over
+    documents: per-doc Shannon entropy of the lowercased char
+    histogram. The oracle iterates characters with generate_series +
+    substr — a mechanically different char walk that must produce the
+    identical histogram and 6dp entropy."""
+    from pdfplumber_rs_spark.functions.text import char_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (webclean.html_outline) — the web mirror of
+    pdf_bookmarks: pages carry an h1 plus residue-dependent h2/h3
+    sections (with inline markup to strip); document-order ranks must
+    interleave mixed levels correctly. Oracle states the outline in
+    closed form per residue."""
+    from pdfplumber_rs_spark.functions.webclean import html_outline
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1 class='t'>Doc "), did,
+        F.lit(" Title</h1><p>prose</p>"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0,
+               F.lit("<h2>Section A</h2><p>a</p>")).otherwise(F.lit("")),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0,
+               F.concat(F.lit("<h2>Section <b>B</b></h2><h3>Sub "),
+                        F.pmod("doc_id", F.lit(5)).cast("string"),
+                        F.lit("</h3>"))).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    pages = docs.select("doc_id", html.alias("html"))
+    return html_outline(pages).orderBy("doc_id", "rank")
+
+
 def q_stream_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming burst monitor: the hourly (type, hour) counts come
     out of a genuinely stateful Structured Streaming window agg
@@ -3265,6 +3324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "paragraph_dedup": q_paragraph_dedup,   # boilerplate-block strip
+        "char_entropy": q_char_entropy,         # garbage-band signal
+        "html_outline": q_html_outline,         # heading bookmarks
         "stream_spikes": q_stream_spikes,       # streaming burst flags
         "feeds": q_feeds,                       # RSS item extraction
         "url_classify": q_url_classify,         # frontier triage flags
@@ -3589,6 +3651,87 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "paragraph_dedup": """
+            with t as (
+              select doc_id,
+                'body ' || cast(doc_id as varchar) || ' '
+                  || substring(text, 1, 40)
+                  || chr(10) || chr(10)
+                  || printf('subscribe to host%d newsletter updates',
+                            cast(doc_id % 7 as int))
+                  || case when doc_id % 3 <> 0
+                     then chr(10) || chr(10)
+                       || 'follow us on social media' else '' end as text
+              from documents
+            ), pl as (
+              select doc_id,
+                list_filter(list_transform(
+                  regexp_split_to_array(text, '\\n{2,}'),
+                  x -> trim(x)), x -> x <> '') as paras
+              from t
+            ), p as (
+              select doc_id, cast(s.i - 1 as int) as idx,
+                     paras[cast(s.i as int)] as para
+              from pl, lateral unnest(generate_series(1, len(paras)))
+                as s(i)
+            ), keep as (
+              select doc_id, idx, para from (
+                select *, row_number() over (partition by md5(para)
+                  order by doc_id, idx) as rn from p)
+              where rn = 1
+            ), agg as (
+              select doc_id, count(*) as n_kept,
+                     md5(string_agg(para, chr(10) || chr(10)
+                         order by idx)) as kept_md5
+              from keep group by doc_id
+            )
+            select pl.doc_id,
+                   cast(len(pl.paras) as bigint) as n_paras,
+                   cast(coalesce(agg.n_kept, 0) as bigint) as n_kept,
+                   coalesce(agg.kept_md5, '') as kept_md5
+            from pl left join agg using (doc_id)
+            order by doc_id""",
+        "char_entropy": """
+            with ch as (
+              select doc_id,
+                     substr(lower(text), cast(s.i as int), 1) as ch
+              from documents,
+              lateral unnest(generate_series(1, length(lower(text))))
+                as s(i)
+            ), c as (
+              select doc_id, ch, count(*) as c
+              from ch group by 1, 2
+            ), n as (
+              select doc_id, sum(c) as n_chars from c group by doc_id
+            )
+            select c.doc_id, cast(n.n_chars as bigint) as n_chars,
+                   round(-sum((c.c / n.n_chars)
+                         * log2(c.c / n.n_chars)), 6) as entropy
+            from c join n using (doc_id)
+            group by c.doc_id, n.n_chars
+            order by c.doc_id""",
+        "html_outline": """
+            select doc_id, cast(rank as int) as rank,
+                   cast(level as int) as level, heading
+            from (
+              select doc_id, 1 as rank, 1 as level,
+                     'Doc ' || cast(doc_id as varchar) || ' Title'
+                       as heading
+              from documents
+              union all
+              select doc_id, 2, 2, 'Section A'
+              from documents where doc_id % 2 = 0
+              union all
+              select doc_id,
+                     2 + case when doc_id % 2 = 0 then 1 else 0 end,
+                     2, 'Section B'
+              from documents where doc_id % 3 = 0
+              union all
+              select doc_id,
+                     3 + case when doc_id % 2 = 0 then 1 else 0 end,
+                     3, 'Sub ' || cast(doc_id % 5 as varchar)
+              from documents where doc_id % 3 = 0
+            ) order by doc_id, rank""",
         "stream_spikes": """
             with m as (select max(ts) as mx from events),
             c as (

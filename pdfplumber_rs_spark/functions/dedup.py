@@ -658,3 +658,53 @@ def levenshtein_pairs(df: DataFrame, max_dist: int = 2, prefix: int = 3,
         F.col("id").alias("id_a"), "id_b",
         F.levenshtein(F.col("s"), F.col("s_b")).alias("dist"))
         .filter(F.col("dist") <= max_dist))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (the Dolma/FineWeb unit —
+    Soldaini et al. 2024 dedupe at document and paragraph grain):
+    paragraphs are blank-line-separated blocks; every occurrence of a
+    (trimmed) paragraph except the corpus-first — smallest (doc_id,
+    para_idx) — is removed. This is the pass that strips repeated
+    boilerplate blocks (cookie banners, newsletter pitches, footers)
+    that survive document-level dedup because the surrounding text
+    differs. Returns (doc_id, n_paras, n_kept, kept_md5) with
+    kept_md5 = md5 of the surviving paragraphs rejoined with blank
+    lines ('' when nothing survives).
+
+    Scale shape = line_dedup's: md5 paragraph keys (uniform), winner =
+    ONE min(struct) aggregation per key, occurrences hash-join the
+    winner set back on the same key (winner set scales with the
+    corpus — never broadcast), doc-keyed reassembly bounded per doc."""
+    paras = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}"),
+            lambda p: F.trim(p)),
+        lambda p: p != "")
+    d = df.select(F.col(id_col).alias("doc_id"), paras.alias("paras"))
+    p = d.select(
+        "doc_id",
+        F.posexplode("paras").alias("para_idx", "para"),
+    ).withColumn("g", F.md5("para"))
+    winners = p.groupBy("g").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("w"))
+    kept = (p.join(winners, "g")
+            .filter((F.col("doc_id") == F.col("w.doc_id"))
+                    & (F.col("para_idx") == F.col("w.para_idx")))
+            .select("doc_id", "para_idx", "para"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"]),
+            "\n\n")).alias("kept_md5"),
+    )
+    return (d.select("doc_id", F.size("paras").alias("n_paras"))
+            .join(kept_agg, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_paras").cast("long").alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("kept_md5", F.lit("")).alias("kept_md5")))

@@ -904,3 +904,35 @@ def kl_drift(a, b, top_n: int = 20, id_col: str = "doc_id",
         .alias("contrib"))
     return (scored.filter(F.col("contrib") > 0)
             .orderBy(F.desc("contrib"), F.asc("tok")).limit(top_n))
+
+
+def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Character-distribution Shannon entropy (bits) per document —
+    the cheap garbage detector that catches what token filters miss:
+    base64 blobs and hex dumps score HIGH (flat distribution over a
+    wide alphabet), keyboard-mash and repeated-char padding score LOW;
+    natural language sits in a recognizable band (~4 bits for
+    English). Returns (doc_id, n_chars, entropy) with entropy 6dp over
+    the lowercased character histogram.
+
+    Scale shape: characters explode once, collapse immediately into
+    per-(doc, char) counts (≤ alphabet-size rows per doc) with
+    map-side partials; entropy is a per-doc sum over that compact
+    frame — the only shuffle key is doc_id. -Σ (c/n)·log2(c/n) is a
+    sum over ≤ |alphabet| grouped terms, far outside 6dp
+    reassociation error."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                          "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n_chars"))
+    return (counts.join(totals, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.first("n_chars").alias("n_chars"),
+                 F.round(-F.sum((F.col("c") / F.col("n_chars"))
+                                * F.log2(F.col("c") / F.col("n_chars"))), 6)
+                 .alias("entropy"))
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                    "entropy"))
