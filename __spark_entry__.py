@@ -2724,6 +2724,75 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_host_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-mill detection (webclean.host_template_ratio): every
+    doc carries one unique line plus its host's shared footer line, so
+    each host's top shared line must count every doc (ratio 1.0 —
+    and the oracle recomputes the whole distinct-line machinery, not
+    just the answer, so within-doc duplicates or trim bugs break the
+    hash)."""
+    from pdfplumber_rs_spark.functions.webclean import host_template_ratio
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.format_string("host%d", F.pmod("doc_id", F.lit(7)).cast("int"))
+    text = F.concat(
+        F.lit("unique "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring("text", 1, 30), F.lit("\n"),
+        F.format_string("footer for host%d visit daily",
+                        F.pmod("doc_id", F.lit(7)).cast("int")))
+    pages = docs.select("doc_id", host.alias("host"), text.alias("text"))
+    return host_template_ratio(pages).orderBy("host")
+
+
+def q_url_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap scoring (webclean.url_trap_score): host0 serves one
+    resource behind per-doc session-id URLs (score → 1 - 1/n); the
+    other hosts serve distinct pages (score 0). Oracle states counts
+    per host residue in closed form."""
+    from pdfplumber_rs_spark.functions.webclean import url_trap_score
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    r = F.pmod("doc_id", F.lit(5)).cast("int")
+    url = F.when(r == 0, F.format_string(
+        "https://host0.example.com/item?session=%d", "doc_id")) \
+        .otherwise(F.format_string(
+            "https://host%d.example.com/p/%d", r, "doc_id"))
+    pages = docs.select(
+        F.format_string("host%d.example.com", r).alias("host"),
+        url.alias("url"))
+    return url_trap_score(pages).orderBy("host")
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sparse sign projection (similarity.jl_project): 64-dim
+    embeddings down to 8 components via the md5-parity ±1 matrix. The
+    oracle rebuilds the identical matrix (the lsh_buckets hyperplane
+    expression family) and the same left-to-right fold, so every 6dp
+    component must match bit-for-bit."""
+    from pdfplumber_rs_spark.functions.similarity import jl_project
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = jl_project(emb, dim=64, out_dim=8)
+    return out.select(
+        "vec_id",
+        *[F.col("proj")[j].alias(f"p{j}") for j in range(8)]
+    ).orderBy("vec_id")
+
+
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (similarity.quantize_embeddings) with
+    global per-dim calibration; exploded to (vec_id, pos, qv) rows so
+    the oracle compares every code. Degenerate dims clamp to 0."""
+    from pdfplumber_rs_spark.functions.similarity import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb, dim=64)
+    return (q.select("vec_id", F.posexplode("q").alias("pos", "qv"))
+            .select("vec_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("qv").cast("int").alias("qv"))
+            .orderBy("vec_id", "pos"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-grain exact dedup (dedup.paragraph_dedup): documents
     get three blocks — a doc-specific body, a per-host newsletter
@@ -3324,6 +3393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "host_template": q_host_template,       # template-mill ratio
+        "url_trap": q_url_trap,                 # session-id trap score
+        "jl_project": q_jl_project,             # sparse sign projection
+        "quantize": q_quantize,                 # int8 scalar codes
         "paragraph_dedup": q_paragraph_dedup,   # boilerplate-block strip
         "char_entropy": q_char_entropy,         # garbage-band signal
         "html_outline": q_html_outline,         # heading bookmarks
@@ -3582,6 +3655,26 @@ def _lsh_bucket_expr(n_planes: int) -> str:
     return bucket
 
 
+def _jl_proj_sql(out_dim: int = 8, dim: int = 64) -> str:
+    """Mirror of similarity.jl_project: same md5-parity ±1 matrix and
+    the same left-to-right fold, scaled 1/sqrt(out_dim), 6dp."""
+    comps = []
+    for j in range(out_dim):
+        terms = []
+        for d in range(dim):
+            # 1.0::double, not the bare literal: DuckDB types `1.0` as
+            # DECIMAL and the float*decimal fold drifts off Spark's
+            # float*double fold by ~1e-9 — enough to flip 6dp rounding
+            w = (f"(case when ('0x' || substr(md5('p:{j}:{d}'), 1, 8))"
+                 f"::bigint % 2 = 0 then 1.0::double"
+                 f" else -1.0::double end)")
+            terms.append(f"(embedding[{d + 1}]::double) * {w}")
+        comps.append(
+            f"round(({' + '.join(terms)}) / sqrt({out_dim}.0), 6) as p{j}")
+    return ("select vec_id, " + ", ".join(comps)
+            + " from embeddings order by vec_id")
+
+
 def _lsh_bucket_sql() -> str:
     return (f"select vec_id, cast({_lsh_bucket_expr(8)} as int) as bucket "
             f"from embeddings order by vec_id")
@@ -3651,6 +3744,67 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "host_template": """
+            with t as (
+              select doc_id,
+                printf('host%d', cast(doc_id % 7 as int)) as host,
+                'unique ' || cast(doc_id as varchar) || ' '
+                  || substring(text, 1, 30) || chr(10)
+                  || printf('footer for host%d visit daily',
+                            cast(doc_id % 7 as int)) as text
+              from documents
+            ), l as (
+              select distinct host, doc_id, u.line
+              from t, lateral unnest(list_filter(list_transform(
+                regexp_split_to_array(text, chr(10)), x -> trim(x)),
+                x -> x <> '')) as u(line)
+            ), ld as (
+              select host, line, count(*) as n from l group by 1, 2
+            ), h as (
+              select host, count(distinct doc_id) as n_docs
+              from t group by host
+            ), top as (
+              select host, max(n) as top_line_docs from ld group by host
+            )
+            select h.host, cast(n_docs as bigint) as n_docs,
+                   cast(coalesce(top_line_docs, 0) as bigint)
+                     as top_line_docs,
+                   round(coalesce(top_line_docs, 0) / n_docs, 6)
+                     as template_ratio
+            from h left join top using (host) order by host""",
+        "url_trap": """
+            with d as (
+              select doc_id, cast(doc_id % 5 as int) as r,
+                printf('host%d.example.com', cast(doc_id % 5 as int))
+                  as host
+              from documents
+            ), g as (
+              select host, r, count(*) as n from d group by 1, 2
+            )
+            select host, cast(n as bigint) as n_urls,
+                   cast(case when r = 0 then 1 else n end as bigint)
+                     as n_resources,
+                   round(1.0 - (case when r = 0 then 1 else n end) / n,
+                         6) as trap_score
+            from g order by host""",
+        "jl_project": _jl_proj_sql(),
+        "quantize": """
+            with x as (
+              select vec_id, cast(s.i - 1 as int) as pos,
+                     embedding[cast(s.i as int)] as val
+              from embeddings,
+              lateral unnest(generate_series(1, len(embedding))) as s(i)
+            ), st as (
+              select pos, min(val) as mn, max(val) as mx
+              from x group by pos
+            )
+            select vec_id, pos,
+                   case when mx > mn
+                        then cast(round(255.0 * (val - mn) / (mx - mn),
+                                        0) as int)
+                        else 0 end as qv
+            from x join st using (pos)
+            order by vec_id, pos""",
         "paragraph_dedup": """
             with t as (
               select doc_id,

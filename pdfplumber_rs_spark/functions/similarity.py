@@ -369,3 +369,66 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def jl_project(df: DataFrame, dim: int, out_dim: int = 8,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss sparse sign projection (Achlioptas 2003):
+    reduce dim-d embeddings to out_dim components with ±1 random-sign
+    rows, scaled 1/√out_dim — the cheap dimensionality cut before ANN
+    indexing or clustering when the full embedding is overkill.
+    Projection row j reuses the deterministic md5 hyperplane weights
+    (_plane_weights), so the SQL oracle rebuilds the identical matrix
+    and the transform is reproducible across runs and engines.
+
+    Returns (vec_id, proj: array<double>, 6dp per component). A pure
+    per-row projection — out_dim constant-array dot products inside
+    codegen, no shuffle, no Python."""
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), _plane_weights(j, dim),
+                           lambda x, w: x * w),
+                F.lit(0.0), lambda acc, v: acc + v)
+            / float(out_dim) ** 0.5, 6)
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.array(*comps).alias("proj"))
+
+
+def quantize_embeddings(df: DataFrame, dim: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Int8 scalar quantization with GLOBAL per-dimension min/max —
+    the 4x storage cut an ANN index takes before sharding to object
+    storage: q[d] = round(255 · (x[d] − min_d) / (max_d − min_d)),
+    clamped degenerate dims (max = min) to 0.
+
+    Scale shape: the calibration pass is ONE posexplode → per-dim
+    min/max aggregation (dim-sized result, broadcast back as two
+    constant arrays via a 1-row crossJoin — never collected); the
+    quantize pass is a per-row zip_with. Returns (vec_id, q:
+    array<int>)."""
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    stats = (exploded.groupBy("pos")
+             .agg(F.min("val").alias("mn"), F.max("val").alias("mx")))
+    packed = stats.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                    lambda s: s["mn"]).alias("mins"),
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"]).alias("maxs"))
+    return (df.crossJoin(F.broadcast(packed))
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.zip_with(
+                    F.col(vec_col),
+                    F.zip_with(F.col("mins"), F.col("maxs"),
+                               lambda mn, mx: F.struct(mn.alias("mn"),
+                                                       mx.alias("mx"))),
+                    lambda x, s: F.when(
+                        s["mx"] > s["mn"],
+                        F.round(255.0 * (x - s["mn"])
+                                / (s["mx"] - s["mn"]), 0).cast("int"))
+                    .otherwise(F.lit(0))).alias("q")))

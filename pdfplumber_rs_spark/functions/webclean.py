@@ -892,3 +892,71 @@ def html_outline(pages: DataFrame, html_col: str = "html") -> DataFrame:
                              1),
             r"<[^>]*>", "")).alias("heading"),
     )
+
+
+def host_template_ratio(pages: DataFrame, host_col: str = "host",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-host template detection: how much of a host's corpus is the
+    SAME repeated line — the signal that a host serves one template
+    with tiny content variation (tag pages, calendar pages, product
+    grids), which both dedup and quality filters want to know before
+    spending per-page work. For each host:
+
+      (host, n_docs, top_line_docs, template_ratio)
+
+    template_ratio = (docs containing the host's most-shared line) /
+    n_docs, 6dp. Hosts whose ratio ≈ 1 are template mills.
+
+    Scale shape: distinct (host, line, doc) rows collapse to (host,
+    line) doc-counts with map-side partials; the per-host maximum is
+    ONE max aggregation — no window over the corpus, no pair joins.
+    Shuffle keys are (host, line) then host."""
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(
+            F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                "\n"), lambda l: F.trim(l)),
+            lambda l: l != "")).alias("line"),
+    ).distinct()
+    line_docs = lines.groupBy("host", "line").agg(
+        F.count("*").alias("n_line_docs"))
+    hosts = pages.select(F.col(host_col).alias("host"),
+                         F.col(id_col).alias("doc_id")) \
+        .distinct().groupBy("host").agg(F.count("*").alias("n_docs"))
+    top = line_docs.groupBy("host").agg(
+        F.max("n_line_docs").alias("top_line_docs"))
+    return (hosts.join(top, "host", "left")
+            .select("host", "n_docs",
+                    F.coalesce("top_line_docs", F.lit(0)).cast("long")
+                    .alias("top_line_docs"))
+            .withColumn("template_ratio",
+                        F.round(F.col("top_line_docs") / F.col("n_docs"),
+                                6)))
+
+
+def url_trap_score(pages: DataFrame, host_col: str = "host",
+                   url_col: str = "url") -> DataFrame:
+    """Crawl-trap scoring per host: traps (session ids, calendars,
+    faceted search) manufacture unbounded DISTINCT URLs that collapse
+    to few distinct resources once query/fragment junk is stripped.
+
+      (host, n_urls, n_resources, trap_score)
+
+    trap_score = 1 - n_resources/n_urls (6dp): 0 for a clean host,
+    → 1 when thousands of URLs alias a handful of pages. Frontier
+    schedulers throttle high-score hosts before the crawl drowns.
+
+    Two count-distinct aggregations keyed by host (map-side partial
+    distinct), no joins beyond the final host merge."""
+    u = pages.select(F.col(host_col).alias("host"),
+                     F.col(url_col).alias("url"),
+                     normalize_url(F.col(url_col)).alias("resource"))
+    per = u.groupBy("host").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("resource").alias("n_resources"))
+    return per.select(
+        "host", "n_urls", "n_resources",
+        F.round(1.0 - F.col("n_resources") / F.col("n_urls"), 6)
+        .alias("trap_score"))

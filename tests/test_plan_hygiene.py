@@ -42,6 +42,8 @@ ALLOW_BNLJ = {
     "semdedup", "dsir_weights",
     # r4f: kl_drift crossJoins the 1-row totals/vocab-size stats
     "kl_drift",
+    # r4i: quantize broadcasts the 1-row per-dim min/max calibration
+    "quantize",
 }
 
 

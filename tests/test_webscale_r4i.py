@@ -1,0 +1,96 @@
+"""Round-4i operators: host template detection, crawl-trap scoring,
+JL sparse projection, int8 embedding quantization."""
+
+import hashlib
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# webclean.host_template_ratio
+
+
+def test_host_template_ratio(spark):
+    from pdfplumber_rs_spark.functions.webclean import host_template_ratio
+
+    rows = [
+        ("a.com", 1, "unique one\nshared footer"),
+        ("a.com", 2, "unique two\nshared footer"),
+        ("a.com", 3, "unique three\nshared footer"),
+        ("b.com", 4, "alpha\nbeta"),
+        ("b.com", 5, "gamma\ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    out = {r.host: r for r in host_template_ratio(df).collect()}
+    assert out["a.com"].n_docs == 3
+    assert out["a.com"].top_line_docs == 3
+    assert out["a.com"].template_ratio == 1.0
+    assert out["b.com"].top_line_docs == 1
+    assert out["b.com"].template_ratio == 0.5
+
+
+def test_host_template_ratio_duplicate_lines_within_doc_count_once(spark):
+    from pdfplumber_rs_spark.functions.webclean import host_template_ratio
+
+    df = spark.createDataFrame(
+        [("a.com", 1, "x\nx\nx"), ("a.com", 2, "y")],
+        "host string, doc_id long, text string")
+    (r,) = host_template_ratio(df).collect()
+    assert r.top_line_docs == 1  # 'x' appears in ONE doc, thrice
+
+
+# ---------------------------------------------------------------------------
+# webclean.url_trap_score
+
+
+def test_url_trap_score(spark):
+    from pdfplumber_rs_spark.functions.webclean import url_trap_score
+
+    rows = ([("trap.com", f"https://trap.com/item?session={i}")
+             for i in range(10)]
+            + [("clean.com", f"https://clean.com/p/{i}") for i in range(4)])
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r.host: r for r in url_trap_score(df).collect()}
+    assert out["trap.com"].n_urls == 10
+    assert out["trap.com"].n_resources == 1
+    assert out["trap.com"].trap_score == 0.9
+    assert out["clean.com"].trap_score == 0.0
+
+
+# ---------------------------------------------------------------------------
+# similarity.jl_project
+
+
+def _sign(plane, d):
+    h = hashlib.md5(f"p:{plane}:{d}".encode()).hexdigest()[:8]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+def test_jl_project_matches_manual_matrix(spark):
+    from pdfplumber_rs_spark.functions.similarity import jl_project
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(7, vec)],
+                               "vec_id long, embedding array<float>")
+    (r,) = jl_project(df, dim=4, out_dim=2).collect()
+    for j in range(2):
+        expected = sum(v * _sign(j, d) for d, v in enumerate(vec)) / 2 ** 0.5
+        assert r.proj[j] == pytest.approx(round(expected, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# similarity.quantize_embeddings
+
+
+def test_quantize_embeddings_global_minmax(spark):
+    from pdfplumber_rs_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 10.0]), (3, [2.0, 10.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.q for r in quantize_embeddings(df, dim=2).collect()}
+    # dim 0 spans [0, 2] → 0, 128 (127.5 rounds half-even? round() → 128)
+    assert out[1][0] == 0 and out[3][0] == 255
+    assert out[2][0] in (127, 128)  # 127.5 — engine rounding mode
+    # dim 1 is degenerate (max == min) → 0
+    assert [out[i][1] for i in (1, 2, 3)] == [0, 0, 0]
