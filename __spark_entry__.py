@@ -2724,6 +2724,27 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused filter verdicts (classify.quality_report) over documents:
+    kept/reasons per doc from four float-free checks. The oracle
+    rebuilds every check — including the full lang_guess argmax — in
+    SQL, so a drift in any underlying expression breaks the hash."""
+    from pdfplumber_rs_spark.functions.classify import quality_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_report(docs).orderBy("doc_id")
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics (text.compression_ratio): UTF-8 bytes per
+    BPE-ish token per document; the oracle recomputes byte lengths and
+    the shared-dialect pre-tokenizer count."""
+    from pdfplumber_rs_spark.functions.text import compression_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")
+
+
 def q_host_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-mill detection (webclean.host_template_ratio): every
     doc carries one unique line plus its host's shared footer line, so
@@ -3393,6 +3414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "quality_report": q_quality_report,     # fused filter verdicts
+        "compression_ratio": q_compression_ratio,  # bytes per token
         "host_template": q_host_template,       # template-mill ratio
         "url_trap": q_url_trap,                 # session-id trap score
         "jl_project": q_jl_project,             # sparse sign projection
@@ -3744,6 +3767,55 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "quality_report": f"""
+            with c as (
+              select doc_id, lang,
+                case when trim(text) = '' then 0
+                     else len(regexp_split_to_array(trim(text), '\\s+'))
+                end as n_tokens,
+                length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                  as n_alnum,
+                cast((length(' ' || lower(text) || ' ')
+                  - length(replace(' ' || lower(text) || ' ',
+                                   ' the ', ''))) / 5 as int)
+                + cast((length(' ' || lower(text) || ' ')
+                  - length(replace(' ' || lower(text) || ' ',
+                                   ' and ', ''))) / 5 as int)
+                + cast((length(' ' || lower(text) || ' ')
+                  - length(replace(' ' || lower(text) || ' ',
+                                   ' of ', ''))) / 4 as int) as stop_hits,
+                {_lang_markers_sql()} as guess
+              from documents
+            ), r as (
+              select doc_id,
+                list_sort(list_filter([
+                  case when n_tokens < 20 then 'too_short' end,
+                  case when stop_hits = 0 then 'low_stopword' end,
+                  case when n_alnum < 3 * n_tokens
+                         or n_alnum > 10 * n_tokens
+                       then 'bad_mean_len' end,
+                  case when guess <> lang then 'lang_mismatch' end
+                ], x -> x is not null)) as reasons
+              from c
+            )
+            select doc_id, len(reasons) = 0 as kept,
+                   cast(len(reasons) as int) as n_reasons,
+                   coalesce(array_to_string(reasons, ','), '') as reasons
+            from r order by doc_id""",
+        "compression_ratio": r"""
+            select doc_id,
+              cast(octet_length(encode(coalesce(text, ''))) as bigint)
+                as n_bytes,
+              cast(len(list_filter(
+                regexp_extract_all(coalesce(text, ''),
+                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                x -> trim(x) <> '')) as bigint) as n_bpe_tokens,
+              round(octet_length(encode(coalesce(text, '')))
+                / greatest(len(list_filter(
+                    regexp_extract_all(coalesce(text, ''),
+                      ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                    x -> trim(x) <> '')), 1), 6) as bytes_per_token
+            from documents order by doc_id""",
         "host_template": """
             with t as (
               select doc_id,

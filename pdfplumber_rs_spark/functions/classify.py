@@ -127,3 +127,47 @@ def nb_quality_scores(df: DataFrame, label: Column,
         .join(labeled.select("doc_id", "label"), "doc_id")
         .select("doc_id", "label", "nb_score", "predicted")
     )
+
+
+def quality_report(df, min_tokens: int = 20, id_col: str = "doc_id",
+                   text_col: str = "text", lang_col: str = "lang"):
+    """Fused filter verdict — the one-row-per-doc decision record a
+    production pipeline actually persists (so a later audit can ask
+    WHY a document was dropped, not just that it was):
+
+      (doc_id, kept, n_reasons, reasons)
+
+    reasons is the sorted comma-joined list of failed checks:
+      too_short      fewer than min_tokens whitespace tokens
+      low_stopword   zero English stopword-marker hits
+      bad_mean_len   mean alnum-chars-per-token outside [3, 10]
+                     (integer cross-multiplied — no float compare)
+      lang_mismatch  the stopword language guess disagrees with the
+                     declared lang column
+
+    kept = no reason fired. All checks are integer/string compares on
+    pure codegen expressions — one scan projection, no shuffle, and
+    deliberately float-free so the SQL oracle agrees exactly."""
+    from pyspark.sql import functions as F
+
+    from .text import lang_guess, lang_score, token_count
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = token_count(t)
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    checks = [
+        (F.lit("too_short"), n_tokens < min_tokens),
+        (F.lit("low_stopword"), lang_score(t, "en") == 0),
+        (F.lit("bad_mean_len"), (n_alnum < 3 * n_tokens)
+         | (n_alnum > 10 * n_tokens)),
+        (F.lit("lang_mismatch"), lang_guess(t) != F.col(lang_col)),
+    ]
+    reasons = F.array_sort(F.filter(
+        F.array(*[F.when(cond, name) for name, cond in checks]),
+        lambda r: r.isNotNull()))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.size(reasons) == 0).alias("kept"),
+        F.size(reasons).cast("int").alias("n_reasons"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )

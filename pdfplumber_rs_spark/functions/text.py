@@ -936,3 +936,22 @@ def char_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
                  .alias("entropy"))
             .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
                     "entropy"))
+
+
+def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Tokenizer-economics column: UTF-8 bytes per BPE-ish token —
+    the compute-cost proxy that decides how much a document really
+    costs to train on (CJK and emoji-heavy text carries more bytes
+    per token; whitespace-starved markup inflates tokens per byte).
+    Returns (doc_id, n_bytes, n_bpe_tokens, bytes_per_token 6dp); a
+    pure codegen projection, no shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_bytes = F.octet_length(t)
+    n_toks = bpe_token_count(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bytes.cast("long").alias("n_bytes"),
+        n_toks.cast("long").alias("n_bpe_tokens"),
+        F.round(n_bytes / F.greatest(n_toks, F.lit(1)), 6)
+        .alias("bytes_per_token"),
+    )

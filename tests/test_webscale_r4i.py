@@ -94,3 +94,48 @@ def test_quantize_embeddings_global_minmax(spark):
     assert out[2][0] in (127, 128)  # 127.5 — engine rounding mode
     # dim 1 is degenerate (max == min) → 0
     assert [out[i][1] for i in (1, 2, 3)] == [0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# classify.quality_report
+
+
+def test_quality_report_reasons(spark):
+    from pdfplumber_rs_spark.functions.classify import quality_report
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox naps under the old oak tree for a long while today")
+    df = spark.createDataFrame(
+        [(1, good, "en"),
+         (2, "short text", "en"),          # too_short (+low_stopword)
+         (3, good, "de"),                  # lang_mismatch
+         (4, "aa " * 30 + "the and of", "en")],  # bad_mean_len (mean 2ish)
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in quality_report(df).collect()}
+    assert out[1].kept and out[1].reasons == ""
+    assert not out[2].kept and "too_short" in out[2].reasons
+    assert out[3].reasons == "lang_mismatch"
+    assert "bad_mean_len" in out[4].reasons
+    # reasons are sorted
+    for r in out.values():
+        parts = r.reasons.split(",") if r.reasons else []
+        assert parts == sorted(parts) and r.n_reasons == len(parts)
+
+
+# ---------------------------------------------------------------------------
+# text.compression_ratio
+
+
+def test_compression_ratio(spark):
+    from pdfplumber_rs_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "hello world"),     # 11 bytes, 2 tokens
+         (2, "héllo"),           # 6 bytes (é = 2), tokens: 'h','é'?…
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[1].n_bytes == 11 and out[1].n_bpe_tokens == 2
+    assert out[1].bytes_per_token == 5.5
+    assert out[2].n_bytes == 6
+    assert out[3].n_bytes == 0 and out[3].bytes_per_token == 0.0
