@@ -2724,6 +2724,17 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap pairs (text.winnow_pairs) over documents:
+    docs sharing >= 5 rare winnowing fingerprints (df cap 20 drops
+    boilerplate grams before the self-join). Oracle extends the
+    winnowing CTE with the df filter and the pair count."""
+    from pdfplumber_rs_spark.functions.text import winnow_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_pairs(docs, min_shared=5, max_df=20)
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused filter verdicts (classify.quality_report) over documents:
     kept/reasons per doc from four float-free checks. The oracle
@@ -3414,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "winnow_pairs": q_winnow_pairs,         # MOSS overlap pairs
         "quality_report": q_quality_report,     # fused filter verdicts
         "compression_ratio": q_compression_ratio,  # bytes per token
         "host_template": q_host_template,       # template-mill ratio
@@ -3767,6 +3779,40 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "winnow_pairs": """
+            with s as (
+              select doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') as s
+              from documents
+            ), g as (
+              select doc_id, cast(t.i as int) as pos,
+                     length(s) - 8 + 1 as n_grams,
+                     ('0x' || substr(md5(substring(s, cast(t.i as int), 8)),
+                       1, 8))::bigint as h
+              from s, lateral unnest(generate_series(1, length(s) - 8 + 1))
+                as t(i)
+              where length(s) >= 8 + 4 - 1
+            ), w as (
+              select doc_id, pos, n_grams,
+                     min(h) over (partition by doc_id order by pos
+                       rows between current row and 3 following) as fp
+              from g
+            ), f as (
+              select distinct doc_id, fp from w
+              where pos <= n_grams - 4 + 1
+            ), rare as (
+              select doc_id, fp from f
+              where fp in (select fp from f group by fp
+                           having count(*) <= 20)
+            ), pairs as (
+              select a.doc_id as id_a, b.doc_id as id_b,
+                     count(*) as n_shared
+              from rare a join rare b
+                on a.fp = b.fp and b.doc_id > a.doc_id
+              group by 1, 2
+            )
+            select id_a, id_b, cast(n_shared as bigint) as n_shared
+            from pairs where n_shared >= 5 order by id_a, id_b""",
         "quality_report": f"""
             with c as (
               select doc_id, lang,

@@ -955,3 +955,31 @@ def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text"):
         F.round(n_bytes / F.greatest(n_toks, F.lit(1)), 6)
         .alias("bytes_per_token"),
     )
+
+
+def winnow_pairs(df, k: int = 8, window: int = 4, min_shared: int = 3,
+                 max_df: int = 20, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Partial-overlap pair detection over winnowing fingerprints
+    (Schleimer et al. 2003, the MOSS algorithm's second half): two
+    documents sharing >= min_shared selected fingerprints overlap in
+    actual text spans — the plagiarism/quotation detector that
+    complements whole-doc minhash. Returns (id_a, id_b, n_shared),
+    id_a < id_b, ordered.
+
+    The max_df cap drops fingerprints present in more than max_df
+    documents BEFORE the self-join — ubiquitous boilerplate grams
+    otherwise quadratically explode exactly like tf-idf stop terms
+    (same cure as tfidf_pairs' df band). With the cap, per-fp join
+    fan-out is bounded at max_df², and the join key (md5 fingerprint)
+    is uniform, so the shuffle spreads at any corpus size."""
+    fps = winnow_fingerprints(df, k, window, id_col, text_col)
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = fps.join(fp_df.filter(F.col("df") <= max_df).select("fp"), "fp")
+    a = rare.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = rare.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, "fp").filter(F.col("id_b") > F.col("id_a"))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .orderBy("id_a", "id_b"))

@@ -139,3 +139,34 @@ def test_compression_ratio(spark):
     assert out[1].bytes_per_token == 5.5
     assert out[2].n_bytes == 6
     assert out[3].n_bytes == 0 and out[3].bytes_per_token == 0.0
+
+
+# ---------------------------------------------------------------------------
+# text.winnow_pairs
+
+
+def test_winnow_pairs_detects_shared_span(spark):
+    from pdfplumber_rs_spark.functions.text import winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog again"
+    df = spark.createDataFrame(
+        [(1, shared + " plus completely unrelated trailing content here"),
+         (2, "different opening words then " + shared),
+         (3, "nothing in common with either of those two documents")],
+        "doc_id long, text string")
+    rows = {(r.id_a, r.id_b): r.n_shared
+            for r in winnow_pairs(df, min_shared=3).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 3
+    assert all(3 not in pair for pair in rows)
+
+
+def test_winnow_pairs_max_df_drops_boilerplate(spark):
+    from pdfplumber_rs_spark.functions.text import winnow_pairs
+
+    boiler = "identical boilerplate sentence shared by every document"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id long, text string")
+    # every fp has df=5 > max_df=3 → no pairs at all
+    assert winnow_pairs(df, min_shared=1, max_df=3).collect() == []
+    # raising the cap brings the pairs back
+    assert len(winnow_pairs(df, min_shared=1, max_df=5).collect()) == 10
