@@ -4316,7 +4316,8 @@ with toks as (
             with s as (
               select doc_id, list_filter(list_transform(
                 regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
-                x -> trim(x)), x -> x <> '') as arr
+                x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                x -> x <> '') as arr
               from documents
             )
             select doc_id, cast(t.i - 1 as int) as sent_id,

@@ -816,7 +816,9 @@ def sentence_split(df, id_col: str = "doc_id", text_col: str = "text"):
             F.regexp_extract_all(
                 F.coalesce(F.col(text_col), F.lit("")),
                 F.lit(SENTENCE_PATTERN), F.lit(0)),
-            lambda s: F.trim(s)),
+            # NOT F.trim: SQL trim strips 0x20 only, so a sentence of
+            # bare newlines/tabs would survive the blank filter
+            lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")),
         lambda s: s != "")
     return df.select(
         F.col(id_col).alias("doc_id"),
