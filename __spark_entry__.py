@@ -2724,6 +2724,61 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_consistent_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash fetcher sharding (webclean.consistent_shard):
+    500 hosts onto an 8-shard × 16-replica md5 ring. The oracle
+    rebuilds the ring and the clockwise-successor rule with
+    correlated arg_min — any drift in ring construction or wraparound
+    breaks the hash."""
+    from pdfplumber_rs_spark.functions.webclean import consistent_shard
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select(
+        F.format_string("h%d.example.com", "doc_id").alias("host"))
+    return consistent_shard(hosts, n_shards=8, replicas=16) \
+        .orderBy("host")
+
+
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (joins.apply_changelog): base (url, digest) snapshot
+    plus a changelog with latest-upsert-wins, deletes, multi-version
+    keys, fresh inserts, and insert-then-delete keys — the
+    merge-on-read compaction semantics. Oracle states the final table
+    in closed form per residue."""
+    from pdfplumber_rs_spark.functions.joins import apply_changelog
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    u = F.format_string("https://site.example.com/%08d", "doc_id")
+    base = docs.select(u.alias("url"), F.md5("text").alias("digest"))
+    r = F.pmod("doc_id", F.lit(4))
+
+    def chg(cond, url_col, ts, op, digest):
+        return docs.filter(cond).select(
+            url_col.alias("url"), F.lit(ts).cast("long").alias("ts"),
+            F.lit(op).alias("op"), digest.alias("digest"))
+
+    u2 = F.format_string("https://site.example.com/%08d",
+                         F.col("doc_id") + 100000)
+    u3 = F.format_string("https://site.example.com/%08d",
+                         F.col("doc_id") + 200000)
+    changes = (
+        chg(r == 1, u, 2, "U", F.md5(F.concat("text", F.lit("a"))))
+        .unionByName(chg(r == 2, u, 1, "D", F.lit(None).cast("string")))
+        .unionByName(chg(r == 3, u, 1, "U",
+                         F.md5(F.concat("text", F.lit("x")))))
+        .unionByName(chg(r == 3, u, 2, "U",
+                         F.md5(F.concat("text", F.lit("y")))))
+        .unionByName(chg(F.pmod("doc_id", F.lit(10)) == 0, u2, 1, "U",
+                         F.md5(F.concat(F.lit("ins"),
+                                        F.col("doc_id").cast("string")))))
+        .unionByName(chg(F.pmod("doc_id", F.lit(12)) == 0, u3, 1, "U",
+                         F.lit("tmp")))
+        .unionByName(chg(F.pmod("doc_id", F.lit(12)) == 0, u3, 2, "D",
+                         F.lit(None).cast("string")))
+    )
+    return apply_changelog(base, changes).orderBy("url")
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style overlap pairs (text.winnow_pairs) over documents:
     docs sharing >= 5 rare winnowing fingerprints (df cap 20 drops
@@ -3425,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "consistent_shard": q_consistent_shard, # md5-ring fetcher map
+        "changelog_merge": q_changelog,         # CDC upsert/delete
         "winnow_pairs": q_winnow_pairs,         # MOSS overlap pairs
         "quality_report": q_quality_report,     # fused filter verdicts
         "compression_ratio": q_compression_ratio,  # bytes per token
@@ -3779,6 +3836,48 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "consistent_shard": """
+            with ring as (
+              select cast(a.s as int) as s,
+                ('0x' || substr(md5('ring:' || cast(a.s as varchar)
+                  || ':' || cast(b.r as varchar)), 1, 8))::bigint
+                  as point
+              from generate_series(0, 7) as a(s),
+                   generate_series(0, 15) as b(r)
+            ), hosts as (
+              select printf('h%d.example.com', doc_id) as host,
+                ('0x' || substr(md5(printf('h%d.example.com', doc_id)),
+                  1, 8))::bigint as hp
+              from documents
+            )
+            select h.host,
+              cast(coalesce(
+                (select arg_min(r2.s, r2.point) from ring r2
+                 where r2.point >= h.hp),
+                (select arg_min(r3.s, r3.point) from ring r3))
+                as int) as shard
+            from hosts h order by host""",
+        "changelog_merge": """
+            with base as (
+              select doc_id, text,
+                printf('https://site.example.com/%08d', doc_id) as url
+              from documents
+            )
+            select url, digest from (
+              select url, md5(text) as digest
+              from base where doc_id % 4 = 0
+              union all
+              select url, md5(text || 'a')
+              from base where doc_id % 4 = 1
+              union all
+              select url, md5(text || 'y')
+              from base where doc_id % 4 = 3
+              union all
+              select printf('https://site.example.com/%08d',
+                            doc_id + 100000),
+                     md5('ins' || cast(doc_id as varchar))
+              from base where doc_id % 10 = 0
+            ) order by url""",
         "winnow_pairs": """
             with s as (
               select doc_id,

@@ -80,3 +80,43 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
           for c in right_cols],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def apply_changelog(base: DataFrame, changes: DataFrame,
+                    key_col: str = "url", ts_col: str = "ts",
+                    op_col: str = "op") -> DataFrame:
+    """CDC merge — the merge-on-read upsert a lakehouse table (Iceberg
+    v2 deletes, Hudi MoR) performs at compaction: apply an ordered
+    changelog of upserts ('U') and deletes ('D') onto a base snapshot
+    and return the final state. Per key, the LATEST change by
+    (ts, op) wins; 'D' removes the row, 'U' replaces it; keys without
+    changes pass through.
+
+    Ties at identical ts resolve to the op sorting LAST in the
+    (ts, op) struct max — 'U' > 'D' lexicographically, so an upsert
+    observed at the same instant as a delete wins. Deterministic, and
+    stated here because the oracle must agree.
+
+    Scale shape: ONE max_by aggregation collapses the changelog to
+    its per-key head (map-side partials), then ONE key-equi
+    full-outer join against base — both shuffles on the same uniform
+    key, so co-located/bucketed tables join without an exchange."""
+    from pyspark.sql import functions as F
+
+    value_cols = [c for c in changes.columns
+                  if c not in (key_col, ts_col, op_col)]
+    head = changes.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("op"),
+                     *[F.col(c).alias(c) for c in value_cols]),
+            F.struct(F.col(ts_col), F.col(op_col))).alias("chg"))
+    joined = base.join(head, key_col, "full_outer")
+    kept = joined.filter(
+        F.col("chg").isNull() | (F.col("chg.op") != "D"))
+    return kept.select(
+        key_col,
+        *[F.when(F.col("chg").isNotNull(), F.col(f"chg.{c}"))
+          .otherwise(F.col(c)).alias(c) for c in value_cols
+          if c in base.columns] +
+        [F.col(f"chg.{c}").alias(c) for c in value_cols
+         if c not in base.columns])

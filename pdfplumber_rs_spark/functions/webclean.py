@@ -960,3 +960,36 @@ def url_trap_score(pages: DataFrame, host_col: str = "host",
         "host", "n_urls", "n_resources",
         F.round(1.0 - F.col("n_resources") / F.col("n_urls"), 6)
         .alias("trap_score"))
+
+
+def consistent_shard(hosts: DataFrame, n_shards: int = 8,
+                     replicas: int = 16,
+                     host_col: str = "host") -> DataFrame:
+    """Consistent-hash ring assignment of hosts to fetcher shards —
+    the crawler property plain `hash % n` lacks: growing the fleet
+    from n to n+1 shards remaps only ~1/n of hosts, so per-host
+    politeness state and connection pools stay put. Each shard owns
+    `replicas` ring points at md5('ring:<shard>:<replica>'); a host
+    maps to the first ring point clockwise of md5(host) (wrapping to
+    the ring's minimum). md5 keeps the ring SQL-reproducible.
+
+    Returns (host, shard). Scale shape: the ring is n_shards×replicas
+    rows — a broadcast crossJoin (tiny, whitelisted shape) — and the
+    assignment reduces per host with one min-aggregation, so the
+    cost is a map-side pass over the host table."""
+    points = [(s, r) for s in range(n_shards) for r in range(replicas)]
+    ring = F.array(*[
+        F.struct(
+            F.conv(F.substring(F.md5(F.lit(f"ring:{s}:{r}")), 1, 8),
+                   16, 10).cast("long").alias("point"),
+            F.lit(s).alias("shard"))
+        for s, r in points
+    ])
+    h = F.conv(F.substring(F.md5(F.col(host_col)), 1, 8), 16, 10) \
+        .cast("long")
+    cw = F.filter(ring, lambda p: p["point"] >= h)
+    best = F.when(F.size(cw) > 0, F.array_min(cw)) \
+        .otherwise(F.array_min(ring))
+    return hosts.select(
+        F.col(host_col).alias("host"),
+        best["shard"].cast("int").alias("shard"))

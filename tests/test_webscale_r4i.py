@@ -170,3 +170,69 @@ def test_winnow_pairs_max_df_drops_boilerplate(spark):
     assert winnow_pairs(df, min_shared=1, max_df=3).collect() == []
     # raising the cap brings the pairs back
     assert len(winnow_pairs(df, min_shared=1, max_df=5).collect()) == 10
+
+
+# ---------------------------------------------------------------------------
+# webclean.consistent_shard
+
+
+def test_consistent_shard_stability_under_growth(spark):
+    from pdfplumber_rs_spark.functions.webclean import consistent_shard
+
+    hosts = spark.createDataFrame(
+        [(f"host{i}.example.com",) for i in range(200)], "host string")
+    a = {r.host: r.shard
+         for r in consistent_shard(hosts, n_shards=8).collect()}
+    b = {r.host: r.shard
+         for r in consistent_shard(hosts, n_shards=9).collect()}
+    assert all(0 <= s < 8 for s in a.values())
+    moved = sum(1 for h in a if a[h] != b[h])
+    # consistent hashing: roughly 1/9 of keys move, never a wholesale
+    # remap (plain mod-N would move ~8/9)
+    assert moved < 200 * 0.35
+    # deterministic across runs
+    again = {r.host: r.shard
+             for r in consistent_shard(hosts, n_shards=8).collect()}
+    assert again == a
+
+
+def test_consistent_shard_spreads_load(spark):
+    from pdfplumber_rs_spark.functions.webclean import consistent_shard
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.org",) for i in range(400)], "host string")
+    counts = {}
+    for r in consistent_shard(hosts, n_shards=4, replicas=32).collect():
+        counts[r.shard] = counts.get(r.shard, 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    assert max(counts.values()) < 400 * 0.6  # no shard hogs the ring
+
+
+# ---------------------------------------------------------------------------
+# joins.apply_changelog
+
+
+def test_apply_changelog_merge(spark):
+    from pdfplumber_rs_spark.functions.joins import apply_changelog
+
+    base = spark.createDataFrame(
+        [("a", "v0"), ("b", "v0"), ("c", "v0")], "url string, val string")
+    changes = spark.createDataFrame(
+        [("a", 1, "U", "v1"), ("a", 2, "U", "v2"),     # latest upsert wins
+         ("b", 1, "D", None),                          # deleted
+         ("d", 1, "U", "new"),                         # insert
+         ("e", 1, "U", "x"), ("e", 2, "D", None)],     # insert then delete
+        "url string, ts long, op string, val string")
+    out = {r.url: r.val for r in apply_changelog(base, changes).collect()}
+    assert out == {"a": "v2", "c": "v0", "d": "new"}
+
+
+def test_apply_changelog_tie_upsert_wins(spark):
+    from pdfplumber_rs_spark.functions.joins import apply_changelog
+
+    base = spark.createDataFrame([("a", "v0")], "url string, val string")
+    changes = spark.createDataFrame(
+        [("a", 5, "D", None), ("a", 5, "U", "v5")],
+        "url string, ts long, op string, val string")
+    out = {r.url: r.val for r in apply_changelog(base, changes).collect()}
+    assert out == {"a": "v5"}
