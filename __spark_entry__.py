@@ -2724,6 +2724,16 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (text.corpus_datasheet): per-language doc
+    and token counts, spread, and corpus token share. Oracle rebuilds
+    the aggregation and share in SQL."""
+    from pdfplumber_rs_spark.functions.text import corpus_datasheet
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_datasheet(docs).orderBy("lang")
+
+
 def q_consistent_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consistent-hash fetcher sharding (webclean.consistent_shard):
     500 hosts onto an 8-shard × 16-replica md5 ring. The oracle
@@ -3480,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "datasheet": q_datasheet,               # per-lang dataset card
         "consistent_shard": q_consistent_shard, # md5-ring fetcher map
         "changelog_merge": q_changelog,         # CDC upsert/delete
         "winnow_pairs": q_winnow_pairs,         # MOSS overlap pairs
@@ -3836,6 +3847,29 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "datasheet": r"""
+            with d as (
+              select lang,
+                case when trim(text) = '' then 0
+                     else len(regexp_split_to_array(trim(text), '\s+'))
+                end as n
+              from documents
+            ), a as (
+              select lang, count(*) as n_docs,
+                     sum(n) as n_tokens, min(n) as min_tokens,
+                     max(n) as max_tokens,
+                     round(avg(n), 6) as avg_tokens
+              from d group by lang
+            ), t as (
+              select cast(sum(n_tokens) as double) as tot from a
+            )
+            select lang, cast(n_docs as bigint) as n_docs,
+                   cast(n_tokens as bigint) as n_tokens,
+                   cast(min_tokens as bigint) as min_tokens,
+                   cast(max_tokens as bigint) as max_tokens,
+                   avg_tokens,
+                   round(n_tokens / tot, 6) as token_share
+            from a, t order by lang""",
         "consistent_shard": """
             with ring as (
               select cast(a.s as int) as s,

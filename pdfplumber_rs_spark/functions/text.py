@@ -985,3 +985,33 @@ def winnow_pairs(df, k: int = 8, window: int = 4, min_shared: int = 3,
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared)
             .orderBy("id_a", "id_b"))
+
+
+def corpus_datasheet(df, id_col: str = "doc_id", text_col: str = "text",
+                     lang_col: str = "lang"):
+    """The datasheet row per language slice — the summary table a
+    dataset card publishes and a mixing config consumes: doc and
+    token counts, token-length spread, and share of corpus tokens.
+
+      (lang, n_docs, n_tokens, min_tokens, max_tokens,
+       avg_tokens 6dp, token_share 6dp)
+
+    One language-keyed aggregation with map-side partials plus a
+    1-row total broadcast — deliberately percentile-free (exact
+    quantile semantics differ across engines; min/max/avg are
+    portable and are what mixing weights actually use)."""
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).alias("n"))
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"))
+    total = agg.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return (agg.crossJoin(F.broadcast(total))
+            .select("lang", "n_docs", "n_tokens", "min_tokens",
+                    "max_tokens", "avg_tokens",
+                    F.round(F.col("n_tokens") / F.col("tot"), 6)
+                    .alias("token_share")))

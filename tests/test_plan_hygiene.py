@@ -44,6 +44,8 @@ ALLOW_BNLJ = {
     "kl_drift",
     # r4i: quantize broadcasts the 1-row per-dim min/max calibration
     "quantize",
+    # r4j: datasheet's token_share divides by the 1-row corpus total
+    "datasheet",
 }
 
 

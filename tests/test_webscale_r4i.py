@@ -236,3 +236,21 @@ def test_apply_changelog_tie_upsert_wins(spark):
         "url string, ts long, op string, val string")
     out = {r.url: r.val for r in apply_changelog(base, changes).collect()}
     assert out == {"a": "v5"}
+
+
+# ---------------------------------------------------------------------------
+# text.corpus_datasheet
+
+
+def test_corpus_datasheet(spark):
+    from pdfplumber_rs_spark.functions.text import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "en"), (3, "f g h i", "de")],
+        "doc_id long, text string, lang string")
+    out = {r.lang: r for r in corpus_datasheet(df).collect()}
+    en, de = out["en"], out["de"]
+    assert (en.n_docs, en.n_tokens, en.min_tokens, en.max_tokens) == (2, 5, 2, 3)
+    assert en.avg_tokens == 2.5
+    assert en.token_share == pytest.approx(5 / 9, abs=1e-6)
+    assert de.n_docs == 1 and de.token_share == pytest.approx(4 / 9, abs=1e-6)
