@@ -2724,6 +2724,49 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+BM25_BATCH_QUERIES = [
+    (0, "spark window batch"),
+    (1, "hash join scan"),
+    (2, "merge sort stream"),
+    (3, "table part order"),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 serving (text.bm25_batch): four fixed queries,
+    top-5 docs each, corpus-wide df/idf — must reduce to bm25_topk
+    per query (pytest-proved). Oracle replays the full scoring in SQL
+    with the query table as VALUES."""
+    from pdfplumber_rs_spark.functions.text import bm25_batch
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        BM25_BATCH_QUERIES, "query_id long, query_text string")
+    return bm25_batch(docs, queries, topk=5) \
+        .orderBy("query_id", "rank")
+
+
+def q_host_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror/scraper diagnostics (text.host_dup_rate): docs with
+    doc_id%3==0 share one of ten planted content blocks (cross-host —
+    host = doc_id%7, block = doc_id%10), the rest stay unique; the
+    oracle recomputes the fingerprint counts and per-host shares."""
+    from pdfplumber_rs_spark.functions.text import host_dup_rate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        F.format_string("mirrored Block %d content",
+                        F.pmod("doc_id", F.lit(10)).cast("int"))) \
+        .otherwise(F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                            F.lit(" "), F.col("text")))
+    pages = docs.select(
+        F.format_string("host%d", F.pmod("doc_id", F.lit(7)).cast("int"))
+        .alias("host"),
+        "doc_id", text.alias("text"))
+    return host_dup_rate(pages).orderBy("host")
+
+
 def q_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card summary (text.corpus_datasheet): per-language doc
     and token counts, spread, and corpus token share. Oracle rebuilds
@@ -3490,6 +3533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "bm25_batch": q_bm25_batch,             # multi-query retrieval
+        "host_dup_rate": q_host_dup_rate,       # mirror diagnostics
         "datasheet": q_datasheet,               # per-lang dataset card
         "consistent_shard": q_consistent_shard, # md5-ring fetcher map
         "changelog_merge": q_changelog,         # CDC upsert/delete
@@ -3847,6 +3892,81 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "bm25_batch": """
+            with qt as (
+              select * from (values (0, 'spark window batch'),
+                (1, 'hash join scan'), (2, 'merge sort stream'),
+                (3, 'table part order')) as v(query_id, query_text)
+            ), q as (
+              select distinct query_id, t.term
+              from qt, lateral unnest(list_filter(
+                regexp_split_to_array(lower(query_text), '[^a-z0-9]+'),
+                x -> x <> '')) as t(term)
+            ), t as (
+              select doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text,
+                  '')), '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), lens as (
+              select doc_id, cast(len(toks) as double) as dl from t
+            ), stats as (
+              select cast(count(*) as double) as n_docs, avg(dl) as avgdl
+              from lens
+            ), post as (
+              select doc_id, term, cast(count(*) as double) as tf
+              from (select doc_id, unnest(toks) as term from t)
+              where term in (select term from q)
+              group by doc_id, term
+            ), idf as (
+              select term,
+                     ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)) as idf
+              from (select term,
+                           cast(count(distinct doc_id) as double) as df_t
+                    from post group by term), stats
+            ), s as (
+              select q.query_id, p.doc_id,
+                     round(sum(i.idf * p.tf * 2.2
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                          / st.avgdl))), 6) as score
+              from post p
+              join idf i using (term)
+              join q on q.term = p.term
+              join lens l on l.doc_id = p.doc_id, stats st
+              group by q.query_id, p.doc_id
+            ), ranked as (
+              select *, row_number() over (partition by query_id
+                order by score desc, doc_id asc) as rank
+              from s
+            )
+            select cast(query_id as bigint) as query_id, doc_id, score,
+                   cast(rank as int) as rank
+            from ranked where rank <= 5 order by query_id, rank""",
+        "host_dup_rate": """
+            with pages as (
+              select printf('host%d', cast(doc_id % 7 as int)) as host,
+                doc_id,
+                case when doc_id % 3 = 0
+                     then printf('mirrored Block %d content',
+                                 cast(doc_id % 10 as int))
+                     else 'u' || cast(doc_id as varchar) || ' ' || text
+                end as text
+              from documents
+            ), p as (
+              select host, doc_id,
+                md5(trim(regexp_replace(lower(coalesce(text, '')),
+                  '\\s+', ' ', 'g'))) as fp
+              from pages
+            ), c as (
+              select fp, count(*) as n_fp from p group by fp
+            ), f as (
+              select p.host,
+                     case when c.n_fp > 1 then 1 else 0 end as is_dup
+              from p join c using (fp)
+            )
+            select host, cast(count(*) as bigint) as n_docs,
+                   cast(sum(is_dup) as bigint) as n_dup_docs,
+                   round(sum(is_dup) / count(*), 6) as dup_rate
+            from f group by host order by host""",
         "datasheet": r"""
             with d as (
               select lang,

@@ -1015,3 +1015,94 @@ def corpus_datasheet(df, id_col: str = "doc_id", text_col: str = "text",
                     "max_tokens", "avg_tokens",
                     F.round(F.col("n_tokens") / F.col("tot"), 6)
                     .alias("token_share")))
+
+
+def bm25_batch(df, queries, topk: int = 5, k1: float = 1.2,
+               b: float = 0.75, id_col: str = "doc_id",
+               text_col: str = "text", qid_col: str = "query_id",
+               qtext_col: str = "query_text"):
+    """Batch BM25 retrieval — bm25_topk generalized from one ad-hoc
+    term set to a QUERY TABLE, the serving shape of corpus search
+    (benchmark-contamination review sweeps, targeted data pulls run
+    hundreds of queries per pass): returns the top-k docs per query
+    as (query_id, doc_id, score, rank), score 6dp, ties → doc_id.
+
+    Scale shape: the query table is small by assumption and rides
+    broadcasts end to end — the union of query terms semi-join
+    filters the token explode map-side, so only matching postings
+    reach the one (doc_id, term) hash-agg; idf is a |terms|-row
+    broadcast; per-(query, doc) scores aggregate with map-side
+    partials and the per-query top-k compiles to WindowGroupLimit
+    (partial heaps), never a global sort. df/idf use the corpus-wide
+    document frequency, identical to bm25_topk's definition."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(word_tokens(F.col(qtext_col))).alias("term"),
+    ).distinct()
+    all_terms = q.select("term").distinct()
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_tokens(F.col(text_col)).alias("toks"))
+    lens = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = lens.agg(F.count("*").cast("double").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    postings = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(all_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf")))
+    docfreq = postings.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df_t"))
+    idf = (docfreq.crossJoin(F.broadcast(stats))
+           .select("term",
+                   F.log(F.lit(1.0)
+                         + (F.col("n_docs") - F.col("df_t") + 0.5)
+                         / (F.col("df_t") + 0.5)).alias("idf")))
+    scored = (
+        postings
+        .join(F.broadcast(idf), "term")
+        .join(F.broadcast(q), "term")
+        .join(lens.crossJoin(F.broadcast(stats)), "doc_id")
+        .select(
+            "query_id", "doc_id",
+            (F.col("idf") * F.col("tf") * (k1 + 1.0)
+             / (F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+            .alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "doc_id", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def host_dup_rate(pages, host_col: str = "host", id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-host duplication diagnostics: the share of a host's
+    documents whose normalized fingerprint appears MORE THAN ONCE in
+    the whole corpus (cross-host duplicates count — mirror sites show
+    up on both ends). High-rate hosts are mirrors/scrapers the
+    frontier should deprioritize BEFORE dedup spends work on them.
+
+      (host, n_docs, n_dup_docs, dup_rate 6dp)
+
+    Scale shape: fingerprints (md5 of whitespace-normalized text) are
+    uniform keys; ONE fp-count agg + a fp-keyed join back (dup set
+    scales with the corpus — never broadcast) + ONE host agg."""
+    fp = F.md5(F.trim(F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")))
+    p = pages.select(F.col(host_col).alias("host"),
+                     F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    counts = p.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    flagged = p.join(counts, "fp").select(
+        "host", "doc_id", (F.col("n_fp") > 1).alias("is_dup"))
+    return (flagged.groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"))
+            .select("host", "n_docs",
+                    F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+                    F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+                    .alias("dup_rate")))

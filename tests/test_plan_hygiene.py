@@ -44,8 +44,9 @@ ALLOW_BNLJ = {
     "kl_drift",
     # r4i: quantize broadcasts the 1-row per-dim min/max calibration
     "quantize",
-    # r4j: datasheet's token_share divides by the 1-row corpus total
-    "datasheet",
+    # r4j: datasheet's token_share divides by the 1-row corpus total;
+    # bm25_batch inherits bm25's 1-row N/avgdl stats crossJoin
+    "datasheet", "bm25_batch",
 }
 
 

@@ -254,3 +254,59 @@ def test_corpus_datasheet(spark):
     assert en.avg_tokens == 2.5
     assert en.token_share == pytest.approx(5 / 9, abs=1e-6)
     assert de.n_docs == 1 and de.token_share == pytest.approx(4 / 9, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# text.bm25_batch
+
+
+def test_bm25_batch_matches_single_query_op(spark):
+    from pdfplumber_rs_spark.functions.text import bm25_batch, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join window"), (2, "spark spark spark scan"),
+         (3, "window window batch"), (4, "unrelated words entirely")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "spark window"), (1, "batch scan")],
+        "query_id long, query_text string")
+    batch = {(r.query_id, r.rank): (r.doc_id, r.score)
+             for r in bm25_batch(docs, queries, topk=3).collect()}
+    single = [(r.doc_id, r.score)
+              for r in bm25_topk(docs, ["spark", "window"], topk=3).collect()]
+    got = [batch[(0, i + 1)] for i in range(len(single))]
+    assert got == single  # batch q0 ≡ the single-query operator
+    assert batch[(1, 1)][0] in (2, 3)  # batch/scan docs lead q1
+
+
+def test_bm25_batch_queries_are_independent(spark):
+    from pdfplumber_rs_spark.functions.text import bm25_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha"), (1, "gamma")], "query_id long, query_text string")
+    out = {(r.query_id, r.doc_id) for r in
+           bm25_batch(docs, queries).collect()}
+    assert out == {(0, 1), (1, 2)}  # no cross-query bleed
+
+
+# ---------------------------------------------------------------------------
+# text.host_dup_rate
+
+
+def test_host_dup_rate_counts_cross_host_dups(spark):
+    from pdfplumber_rs_spark.functions.text import host_dup_rate
+
+    rows = [
+        ("a.com", 1, "Same   content"),
+        ("a.com", 2, "same content"),       # dup of 1 (normalized)
+        ("a.com", 3, "original one"),
+        ("b.com", 4, "same\tcontent"),      # cross-host dup
+        ("b.com", 5, "another original"),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    out = {r.host: r for r in host_dup_rate(df).collect()}
+    assert out["a.com"].n_docs == 3 and out["a.com"].n_dup_docs == 2
+    assert out["a.com"].dup_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert out["b.com"].n_dup_docs == 1 and out["b.com"].dup_rate == 0.5
