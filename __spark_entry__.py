@@ -2724,6 +2724,16 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability grading (text.flesch_kincaid) over documents; the
+    oracle recomputes words/sentence-runs/vowel-group syllables and
+    the FK formula with the identical regexes."""
+    from pdfplumber_rs_spark.functions.text import flesch_kincaid
+
+    docs = _read(spark, sf_dir, "documents")
+    return flesch_kincaid(docs).orderBy("doc_id")
+
+
 BM25_BATCH_QUERIES = [
     (0, "spark window batch"),
     (1, "hash join scan"),
@@ -3533,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "flesch": q_flesch,                     # readability grade
         "bm25_batch": q_bm25_batch,             # multi-query retrieval
         "host_dup_rate": q_host_dup_rate,       # mirror diagnostics
         "datasheet": q_datasheet,               # per-lang dataset card
@@ -3892,6 +3903,30 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "flesch": """
+            with c as (
+              select doc_id,
+                case when trim(text) = '' then 0
+                     else len(regexp_split_to_array(trim(text), '\\s+'))
+                end as words,
+                greatest(len(regexp_extract_all(coalesce(text, ''),
+                  '[.!?]+')), 1) as sents,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                  '[aeiouy]+')) as vg
+              from documents
+            ), s as (
+              select doc_id, words, sents,
+                     greatest(vg, words) as syll
+              from c
+            )
+            select doc_id, cast(words as bigint) as n_words,
+                   cast(sents as bigint) as n_sentences,
+                   cast(syll as bigint) as n_syllables,
+                   case when words > 0 then
+                     round(0.39 * (cast(words as double) / sents)
+                           + 11.8 * (cast(syll as double) / words)
+                           - 15.59, 6) end as fk_grade
+            from s order by doc_id""",
         "bm25_batch": """
             with qt as (
               select * from (values (0, 'spark window batch'),

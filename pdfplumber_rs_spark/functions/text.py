@@ -1106,3 +1106,38 @@ def host_dup_rate(pages, host_col: str = "host", id_col: str = "doc_id",
                     F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
                     F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
                     .alias("dup_rate")))
+
+
+def flesch_kincaid(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Flesch–Kincaid grade level — the readability feature
+    educational-quality classifiers (FineWeb-Edu-style) lean on:
+
+      grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    with rule-based counts: words = whitespace tokens, sentences =
+    terminator-run count (min 1), syllables = vowel-group count per
+    the standard heuristic (consecutive [aeiouy] = one syllable, min
+    1 per word — approximated corpus-wide as max(vowel groups,
+    words)). Returns (doc_id, n_words, n_sentences, n_syllables,
+    fk_grade 6dp); blank docs report grade NULL.
+
+    Pure codegen regexp counting — no shuffle; the same regexes run
+    in the SQL oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = token_count(t)
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    vgroups = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0)))
+    syll = F.greatest(vgroups, words)
+    grade = F.when(
+        words > 0,
+        F.round(0.39 * (words.cast("double") / sents)
+                + 11.8 * (syll.cast("double") / words) - 15.59, 6))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+        grade.alias("fk_grade"))

@@ -310,3 +310,23 @@ def test_host_dup_rate_counts_cross_host_dups(spark):
     assert out["a.com"].n_docs == 3 and out["a.com"].n_dup_docs == 2
     assert out["a.com"].dup_rate == pytest.approx(2 / 3, abs=1e-6)
     assert out["b.com"].n_dup_docs == 1 and out["b.com"].dup_rate == 0.5
+
+
+# ---------------------------------------------------------------------------
+# text.flesch_kincaid
+
+
+def test_flesch_kincaid(spark):
+    from pdfplumber_rs_spark.functions.text import flesch_kincaid
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in flesch_kincaid(df).collect()}
+    r = out[1]
+    # words=6, sentences=2, vowel groups: e,a,a,e,o,a = 6 → syll 6
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    expected = round(0.39 * 3 + 11.8 * 1 - 15.59, 6)
+    assert r.fk_grade == pytest.approx(expected, abs=1e-6)
+    assert out[2].fk_grade is None and out[2].n_words == 0
