@@ -2724,6 +2724,16 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.pmi_collocations): top-50 adjacent
+    pairs by PMI with count >= 5; the oracle recomputes bigram/unigram
+    counts, totals, and the PMI formula in SQL."""
+    from pdfplumber_rs_spark.functions.text import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_n=50)
+
+
 def q_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability grading (text.flesch_kincaid) over documents; the
     oracle recomputes words/sentence-runs/vowel-group syllables and
@@ -3543,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "pmi": q_pmi,                           # collocation mining
         "flesch": q_flesch,                     # readability grade
         "bm25_batch": q_bm25_batch,             # multi-query retrieval
         "host_dup_rate": q_host_dup_rate,       # mirror diagnostics
@@ -3903,6 +3914,39 @@ with toks as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
     return {
+        "pmi": """
+            with t as (
+              select doc_id, list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '[^a-z0-9]+'),
+                x -> x <> '') as w
+              from documents
+            ), bg as (
+              select w[cast(s.i as int)] as a,
+                     w[cast(s.i as int) + 1] as b
+              from t, lateral unnest(generate_series(1, len(w) - 1))
+                as s(i)
+              where len(w) >= 2
+            ), cab as (
+              select a, b, count(*) as c_ab from bg group by 1, 2
+            ), uni as (
+              select t2.tok, count(*) as c from (
+                select unnest(w) as tok from t) t2 group by t2.tok
+            ), tot as (
+              select cast(sum(c) as double) as t from uni
+            ), btot as (
+              select cast(sum(c_ab) as double) as bt from cab
+            ), scored as (
+              select cab.a as tok_a, cab.b as tok_b, cab.c_ab,
+                     round(ln((cab.c_ab / btot.bt)
+                       / ((ua.c / tot.t) * (ub.c / tot.t))), 6) as pmi
+              from cab
+              join uni ua on ua.tok = cab.a
+              join uni ub on ub.tok = cab.b, tot, btot
+              where cab.c_ab >= 5
+            )
+            select tok_a, tok_b, cast(c_ab as bigint) as c_ab, pmi
+            from scored
+            order by pmi desc, tok_a asc, tok_b asc limit 50""",
         "flesch": """
             with c as (
               select doc_id,

@@ -1141,3 +1141,53 @@ def flesch_kincaid(df, id_col: str = "doc_id", text_col: str = "text"):
         sents.cast("long").alias("n_sentences"),
         syll.cast("long").alias("n_syllables"),
         grade.alias("fk_grade"))
+
+
+def pmi_collocations(df, min_count: int = 5, top_n: int = 50,
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """PMI collocation mining (Church & Hanks 1990): adjacent word
+    pairs whose co-occurrence beats independence,
+
+        pmi(a,b) = ln( (c_ab/B) / ((c_a/T)·(c_b/T)) )
+
+    over corpus counts (T tokens, B bigrams), reported for pairs with
+    c_ab >= min_count as the top_n by (pmi desc, a asc, b asc):
+    (tok_a, tok_b, c_ab, pmi 6dp). The classic phrase detector that
+    feeds tokenizer merge rules and multi-word stop lists.
+
+    Scale shape: bigrams come from a per-row array transform (no
+    self-join, no window over the corpus) and collapse immediately in
+    ONE (a, b)-keyed count agg; unigram counts are a vocab-sized agg
+    broadcast back; totals ride 1-row broadcasts; the top-n is
+    orderBy+limit (per-partition heaps)."""
+    w = word_tokens(F.col(text_col))
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("a"),
+                        F.element_at(w, i + 1).alias("b")))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bigrams = df.select(F.explode(bi).alias("p")) \
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = df.select(F.explode(w).alias("tok")) \
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    btot = cab.agg(F.sum("c_ab").cast("double").alias("bt"))
+    scored = (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a")
+                          .withColumnRenamed("c", "c_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "b")
+                          .withColumnRenamed("c", "c_b")), "b")
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(btot))
+        .select(
+            F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+            F.col("c_ab"),
+            F.round(F.log((F.col("c_ab") / F.col("bt"))
+                          / ((F.col("c_a") / F.col("t"))
+                             * (F.col("c_b") / F.col("t")))), 6)
+            .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+            .limit(top_n))

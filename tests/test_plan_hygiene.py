@@ -47,6 +47,8 @@ ALLOW_BNLJ = {
     # r4j: datasheet's token_share divides by the 1-row corpus total;
     # bm25_batch inherits bm25's 1-row N/avgdl stats crossJoin
     "datasheet", "bm25_batch",
+    # r4j: pmi crossJoins the 1-row token/bigram totals
+    "pmi",
 }
 
 

@@ -330,3 +330,37 @@ def test_flesch_kincaid(spark):
     expected = round(0.39 * 3 + 11.8 * 1 - 15.59, 6)
     assert r.fk_grade == pytest.approx(expected, abs=1e-6)
     assert out[2].fk_grade is None and out[2].n_words == 0
+
+
+# ---------------------------------------------------------------------------
+# text.pmi_collocations
+
+
+def test_pmi_surfaces_fixed_phrase(spark):
+    import math
+
+    from pdfplumber_rs_spark.functions.text import pmi_collocations
+
+    # 'new york' always adjacent; filler words pair randomly
+    docs = [(i, "new york " + " ".join(
+        ["w%d x%d" % (i % 3, (i + j) % 4) for j in range(4)]))
+        for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, min_count=5, top_n=10).collect()
+    top = rows[0]
+    assert (top.tok_a, top.tok_b) == ("new", "york")
+    assert top.c_ab == 20
+    # hand-check the pmi value: T tokens, B bigrams, c_a=c_b=20
+    T = 20 * 10.0
+    B = 20 * 9.0
+    expected = round(math.log((20 / B) / ((20 / T) * (20 / T))), 6)
+    assert top.pmi == pytest.approx(expected, abs=1e-6)
+
+
+def test_pmi_min_count_filters(spark):
+    from pdfplumber_rs_spark.functions.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "rare pair here"), (2, "other words")],
+        "doc_id long, text string")
+    assert pmi_collocations(df, min_count=2).collect() == []
