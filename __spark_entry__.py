@@ -2724,6 +2724,23 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: the shape report a dedup run
+    publishes (how many pairs vs mega-clusters) — dedup_components'
+    label propagation rolled up to (cluster_size, n_clusters). The
+    oracle derives from the dedup_cc SQL (same 3-round propagation)
+    plus the histogram tail."""
+    from pdfplumber_rs_spark.functions.dedup import dedup_components
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cc = dedup_components(docs, num_hashes=8, band_size=4, n_rounds=3)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    return (sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    F.col("n_clusters").cast("long").alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
 def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (text.pmi_collocations): top-50 adjacent
     pairs by PMI with count >= 5; the oracle recomputes bigram/unigram
@@ -3553,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "cluster_sizes": q_cluster_sizes,       # dedup shape report
         "pmi": q_pmi,                           # collocation mining
         "flesch": q_flesch,                     # readability grade
         "bm25_batch": q_bm25_batch,             # multi-query retrieval
@@ -3913,6 +3931,43 @@ with toks as (
 ), sig as (
   select doc_id, {minhash_cols} from toks group by doc_id
 )"""
+    cc_sql = f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
+            union all
+            select doc_id, 1 as band,
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
+        ), l0 as (
+            select distinct doc_id, doc_id as label from bands
+        ), b1 as (
+            select band, key, min(l.label) as bmin
+            from bands b join l0 l using (doc_id) group by band, key
+        ), l1 as (
+            select b.doc_id, min(bmin) as label
+            from bands b join b1 using (band, key) group by b.doc_id
+        ), b2 as (
+            select band, key, min(l.label) as bmin
+            from bands b join l1 l using (doc_id) group by band, key
+        ), l2 as (
+            select b.doc_id, min(bmin) as label
+            from bands b join b2 using (band, key) group by b.doc_id
+        ), b3 as (
+            select band, key, min(l.label) as bmin
+            from bands b join l2 l using (doc_id) group by band, key
+        ), l3 as (
+            select b.doc_id, min(bmin) as label
+            from bands b join b3 using (band, key) group by b.doc_id
+        )
+        select doc_id, label as component from l3 order by doc_id"""
     return {
         "pmi": """
             with t as (
@@ -5737,43 +5792,14 @@ with toks as (
         from bands a join bands b
           on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id
         order by id_a, id_b""",
-        "dedup_cc": f"""
-        with toks as (
-          select doc_id, unnest({toks}) as tok from documents
-        ), sig8 as (
-          select doc_id, {minhash8_cols} from toks group by doc_id
-        ), bands as (
-            select doc_id, 0 as band,
-                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
-                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
-            from sig8
-            union all
-            select doc_id, 1 as band,
-                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
-                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
-            from sig8
-        ), l0 as (
-            select distinct doc_id, doc_id as label from bands
-        ), b1 as (
-            select band, key, min(l.label) as bmin
-            from bands b join l0 l using (doc_id) group by band, key
-        ), l1 as (
-            select b.doc_id, min(bmin) as label
-            from bands b join b1 using (band, key) group by b.doc_id
-        ), b2 as (
-            select band, key, min(l.label) as bmin
-            from bands b join l1 l using (doc_id) group by band, key
-        ), l2 as (
-            select b.doc_id, min(bmin) as label
-            from bands b join b2 using (band, key) group by b.doc_id
-        ), b3 as (
-            select band, key, min(l.label) as bmin
-            from bands b join l2 l using (doc_id) group by band, key
-        ), l3 as (
-            select b.doc_id, min(bmin) as label
-            from bands b join b3 using (band, key) group by b.doc_id
-        )
-        select doc_id, label as component from l3 order by doc_id""",
+        "dedup_cc": cc_sql,
+        "cluster_sizes": cc_sql.replace(
+            "select doc_id, label as component from l3 order by doc_id",
+            """select cast(sz as bigint) as cluster_size,
+                      cast(count(*) as bigint) as n_clusters
+               from (select label, count(*) as sz from l3
+                     group by label)
+               group by sz order by cluster_size"""),
         "minhash_dedup": f"""
         with toks as (
           select doc_id, unnest({toks}) as tok from documents
