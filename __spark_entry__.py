@@ -2724,6 +2724,16 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, top_n=100)
 
 
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (text.tokenizer_fertility):
+    exact byte/token sums per lang, one end division; oracle rebuilds
+    the shared-dialect pre-tokenizer count and sums."""
+    from pdfplumber_rs_spark.functions.text import tokenizer_fertility
+
+    docs = _read(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs).orderBy("lang")
+
+
 def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size histogram: the shape report a dedup run
     publishes (how many pairs vs mega-clusters) — dedup_components'
@@ -3570,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first so they re-enter the window as earlier entries graduate.
     return {
         # --- NEW this round (never driver-verified) ---
+        "fertility": q_fertility,               # per-lang bytes/token
         "cluster_sizes": q_cluster_sizes,       # dedup shape report
         "pmi": q_pmi,                           # collocation mining
         "flesch": q_flesch,                     # readability grade
@@ -3969,6 +3980,21 @@ with toks as (
         )
         select doc_id, label as component from l3 order by doc_id"""
     return {
+        "fertility": r"""
+            with c as (
+              select lang,
+                octet_length(encode(coalesce(text, ''))) as nb,
+                len(list_filter(regexp_extract_all(coalesce(text, ''),
+                  ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'),
+                  x -> trim(x) <> '')) as nt
+              from documents
+            )
+            select lang, cast(count(*) as bigint) as n_docs,
+                   cast(sum(nb) as bigint) as n_bytes,
+                   cast(sum(nt) as bigint) as n_bpe_tokens,
+                   round(sum(nb) / greatest(sum(nt), 1), 6)
+                     as bytes_per_token
+            from c group by lang order by lang""",
         "pmi": """
             with t as (
               select doc_id, list_filter(regexp_split_to_array(

@@ -1191,3 +1191,28 @@ def pmi_collocations(df, min_count: int = 5, top_n: int = 50,
             .alias("pmi")))
     return (scored.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
             .limit(top_n))
+
+
+def tokenizer_fertility(df, id_col: str = "doc_id",
+                        text_col: str = "text", lang_col: str = "lang"):
+    """Tokenizer fertility per language — UTF-8 bytes per BPE-ish
+    token aggregated by language slice, the number that tells a
+    multilingual mixing config which languages the tokenizer is
+    taxing (high bytes/token = the tokenizer shreds that script):
+
+      (lang, n_docs, n_bytes, n_bpe_tokens, bytes_per_token 6dp)
+
+    Exact integer sums per language, ONE division at the end — one
+    lang-keyed agg with map-side partials, nothing else."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (df.select(F.col(lang_col).alias("lang"),
+                      F.octet_length(t).alias("nb"),
+                      bpe_token_count(t).alias("nt"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nb").cast("long").alias("n_bytes"),
+                 F.sum("nt").cast("long").alias("n_bpe_tokens"))
+            .withColumn("bytes_per_token",
+                        F.round(F.col("n_bytes")
+                                / F.greatest(F.col("n_bpe_tokens"),
+                                             F.lit(1)), 6)))

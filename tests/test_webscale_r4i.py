@@ -364,3 +364,22 @@ def test_pmi_min_count_filters(spark):
         [(1, "rare pair here"), (2, "other words")],
         "doc_id long, text string")
     assert pmi_collocations(df, min_count=2).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# text.tokenizer_fertility
+
+
+def test_tokenizer_fertility(spark):
+    from pdfplumber_rs_spark.functions.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"),      # 11 bytes, 2 tokens
+         (2, "abc", "en"),              # 3 bytes, 1 token
+         (3, "héllo", "fr")],           # 6 bytes
+        "doc_id long, text string, lang string")
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.n_bytes, en.n_bpe_tokens) == (2, 14, 3)
+    assert en.bytes_per_token == pytest.approx(14 / 3, abs=1e-6)
+    assert out["fr"].n_bytes == 6
