@@ -3573,95 +3573,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for the driver's correctness gate: it verifies the
-    # FIRST 50 entries only. Never-yet-driver-verified and new/changed
-    # queries lead (LLM-pipeline battery + round-3 additions); the
-    # pdf_* battery — green in CORRECTNESS_r02 and protected by pytest
-    # + 104-file golden parity — rotates behind, most load-bearing
-    # first so they re-enter the window as earlier entries graduate.
+    # FIRST 50 entries only.  Round-5 rotation (per VERDICT r4 "Next
+    # round" #1): positions 1-14 are EXACTLY the queries no driver
+    # window has ever verified; positions 15-50 are the 36 most
+    # load-bearing pdf-battery entries (last driver check r02).
+    # Everything else rotates BEHIND the window, queued by staleness:
+    # first the 12 round-4-changed queries (judge-green r04-j, owed a
+    # driver verdict on the new form next), then the remaining pdf
+    # battery, then the r03/r04-driver-green batteries.  Any NEW query
+    # must be appended at the very end, BEHIND the rotation queue.
     return {
-        # --- NEW this round (never driver-verified) ---
-        "fertility": q_fertility,               # per-lang bytes/token
-        "cluster_sizes": q_cluster_sizes,       # dedup shape report
-        "pmi": q_pmi,                           # collocation mining
-        "flesch": q_flesch,                     # readability grade
-        "bm25_batch": q_bm25_batch,             # multi-query retrieval
-        "host_dup_rate": q_host_dup_rate,       # mirror diagnostics
-        "datasheet": q_datasheet,               # per-lang dataset card
-        "consistent_shard": q_consistent_shard, # md5-ring fetcher map
-        "changelog_merge": q_changelog,         # CDC upsert/delete
-        "winnow_pairs": q_winnow_pairs,         # MOSS overlap pairs
-        "quality_report": q_quality_report,     # fused filter verdicts
-        "compression_ratio": q_compression_ratio,  # bytes per token
-        "host_template": q_host_template,       # template-mill ratio
-        "url_trap": q_url_trap,                 # session-id trap score
-        "jl_project": q_jl_project,             # sparse sign projection
-        "quantize": q_quantize,                 # int8 scalar codes
-        "paragraph_dedup": q_paragraph_dedup,   # boilerplate-block strip
-        "char_entropy": q_char_entropy,         # garbage-band signal
-        "html_outline": q_html_outline,         # heading bookmarks
-        "stream_spikes": q_stream_spikes,       # streaming burst flags
-        "feeds": q_feeds,                       # RSS item extraction
-        "url_classify": q_url_classify,         # frontier triage flags
-        "bloom_filter": q_bloom_filter,         # seen-URL neg cache
-        "meta_robots": q_meta_robots,           # noindex/nofollow parse
-        "crawl_diff": q_crawl_diff,             # snapshot add/chg/del
-        "kl_drift": q_kl_drift,                 # corpus drift monitor
-        "event_spikes": q_event_spikes,         # hourly burst flags
-        "containment_pairs": q_containment,     # quote/subset detector
-        "levenshtein_titles": q_levenshtein,    # blocked edit distance
-        "oov_rate": q_oov_rate,                 # vocab coverage audit
-        "semdedup": q_semdedup,                 # k-means ε-ball dedup
-        "dsir_weights": q_dsir,                 # hashed importance LM
-        "sentence_split": q_sentence_split,     # terminator segmenter
-        "surt_keys": q_surt_keys,               # archive-sort keys
-        "html_tables": q_html_tables,           # table-cell grid parse
-        "html_meta": q_html_meta,               # head metadata parse
-        "script_detect": q_script_detect,       # Unicode script mix
-        "hash_split": q_hash_split,             # md5 train/val/test
-        "wet_roundtrip": q_wet_roundtrip,       # WET sink→source
-        "tfidf_pairs": q_tfidf_pairs,           # sparse cosine join
-        "url_dedup": q_url_dedup,               # canonical-URL dedup
-        "line_dedup": q_line_dedup,             # C4 corpus line dedup
-        "domain_blocklist": q_domain_blocklist,  # UT1 ancestor-domain
-        "ccnet_buckets": q_ccnet_buckets,       # head/middle/tail ppl
-        "anchor_text": q_anchor_text,           # dst-aggregated anchors
-        "normalize_text": q_normalize_text,     # NFC/control/ws hygiene
-        "sitemaps": q_sitemaps,                 # robots Sitemap lines
-        "hits_hosts": q_hits_hosts,             # HITS hubs/authorities
-        "zipf": q_zipf,                         # Zipf ln-ln regression
-        # --- the 7 queries no driver window has EVER verified (judge
-        # re-ran them green at r3; this puts a DRIVER verdict on them) ---
-        "stratified_sample": q_stratified_sample,
-        "token_shards": q_token_shards,
-        "html_main_content": q_html_main_content,
-        "link_graph": q_link_graph,
-        "pagerank_hosts": q_pagerank_hosts,
-        "doc_repetition": q_doc_repetition,
-        "gopher_filter": q_gopher_filter,
-        # --- changed in round 4 (need fresh driver verdicts) ---
-        "embedding_dedup": q_embedding_dedup,   # bucket-representative
-        "lsh_buckets": q_lsh_buckets,           # array-literal planes
-        "lsh_topk": q_lsh_topk,
-        "robots_filter": q_robots_filter,       # RFC 9309 wildcards
-        "dup_spans": q_dup_spans,               # island merge within k
-        "dup_span_removal": q_dup_span_removal,
-        "store_dedup": q_store_dedup,           # explicit store probe
-        "warc_read": q_warc_read,               # lenient null-row sink
-        "warc_cdx": q_warc_cdx,
-        "warc_roundtrip": q_warc_roundtrip,
-        "dedup_cc": q_dedup_cc,                 # convergence stop option
-        "ivf_topk": q_ivf_topk,                 # Lloyd-trainable codebook
-        "job_resume": q_job_resume,             # NEW r4: resumable job
-        "c4_clean": q_c4_clean,                 # NEW r4: C4 filters
-        "pack_sequences": q_pack_sequences,     # NEW r4: LM seq packing
-        "bigram_logprob": q_bigram_logprob,     # NEW r4: bigram LM filter
-        "temperature_sample": q_temperature_sample,  # NEW r4: mT5 mixing
-        "image_dhash": q_image_dhash,           # NEW r4: image near-dup key
-        "image_dedup": q_image_dedup,           # NEW r4: banded image dedup
-        "crawl_delay": q_crawl_delay,           # NEW r4: delay-aware schedule
-        # --- PDF battery: most load-bearing first (last driver-checked
-        # r02; protected meanwhile by pytest + 104-file golden parity) ---
-        "pdf_text_roundtrip": q_pdf_text_roundtrip,  # handle_skew=True r4
+        # --- positions 1-14: never driver-verified (VERDICT r4 list) ---
+        "token_shards": q_token_shards,  # distributed prefix-sum shard map
+        "html_main_content": q_html_main_content,  # boilerplate strip
+        "link_graph": q_link_graph,  # host-level edges
+        "pagerank_hosts": q_pagerank_hosts,  # tol-stop PageRank
+        "doc_repetition": q_doc_repetition,  # Gopher rep signals
+        "gopher_filter": q_gopher_filter,  # Gopher quality gate
+        "job_resume": q_job_resume,  # checkpoint-resumable job
+        "c4_clean": q_c4_clean,  # C4 line filters
+        "pack_sequences": q_pack_sequences,  # LM sequence packing
+        "bigram_logprob": q_bigram_logprob,  # bigram LM filter
+        "temperature_sample": q_temperature_sample,  # mT5 lang mixing
+        "image_dhash": q_image_dhash,  # image near-dup key
+        "image_dedup": q_image_dedup,  # banded image dedup
+        "crawl_delay": q_crawl_delay,  # delay-aware schedule
+        # --- positions 15-50: pdf battery, stale since r02 ---
+        "pdf_text_roundtrip": q_pdf_text_roundtrip,  # flagship; handle_skew=True
         "pdf_table_cells": q_pdf_table_cells,
         "pdf_giant_doc": q_pdf_giant_doc,
         "pdf_encrypted": q_pdf_encrypted,
@@ -3691,19 +3629,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_text": q_pdf_layout_text,
         "pdf_crop_chars": q_pdf_crop_chars,
         "pdf_char_colors": q_pdf_char_colors,
-        # ---------------- driver window boundary (~50) ----------------
-        "pdf_svg": q_pdf_svg,
-        "pdf_largest_table": q_pdf_largest_table,
-        "pdf_table_quality": q_pdf_table_quality,
-        "pdf_table_debug": q_pdf_table_debug,
         "pdf_repair": q_pdf_repair,
         "pdf_struct_tree": q_pdf_struct_tree,
+        "pdf_largest_table": q_pdf_largest_table,
+        "pdf_table_quality": q_pdf_table_quality,
+        "pdf_svg": q_pdf_svg,
+        "pdf_semantic_text": q_pdf_semantic_text,
+        # ------------- driver window boundary (entry 50) -------------
+        # --- rotation queue: changed in round 4, judge-green r04-j ---
+        "embedding_dedup": q_embedding_dedup,  # bucket-representative
+        "lsh_buckets": q_lsh_buckets,  # array-literal planes
+        "lsh_topk": q_lsh_topk,
+        "robots_filter": q_robots_filter,  # RFC 9309 wildcards
+        "dup_spans": q_dup_spans,  # island merge within k
+        "dup_span_removal": q_dup_span_removal,
+        "store_dedup": q_store_dedup,  # explicit store probe
+        "warc_read": q_warc_read,  # lenient null-row sink
+        "warc_cdx": q_warc_cdx,
+        "warc_roundtrip": q_warc_roundtrip,
+        "dedup_cc": q_dedup_cc,  # convergence stop
+        "ivf_topk": q_ivf_topk,  # Lloyd-trained codebook
+        # --- rotation queue: rest of the pdf battery ---
+        "pdf_markdown": q_pdf_markdown,
+        "pdf_table_debug": q_pdf_table_debug,
         "pdf_budget": q_pdf_budget,
         "pdf_stream": q_pdf_stream,
         "pdf_lineage": q_pdf_lineage,
-        "pdf_semantic_text": q_pdf_semantic_text,
-        "pdf_markdown": q_pdf_markdown,
-        # --- r03-green battery (rotated behind) ---
+        # --- driver-green batteries (r02/r03/r04), least stale last ---
+        "fertility": q_fertility,
+        "cluster_sizes": q_cluster_sizes,
+        "pmi": q_pmi,
+        "flesch": q_flesch,
+        "bm25_batch": q_bm25_batch,
+        "host_dup_rate": q_host_dup_rate,
+        "datasheet": q_datasheet,
+        "consistent_shard": q_consistent_shard,
+        "changelog_merge": q_changelog,
+        "winnow_pairs": q_winnow_pairs,
+        "quality_report": q_quality_report,
+        "compression_ratio": q_compression_ratio,
+        "host_template": q_host_template,
+        "url_trap": q_url_trap,
+        "jl_project": q_jl_project,
+        "quantize": q_quantize,
+        "paragraph_dedup": q_paragraph_dedup,
+        "char_entropy": q_char_entropy,
+        "html_outline": q_html_outline,
+        "stream_spikes": q_stream_spikes,
+        "feeds": q_feeds,
+        "url_classify": q_url_classify,
+        "bloom_filter": q_bloom_filter,
+        "meta_robots": q_meta_robots,
+        "crawl_diff": q_crawl_diff,
+        "kl_drift": q_kl_drift,
+        "event_spikes": q_event_spikes,
+        "containment_pairs": q_containment,
+        "levenshtein_titles": q_levenshtein,
+        "oov_rate": q_oov_rate,
+        "semdedup": q_semdedup,
+        "dsir_weights": q_dsir,
+        "sentence_split": q_sentence_split,
+        "surt_keys": q_surt_keys,
+        "html_tables": q_html_tables,
+        "html_meta": q_html_meta,
+        "script_detect": q_script_detect,
+        "hash_split": q_hash_split,
+        "wet_roundtrip": q_wet_roundtrip,
+        "tfidf_pairs": q_tfidf_pairs,
+        "url_dedup": q_url_dedup,
+        "line_dedup": q_line_dedup,
+        "domain_blocklist": q_domain_blocklist,
+        "ccnet_buckets": q_ccnet_buckets,
+        "anchor_text": q_anchor_text,
+        "normalize_text": q_normalize_text,
+        "sitemaps": q_sitemaps,
+        "hits_hosts": q_hits_hosts,
+        "zipf": q_zipf,
+        "stratified_sample": q_stratified_sample,
         "image_luma": q_image_luma,
         "bm25": q_bm25,
         "vocab_stats": q_vocab_stats,
@@ -3741,7 +3743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "av_meta": q_av_meta,
         "frame_sample": q_frame_sample,
-        # --- TPC-ish operator battery (green in r02) ---
         "doctop_cumsum": q_doctop_cumsum,
         "sessionize": q_sessionize,
         "session_text": q_session_text,
