@@ -3562,6 +3562,103 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-5 additions (registry positions BEHIND the rotation queue) ---
+
+
+# the synthetic corpus vocabulary is SQL-ish planner words; this list
+# plays the role of C4's public "dirty words" blocklist in the demo
+# query (the operator takes any caller-supplied list)
+_BADWORDS_DEMO = ("slow", "dup", "spill")
+
+
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 blocklist gate (text.badwords_filter): token-granular
+    match against a constant blocklist literal — pure codegen scan,
+    zero shuffles."""
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return badwords_filter(docs, _BADWORDS_DEMO).orderBy("doc_id")
+
+
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate→verify near-dup pairs (dedup.minhash_verified_pairs):
+    LSH banding proposes, exact token-set Jaccard disposes — the
+    two-stage production shape that removes LSH false positives before
+    any drop decision."""
+    from pdfplumber_rs_spark.functions.dedup import minhash_verified_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    # same 4-minima banding as q_minhash_candidates; threshold 0.5
+    # keeps only pairs sharing half their vocabulary
+    return (minhash_verified_pairs(docs, num_hashes=8, band_size=4,
+                                   threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (sampling.sliding_chunks):
+    64-token chunks at stride 48 per document — one explode whose
+    fan-out IS the output, no shuffle."""
+    from pdfplumber_rs_spark.functions.sampling import sliding_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return (sliding_chunks(docs, chunk_size=64, stride=48)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal (dedup.quality_dedup): per LSH
+    bucket keep the LONGEST document (RefinedWeb's keep-best policy,
+    score = n_chars), linear in bucket size."""
+    from pdfplumber_rs_spark.functions.dedup import quality_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return (quality_dedup(docs, "n_chars", num_hashes=8, band_size=4)
+            .orderBy("doc_id"))
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate line removal (webclean.host_boilerplate_
+    strip): source plays host; 10-token lines (this corpus has no
+    newlines); any line shared by ≥2 docs and ≥5% of the host's corpus
+    strips everywhere it occurs."""
+    from pdfplumber_rs_spark.functions.webclean import (
+        host_boilerplate_strip)
+
+    docs = _read(spark, sf_dir, "documents")
+    out = host_boilerplate_strip(docs, max_ratio=0.05, min_docs=2,
+                                 line_tokens=10, host_col="source")
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5("kept_text").alias("kept_md5")).orderBy("doc_id")
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe planning (sampling.mixture_plan): per-source token
+    inventory vs target mixture weights at a 1M-token budget — one
+    source-keyed aggregation."""
+    from pdfplumber_rs_spark.functions.sampling import mixture_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    return (mixture_plan(docs,
+                         {"src0": 4.0, "src1": 2.0, "src2": 1.0,
+                          "src3": 1.0},
+                         budget_tokens=1_000_000)
+            .orderBy("source"))
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (sampling.epoch_shuffle):
+    epoch-1 permutation into 8 shards with within-shard positions —
+    one balanced shard-keyed exchange."""
+    from pdfplumber_rs_spark.functions.sampling import epoch_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return (epoch_shuffle(docs.select("doc_id"), epoch=1, n_shards=8)
+            .orderBy("shard", "pos"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -3753,6 +3850,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_topn": q_revenue_topn,
         "region_customers": q_region_customers,
         "dedup_exact": q_dedup_exact,
+        # --- NEW round 5: appended BEHIND the rotation queue ---
+        "badwords": q_badwords,  # C4 blocklist gate
+        "minhash_verified": q_minhash_verified,  # LSH candidate→exact-Jaccard
+        "sliding_chunks": q_sliding_chunks,  # overlapping context windows
+        "quality_dedup": q_quality_dedup,  # keep-best near-dup winner
+        "boilerplate_strip": q_boilerplate_strip,  # per-host line strip
+        "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
+        "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
     }
 
 
@@ -6939,4 +7044,186 @@ with toks as (
                         then 1 + (doc_id % 4) // 2
                         else null end as int) as channels
             from documents order by doc_id""",
+        # --- round 5 ---
+        "badwords": """
+            with t as (
+              select doc_id,
+                     list_filter(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''),
+                       x -> list_contains(['slow', 'dup', 'spill'], x))
+                       as bad
+              from documents
+            )
+            select doc_id, cast(len(bad) as bigint) as n_bad_tokens,
+                   bad[1] as first_bad, len(bad) = 0 as kept
+            from t order by doc_id""",
+        "minhash_verified": f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
+            union all
+            select doc_id, 1 as band,
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
+        ), cands as (
+            select distinct a.doc_id as id_a, b.doc_id as id_b
+            from bands a join bands b
+              on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id
+        ), ts as (
+            select doc_id, {toks} as tok from documents
+        )
+        select c.id_a, c.id_b,
+               round(len(list_intersect(ta.tok, tb.tok)) * 1.0 /
+                 greatest(len(ta.tok) + len(tb.tok)
+                          - len(list_intersect(ta.tok, tb.tok)), 1), 6)
+                 as jaccard_sim
+        from cands c
+          join ts ta on c.id_a = ta.doc_id
+          join ts tb on c.id_b = tb.doc_id
+        where len(list_intersect(ta.tok, tb.tok)) * 1.0 /
+              greatest(len(ta.tok) + len(tb.tok)
+                       - len(list_intersect(ta.tok, tb.tok)), 1) >= 0.5
+        order by id_a, id_b""",
+        "sliding_chunks": """
+            with t as (
+              select doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') as tok
+              from documents
+            ), nz as (
+              select doc_id, tok, len(tok) as n from t where len(tok) > 0
+            ), st as (
+              select doc_id, tok, n,
+                     unnest(generate_series(0, n - 1, 48)) as start
+              from nz
+            )
+            select doc_id, cast(start // 48 as bigint) as chunk_id,
+                   cast(start as bigint) as start,
+                   cast(least(64, n - start) as bigint) as n_tokens,
+                   md5(array_to_string(
+                     tok[start + 1 : least(start + 64, n)], ' '))
+                     as chunk_md5
+            from st order by doc_id, chunk_id""",
+        "quality_dedup": f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
+            union all
+            select doc_id, 1 as band,
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
+        ), bq as (
+            select b.doc_id, b.band, b.key, d.n_chars as q
+            from bands b join documents d using (doc_id)
+        ), reps as (
+            select band, key, doc_id as rep_id, q as rep_q from (
+              select band, key, doc_id, q,
+                     row_number() over (partition by band, key
+                       order by q desc, doc_id asc) as rn
+              from bq) where rn = 1
+        ), ranked as (
+            select b.doc_id, b.q, r.rep_id, r.rep_q,
+                   row_number() over (partition by b.doc_id
+                     order by r.rep_q desc, r.rep_id asc) as rn
+            from bq b join reps r on b.band = r.band and b.key = r.key
+        )
+        select doc_id, cast(rep_id as bigint) as keep_id
+        from ranked
+        where rn = 1 and (rep_q > q or (rep_q = q and rep_id < doc_id))
+        order by doc_id""",
+        "boilerplate_strip": r"""
+            with l as (
+              select doc_id, source,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), lines as (
+              select doc_id, source, cast(u.i as bigint) as line_idx,
+                     array_to_string(
+                       toks[(cast(u.i as int) * 10 + 1)
+                            :(cast(u.i as int) * 10 + 10)], ' ') as line
+              from l, lateral unnest(generate_series(0,
+                cast(ceil(len(toks) / 10.0) as int) - 1)) as u(i)
+              where len(toks) > 0
+            ), ld as (
+              select source, line, count(distinct doc_id) as n_line_docs
+              from lines group by source, line
+            ), hosts as (
+              select source, count(distinct doc_id) as n_docs
+              from l group by source
+            ), boiler as (
+              select ld.source, ld.line
+              from ld join hosts using (source)
+              where ld.n_line_docs >= 2
+                and ld.n_line_docs >= hosts.n_docs * 0.05
+            ), kept as (
+              select li.doc_id, count(*) as n_kept,
+                     string_agg(li.line, ' ' order by li.line_idx)
+                       as kept_text
+              from lines li anti join boiler b
+                on li.source = b.source and li.line = b.line
+              group by li.doc_id
+            )
+            select l.doc_id,
+                   cast(case when len(l.toks) > 0
+                        then ceil(len(l.toks) / 10.0) else 0 end
+                        as bigint) as n_lines,
+                   cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+                   md5(coalesce(k.kept_text, '')) as kept_md5
+            from l left join kept k on l.doc_id = k.doc_id
+            order by l.doc_id""",
+        "mixture_plan": """
+            with per as (
+              select source, count(*) as n_docs,
+                     sum(len(list_filter(regexp_split_to_array(
+                       lower(text), '[^a-z0-9]+'), x -> x <> '')))
+                       as n_tokens
+              from documents group by source
+            ), w as (
+              select *, case source when 'src0' then 4.0
+                                    when 'src1' then 2.0
+                                    when 'src2' then 1.0
+                                    when 'src3' then 1.0
+                                    else 0.0 end as wt
+              from per
+            )
+            select source, cast(n_docs as bigint) as n_docs,
+                   cast(n_tokens as bigint) as n_tokens,
+                   round(wt / 8.0, 6) as weight,
+                   cast(round(1000000.0 * wt / 8.0, 0) as bigint)
+                     as target_tokens,
+                   round(round(1000000.0 * wt / 8.0, 0)
+                         / greatest(n_tokens, 1), 6) as epochs
+            from w order by source""",
+        "epoch_shuffle": """
+            with k as (
+              select doc_id,
+                     md5(cast(doc_id as varchar) || ':1') as order_key
+              from documents
+            ), s as (
+              select doc_id, order_key,
+                     ('0x' || substr(order_key, 1, 8))::bigint % 8
+                       as shard
+              from k
+            )
+            select doc_id, order_key, shard,
+                   cast(row_number() over (partition by shard
+                     order by order_key, doc_id) as bigint) as pos
+            from s order by shard, pos""",
     }

@@ -163,6 +163,43 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           band_size: int = 2,
+                           threshold: float = 0.5) -> DataFrame:
+    """Candidate→verify, the production two-stage near-dup shape
+    (Lee et al. 2022 §3 and every MinHash deployment since Broder):
+    LSH banding proposes candidate pairs cheaply but with false
+    positives (a single colliding band suffices); each candidate is
+    then VERIFIED with the exact token-set Jaccard before any removal
+    decision. Returns (id_a, id_b, jaccard_sim) for verified pairs
+    only.
+
+    Scale shape: candidates come from minhash_lsh_candidates (bucket
+    join — its O(B²)-per-bucket enumeration caveat applies; for
+    removal-only pipelines use minhash_dedup's linear representative
+    path and verify just the doc→rep edges). Verification is two
+    equi-joins on the uniform doc-id key to fetch each side's token
+    set, then a codegen array_intersect/array_union — the token
+    STREAM never re-shuffles, only one token-set array per candidate
+    endpoint moves."""
+    cands = minhash_lsh_candidates(df, id_col, text_col,
+                                   num_hashes, band_size)
+    t = df.select(F.col(id_col).alias("id"),
+                  token_set(F.col(text_col)).alias("toks"))
+    return (
+        cands
+        .join(t.select(F.col("id").alias("id_a"),
+                       F.col("toks").alias("toks_a")), "id_a")
+        .join(t.select(F.col("id").alias("id_b"),
+                       F.col("toks").alias("toks_b")), "id_b")
+        .select("id_a", "id_b",
+                jaccard(F.col("toks_a"), F.col("toks_b"))
+                .alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", num_hashes: int = 8,
                   band_size: int = 4) -> DataFrame:
@@ -180,6 +217,46 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
         .groupBy("doc_id")
         .agg(F.min("rep").alias("keep_id"))
         .filter(F.col("keep_id") < F.col("doc_id"))
+    )
+
+
+def quality_dedup(df: DataFrame, score: Column | str,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  num_hashes: int = 8, band_size: int = 4) -> DataFrame:
+    """minhash_dedup with a QUALITY-AWARE winner: per LSH bucket keep
+    the highest-scoring document instead of the smallest id — the
+    RefinedWeb/FineWeb production policy (near-dup clusters keep the
+    longest / best-quality member, not an arbitrary one; Penedo et al.
+    2023 §3.3 dedups before filtering for exactly this reason). Ties
+    break to the smaller id, so the output is deterministic.
+
+    Same LINEAR-in-bucket-size shape as minhash_dedup: per bucket ONE
+    max(struct(score, -id)) aggregation picks the representative (no
+    pair enumeration — a 10^6-page mega-bucket costs 10^6 rows); each
+    document reduces its bands' representatives with a second
+    max(struct) and is dropped iff some bucket holds a strictly better
+    member. The score attaches to band rows via ONE equi-join on the
+    uniform doc-id key (doc-count-sized, not token-stream-sized);
+    everything downstream shuffles band rows only.
+    Returns (doc_id, keep_id) for documents that should be dropped."""
+    score_col = F.col(score) if isinstance(score, str) else score
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size) \
+        .join(df.select(F.col(id_col).alias("doc_id"),
+                        score_col.cast("double").alias("q")), "doc_id")
+    reps = bands.groupBy("band", "key").agg(
+        F.max(F.struct(F.col("q").alias("q"),
+                       (-F.col("doc_id")).alias("neg_id"))).alias("w"))
+    best = (
+        bands.join(reps, ["band", "key"])
+        .groupBy("doc_id", "q")
+        .agg(F.max("w").alias("w"))
+    )
+    return (
+        best.filter(F.col("w") > F.struct(F.col("q").alias("q"),
+                                          (-F.col("doc_id"))
+                                          .alias("neg_id")))
+        .select("doc_id", (-F.col("w.neg_id")).cast("long")
+                .alias("keep_id"))
     )
 
 

@@ -15,7 +15,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count, word_tokens
+
+
+def sliding_chunks(docs: DataFrame, chunk_size: int = 128,
+                   stride: int = 96, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document overlapping token windows — the context-window
+    chunker for fine-tuning / embedding pipelines (HF `return_
+    overflowing_tokens` semantics: starts at 0, stride, 2·stride, …
+    while start < n_tokens, each chunk up to chunk_size tokens, the
+    last one short). Unlike pack_sequences (corpus-level concat for
+    pretraining), chunks never cross document boundaries.
+
+    Plan: tokens → sequence(0, n−1, stride) start array → ONE explode
+    whose fan-out equals the output row count (the minimum possible) →
+    codegen slice/md5 per chunk. No shuffle, no window, no state —
+    a pure scan-side projection at any corpus size. Empty documents
+    emit no rows. Returns (doc_id, chunk_id, start, n_tokens,
+    chunk_md5) where chunk_md5 hashes the space-joined tokens."""
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    out = (docs
+           .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+           .filter(F.size("toks") > 0)
+           .select(
+               "doc_id", "toks",
+               F.posexplode(F.sequence(F.lit(0), F.size("toks") - 1,
+                                       F.lit(stride)))
+               .alias("chunk_id", "start")))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
 
 
 def pack_sequences(docs: DataFrame, seq_len: int,
@@ -116,6 +152,74 @@ def hash_split(df: DataFrame, key_col: str = "doc_id",
                 else expr.when(cond, name))
     out = expr.otherwise(names[-1])  # float-edge guard: last split
     return df.withColumn("bucket", bucket).withColumn("split", out)
+
+
+def mixture_plan(docs: DataFrame, weights: dict[str, float],
+                 budget_tokens: int, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Data-recipe planning (the Pile / LLaMA mixture table): given
+    target mixture weights per source and a total token budget,
+    compute what each source must contribute and how many epochs
+    (passes) over it that implies — epochs > 1 flags up-sampled
+    sources (LLaMA trained Wikipedia/Books ~2.4 epochs; >>1 risks
+    memorization), epochs << 1 means the source is mostly unused.
+    Sources absent from `weights` get weight 0 and appear with
+    target 0 — visible, not silently dropped.
+
+    Returns (source, n_docs, n_tokens, weight, target_tokens, epochs).
+
+    Scale shape: ONE source-keyed count/sum aggregation over the
+    corpus (map-side partials; source cardinality is tiny) — the
+    weight table rides as a literal map inside the task binary; the
+    weight normalizer is a Python-side constant. No joins, no windows,
+    no second pass."""
+    total_w = float(sum(weights.values())) or 1.0
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    w = F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    target = F.round(F.lit(float(budget_tokens)) * w / total_w, 0)
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(w / total_w, 6).alias("weight"),
+        target.cast("long").alias("target_tokens"),
+        F.round(target / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+        .alias("epochs"),
+    )
+
+
+def epoch_shuffle(df: DataFrame, epoch: int = 0, n_shards: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-order shuffle: every epoch permutes the
+    corpus by md5(id:epoch) — reproducible on any cluster size, any
+    partitioning, any rerun (no RNG state), and uncorrelated across
+    epochs (the salt changes the permutation wholesale — the property
+    data-order ablations need). Each row gets its shard (uniform on
+    [0, n_shards) via the same first-8-hex-digits trick as hash_split)
+    and its 1-based position within the shard's order.
+
+    Returns (doc_id, order_key, shard, pos).
+
+    Scale shape: the key and shard are pure per-row codegen; the only
+    shuffle is the shard-keyed exchange, balanced by construction
+    (md5 is uniform — no skew, no salting needed). The within-shard
+    row_number is a window PARTITIONED BY shard — n_shards independent
+    sorts of corpus/n_shards rows each, which is exactly the work of
+    materializing a training order; writers emit one ordered shard
+    file per partition. Nothing global: no orderBy over the corpus,
+    no driver collect."""
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.lit(str(epoch))))
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (df.select(F.col(id_col), key.alias("order_key"),
+                      shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long")))
 
 
 def temperature_sample(df: DataFrame, strata_col: str,

@@ -206,6 +206,33 @@ def c4_clean(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def badwords_filter(df, badwords: tuple[str, ...] | list[str] = (),
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """C4 §2.2's other document gate (Raffel et al. 2020): drop any
+    page containing a word from a blocklist (C4 uses the public
+    "List of Dirty, Naughty, Obscene..." word list — supply it via
+    ``badwords``; no default list ships here). Token-granular, not
+    substring: 'class' never matches a 3-letter entry — the same
+    word-boundary semantics C4 applies.
+
+    Plan: the blocklist is a CONSTANT array literal riding inside the
+    task binary — a pure codegen projection with zero shuffles and no
+    broadcast exchange, so a 10^12-row scan pays exactly one pass.
+    (For blocklists too large for a literal — 100k+ entries — use a
+    broadcast join against exploded tokens instead; at C4's ~400-word
+    scale the literal is strictly cheaper.) Returns (doc_id,
+    n_bad_tokens, first_bad, kept)."""
+    lit = F.array(*[F.lit(w) for w in badwords])
+    bad = F.filter(word_tokens(F.col(text_col)),
+                   lambda t: F.array_contains(lit, t))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(bad).cast("long").alias("n_bad_tokens"),
+        F.try_element_at(bad, F.lit(1)).alias("first_bad"),
+        (F.size(bad) == 0).alias("kept"),
+    )
+
+
 def repetition_features(df, id_col: str = "doc_id",
                         text_col: str = "text"):
     """Gopher/MassiveText-style within-document repetition signals:

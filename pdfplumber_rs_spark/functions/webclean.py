@@ -936,6 +936,88 @@ def host_template_ratio(pages: DataFrame, host_col: str = "host",
                                 6)))
 
 
+def host_boilerplate_strip(pages: DataFrame, max_ratio: float = 0.5,
+                           min_docs: int = 2,
+                           line_tokens: int | None = None,
+                           host_col: str = "host",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-host boilerplate REMOVAL — the strip stage host_template_
+    ratio's detection signal feeds (the CCNet/RefinedWeb line-level
+    cleanup: navigation bars, cookie banners, footers repeat across a
+    host's pages; content does not). A line is boilerplate for a host
+    iff it appears in ≥ min_docs distinct documents AND in ≥ max_ratio
+    of the host's documents; every occurrence is removed and each
+    document's surviving lines reassemble in order.
+
+    `line_tokens=None` splits on newlines (real web text); an integer
+    re-expresses lines as fixed token windows for corpora without
+    line structure (same re-expression as dedup.line_dedup, same
+    rationale). Returns (doc_id, n_lines, n_kept, kept_text), one row
+    per input document.
+
+    Scale shape (10^12 pages): lines key by (host, md5(line)) —
+    uniform, collision-free; the doc-frequency table is distinct +
+    count aggs with map-side partials; host totals are a host-keyed
+    count (bounded cardinality). The boilerplate set scales with the
+    corpus so it is NOT broadcast — occurrences remove it via a
+    left_anti hash join on the same uniform key. Reassembly is
+    doc-keyed, bounded per doc. No windows, no pair joins."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if line_tokens is None:
+        line_arr = F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+            lambda l: l != "")
+    else:
+        toks = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"),
+                        lambda x: x != "")
+        n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens)))
+        line_arr = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * line_tokens + 1, line_tokens),
+                    " ")),
+        ).otherwise(F.array().cast("array<string>"))
+    base = pages.select(F.col(host_col).alias("host"),
+                        F.col(id_col).alias("doc_id"),
+                        line_arr.alias("lines"))
+    lines = base.select(
+        "host", "doc_id",
+        F.posexplode("lines").alias("line_idx", "line"),
+    ).withColumn("g", F.md5("line"))
+    line_docs = (lines.select("host", "g", "doc_id").distinct()
+                 .groupBy("host", "g")
+                 .agg(F.count("*").alias("n_line_docs")))
+    hosts = (base.select("host", "doc_id").distinct()
+             .groupBy("host").agg(F.count("*").alias("n_docs")))
+    boiler = (line_docs.join(hosts, "host")
+              .filter((F.col("n_line_docs") >= min_docs)
+                      & (F.col("n_line_docs")
+                         >= F.col("n_docs") * max_ratio))
+              .select("host", "g"))
+    kept = lines.join(boiler, ["host", "g"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"]),
+            " " if line_tokens is not None else "\n").alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", F.size("lines").alias("n_lines"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def url_trap_score(pages: DataFrame, host_col: str = "host",
                    url_col: str = "url") -> DataFrame:
     """Crawl-trap scoring per host: traps (session ids, calendars,

@@ -9,6 +9,7 @@ Usage: python scripts/check_contract.py [sf_dir] [query_filter]
 from __future__ import annotations
 
 import hashlib
+import re
 import sys
 import time
 from pathlib import Path
@@ -61,7 +62,7 @@ def main() -> None:
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
-        if flt and flt not in name:
+        if flt and not re.search(flt, name):
             continue
         t0 = time.time()
         try:

@@ -1,0 +1,270 @@
+"""Round-5a operators: C4 badwords gate, candidate→verify minhash
+pairs, overlapping sliding-window chunking."""
+
+import hashlib
+
+
+# ---------------------------------------------------------------------------
+# text.badwords_filter
+
+
+def test_badwords_filter_token_granular(spark):
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+
+    rows = [
+        (1, "a clean classy document"),   # 'ass' inside words ≠ match
+        (2, "this one says ass twice ass"),
+        (3, "Damn, capitals match too"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           badwords_filter(df, ("ass", "damn")).collect()}
+    assert out[1].kept and out[1].n_bad_tokens == 0
+    assert out[1].first_bad is None
+    assert not out[2].kept and out[2].n_bad_tokens == 2
+    assert out[2].first_bad == "ass"
+    assert not out[3].kept and out[3].first_bad == "damn"  # case-folded
+    assert out[4].kept
+
+
+def test_badwords_filter_empty_blocklist_keeps_all(spark):
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+
+    df = spark.createDataFrame([(1, "anything")], "doc_id long, text string")
+    (r,) = badwords_filter(df, ()).collect()
+    assert r.kept and r.n_bad_tokens == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup.minhash_verified_pairs
+
+
+def test_minhash_verified_pairs_filters_false_positives(spark):
+    from pdfplumber_rs_spark.functions.dedup import (
+        minhash_lsh_candidates, minhash_verified_pairs)
+
+    # two exact near-dups + one distinct doc; tiny signature (2 minima,
+    # band_size 1) makes LSH collide aggressively so candidates include
+    # false positives that verification must reject
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated text about spark shuffles the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(
+        df, num_hashes=2, band_size=1).collect()}
+    verified = {(r.id_a, r.id_b): r.jaccard_sim
+                for r in minhash_verified_pairs(
+                    df, num_hashes=2, band_size=1,
+                    threshold=0.5).collect()}
+    assert (1, 2) in verified
+    # exact Jaccard of docs 1/2 over DISTINCT token sets: each set has
+    # 8 tokens ('the' dedups), |∩|=7, |∪|=9 -> 0.777778
+    assert abs(verified[(1, 2)] - 0.777778) < 1e-6
+    # every verified pair was a candidate, and every verified pair
+    # genuinely clears the exact-Jaccard threshold
+    assert set(verified) <= cands
+    assert all(v >= 0.5 for v in verified.values())
+    assert (1, 3) not in verified and (2, 3) not in verified
+
+
+# ---------------------------------------------------------------------------
+# sampling.sliding_chunks
+
+
+def test_sliding_chunks_shapes(spark):
+    from pdfplumber_rs_spark.functions.sampling import sliding_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    out = sliding_chunks(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.start, r.n_tokens) for r in c1] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)]
+    # chunk hashing matches a locally computed md5 of the joined slice
+    toks = text.split()
+    want = hashlib.md5(" ".join(toks[3:7]).encode()).hexdigest()
+    assert c1[1].chunk_md5 == want
+    # empty docs emit nothing; single-token docs emit one chunk
+    assert 2 not in by_doc
+    assert [(r.start, r.n_tokens) for r in by_doc[3]] == [(0, 1)]
+
+
+def test_sliding_chunks_cover_every_token(spark):
+    from pdfplumber_rs_spark.functions.sampling import sliding_chunks
+
+    # stride < chunk_size guarantees overlap-coverage of all tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(257)))],
+        "doc_id long, text string")
+    rows = sorted(sliding_chunks(df, chunk_size=64, stride=48).collect(),
+                  key=lambda r: r.chunk_id)
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start, r.start + r.n_tokens))
+    assert covered == set(range(257))
+    # consecutive chunks overlap by chunk_size - stride = 16
+    for a, b in zip(rows, rows[1:]):
+        assert b.start - a.start == 48
+
+
+# ---------------------------------------------------------------------------
+# dedup.quality_dedup
+
+
+def test_quality_dedup_keeps_best_scoring(spark):
+    from pdfplumber_rs_spark.functions.dedup import quality_dedup
+
+    # three near-identical docs, different scores; doc 7 (highest
+    # score) must win even though doc 2 has the smallest id; the
+    # unrelated doc 9 survives untouched
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (2, base, 10.0),
+        (5, base, 30.0),
+        (7, base, 90.0),
+        (9, "totally different content about parquet row groups", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    dropped = {r.doc_id: r.keep_id
+               for r in quality_dedup(df, "q").collect()}
+    assert dropped == {2: 7, 5: 7}
+
+
+def test_quality_dedup_tie_breaks_to_smaller_id(spark):
+    from pdfplumber_rs_spark.functions.dedup import quality_dedup
+
+    base = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(3, base, 5.0), (8, base, 5.0)],
+        "doc_id long, text string, q double")
+    dropped = {r.doc_id: r.keep_id
+               for r in quality_dedup(df, "q").collect()}
+    assert dropped == {8: 3}
+
+
+# ---------------------------------------------------------------------------
+# webclean.host_boilerplate_strip
+
+
+def test_host_boilerplate_strip_newline_mode(spark):
+    from pdfplumber_rs_spark.functions.webclean import (
+        host_boilerplate_strip)
+
+    rows = [
+        ("a.com", 1, "unique one\nshared footer"),
+        ("a.com", 2, "unique two\nshared footer"),
+        ("a.com", 3, "unique three\nshared footer"),
+        ("b.com", 4, "shared footer\nother host keeps it"),
+        ("b.com", 5, ""),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    out = {r.doc_id: r for r in
+           host_boilerplate_strip(df, max_ratio=0.5, min_docs=2).collect()}
+    # 'shared footer' is in 3/3 of a.com docs -> stripped there only
+    assert out[1].kept_text == "unique one"
+    assert out[2].kept_text == "unique two"
+    assert (out[1].n_lines, out[1].n_kept) == (2, 1)
+    # b.com has it in 1/2 docs (< min_docs) -> untouched
+    assert out[4].kept_text == "shared footer\nother host keeps it"
+    # empty doc emits a row with zero lines
+    assert (out[5].n_lines, out[5].n_kept, out[5].kept_text) == (0, 0, "")
+
+
+def test_host_boilerplate_strip_ratio_gate(spark):
+    from pdfplumber_rs_spark.functions.webclean import (
+        host_boilerplate_strip)
+
+    # the line repeats in 2 of 5 docs = 40% < 50% ratio -> kept
+    rows = [("h", i, "promo line" if i < 2 else f"body {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    out = {r.doc_id: r for r in
+           host_boilerplate_strip(df, max_ratio=0.5, min_docs=2).collect()}
+    assert all(r.n_kept == 1 for r in out.values())
+    # at ratio 0.3 the 40% line IS boilerplate
+    out2 = {r.doc_id: r for r in
+            host_boilerplate_strip(df, max_ratio=0.3, min_docs=2).collect()}
+    assert out2[0].kept_text == "" and out2[1].kept_text == ""
+    assert out2[4].kept_text == "body 4"
+
+
+def test_host_boilerplate_strip_token_lines(spark):
+    from pdfplumber_rs_spark.functions.webclean import (
+        host_boilerplate_strip)
+
+    # token mode: 3-token lines; the shared opening 3 tokens strip
+    rows = [("h", 1, "nav home about unique words here"),
+            ("h", 2, "nav home about other body text")]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    out = {r.doc_id: r for r in
+           host_boilerplate_strip(df, max_ratio=0.5, min_docs=2,
+                                  line_tokens=3).collect()}
+    assert out[1].kept_text == "unique words here"
+    assert out[2].kept_text == "other body text"
+    assert out[1].n_lines == 2 and out[1].n_kept == 1
+
+
+# ---------------------------------------------------------------------------
+# sampling.mixture_plan
+
+
+def test_mixture_plan_targets_and_epochs(spark):
+    from pdfplumber_rs_spark.functions.sampling import mixture_plan
+
+    rows = [("web", "a b c d"), ("web", "e f"),      # 6 tokens
+            ("code", "x y"),                          # 2 tokens
+            ("books", "p q r s")]                     # 4 tokens, weight 0
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in
+           mixture_plan(df, {"web": 3.0, "code": 1.0},
+                        budget_tokens=100).collect()}
+    assert out["web"].n_docs == 2 and out["web"].n_tokens == 6
+    assert out["web"].weight == 0.75 and out["web"].target_tokens == 75
+    assert out["web"].epochs == 12.5          # 75 / 6
+    assert out["code"].target_tokens == 25 and out["code"].epochs == 12.5
+    # unweighted source stays visible with zero targets
+    assert out["books"].weight == 0.0
+    assert out["books"].target_tokens == 0 and out["books"].epochs == 0.0
+
+
+# ---------------------------------------------------------------------------
+# sampling.epoch_shuffle
+
+
+def test_epoch_shuffle_deterministic_and_complete(spark):
+    from pdfplumber_rs_spark.functions.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    a = epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    b = epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert {r.doc_id for r in a} == set(range(64))         # a permutation
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        # positions are 1..n dense and follow order_key order
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        assert [r.order_key for r in rows] == sorted(
+            r.order_key for r in rows)
+
+
+def test_epoch_shuffle_epochs_differ(spark):
+    from pdfplumber_rs_spark.functions.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(32)], "doc_id long")
+    e0 = {r.doc_id: (r.shard, r.pos)
+          for r in epoch_shuffle(df, epoch=0, n_shards=4).collect()}
+    e1 = {r.doc_id: (r.shard, r.pos)
+          for r in epoch_shuffle(df, epoch=1, n_shards=4).collect()}
+    assert e0 != e1  # the salt reshuffles the order
