@@ -3648,6 +3648,18 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (webclean.decontaminate):
+    docs with doc_id % 100 == 7 play the eval benchmark; every token
+    covered by a shared 8-gram is scrubbed. Broadcast benchmark gram
+    set — no corpus-keyed gram shuffle."""
+    from pdfplumber_rs_spark.functions.webclean import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle (sampling.epoch_shuffle):
     epoch-1 permutation into 8 shards with within-shard positions —
@@ -3858,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,  # per-host line strip
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
+        "decontaminate": q_decontaminate,  # benchmark span scrubbing
     }
 
 
@@ -7226,4 +7239,46 @@ with toks as (
                    cast(row_number() over (partition by shard
                      order by order_key, doc_id) as bigint) as pos
             from s order by shard, pos""",
+        "decontaminate": """
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                       '[^a-z0-9]+'), x -> x <> '') as toks
+              from documents
+            ), tok as (
+              select doc_id, cast(u.i as int) - 1 as tpos,
+                     toks[cast(u.i as int)] as tok
+              from t, lateral unnest(generate_series(1, len(toks))) as u(i)
+              where len(toks) >= 1
+            ), g as (
+              select doc_id, cast(u.i as int) - 1 as pos,
+                     md5(array_to_string(
+                       toks[cast(u.i as int): cast(u.i as int) + 7],
+                       chr(1))) as g
+              from t, lateral unnest(generate_series(1, len(toks) - 7))
+                as u(i)
+              where len(toks) >= 8
+            ), bg as (
+              select distinct g.g from g where g.doc_id % 100 = 7
+            ), cov as (
+              select distinct g.doc_id, g.pos + cast(o.j as int) as tpos
+              from g, lateral unnest(generate_series(0, 7)) as o(j)
+              where g.g in (select g from bg)
+            ), kept as (
+              select tok.doc_id, tok.tpos, tok.tok
+              from tok left join cov
+                on tok.doc_id = cov.doc_id and tok.tpos = cov.tpos
+              where cov.tpos is null
+            ), ka as (
+              select doc_id, count(*) as n_kept,
+                     string_agg(tok, ' ' order by tpos) as clean
+              from kept group by doc_id
+            )
+            select t.doc_id, cast(len(t.toks) as bigint) as n_tokens,
+                   cast(coalesce(ka.n_kept, 0) as bigint) as n_kept,
+                   cast(len(t.toks) - coalesce(ka.n_kept, 0) as bigint)
+                     as n_removed,
+                   md5(coalesce(ka.clean, '')) as clean_md5
+            from t left join ka on t.doc_id = ka.doc_id
+            order by t.doc_id""",
     }

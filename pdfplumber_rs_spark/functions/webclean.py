@@ -90,6 +90,86 @@ def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Span-level benchmark decontamination — the removal half of
+    `contamination` (GPT-3 appendix C / PaLM §7: training text that
+    overlaps an eval benchmark is scrubbed, not just flagged, so the
+    benchmark stays meaningful). Every token covered by an n-gram that
+    also occurs in the benchmark suite is dropped; the surviving
+    tokens reassemble in order. Coverage uses the same islands
+    semantics as dedup.remove_duplicate_spans: a token at position t
+    is contaminated iff some matching n-gram starts in (t−n, t].
+
+    Returns (doc_id, n_tokens, n_kept, n_removed, clean_md5) — md5 of
+    the space-joined surviving tokens, one row per input document.
+
+    Scale (10^12 docs × a benchmark suite): the benchmark gram set is
+    SMALL (MMLU/GSM8K-class suites are <10^6 grams) and broadcasts —
+    the doc gram stream left_semi-joins it map-side, so contaminated
+    positions are found in the scan pass with NO corpus-keyed gram
+    shuffle at all (cheaper than remove_duplicate_spans, whose dup set
+    is corpus-sized). Everything after is doc_id-keyed: k-bounded
+    cover explode, distinct, token anti-join, bounded per-doc
+    reassembly."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    positions = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id", F.posexplode(positions).alias("idx", "pos"), "toks",
+    ).select(
+        "doc_id", "pos",
+        F.md5(F.array_join(F.expr(f"slice(toks, pos + 1, {n})"),
+                           "\x01")).alias("g"),
+    )
+    bench = (
+        benchmark.select(toks.alias("toks"))
+        .select(F.posexplode(positions).alias("idx", "pos"), "toks")
+        .select(F.md5(F.array_join(
+            F.expr(f"slice(toks, pos + 1, {n})"), "\x01")).alias("g"))
+        .distinct()
+    )
+    cover = (
+        grams.join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + n - 1)).alias("tpos"))
+        .distinct()
+    )
+    tokens = d.select(
+        "doc_id", F.posexplode("toks").alias("tpos", "tok"))
+    kept = tokens.join(cover, ["doc_id", "tpos"], "left_anti")
+    kept_agg = (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("tpos", "tok"))),
+                     lambda s: s["tok"]),
+                 " ").alias("clean"))
+    )
+    return (
+        d.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def normalize_url(url: Column) -> Column:
     """Canonical URL for dedup keys: lowercase, scheme and www.
     stripped, query string and fragment dropped, trailing slash

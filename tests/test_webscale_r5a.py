@@ -268,3 +268,46 @@ def test_epoch_shuffle_epochs_differ(spark):
     e1 = {r.doc_id: (r.shard, r.pos)
           for r in epoch_shuffle(df, epoch=1, n_shards=4).collect()}
     assert e0 != e1  # the salt reshuffles the order
+
+
+# ---------------------------------------------------------------------------
+# webclean.decontaminate
+
+
+def test_decontaminate_scrubs_benchmark_spans(spark):
+    from pdfplumber_rs_spark.functions.webclean import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        # embeds the benchmark 5-gram mid-document
+        (1, "intro words what is the capital of france trailing text"),
+        (2, "no overlap with any benchmark question at all here"),
+        (3, ""),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           decontaminate(docs, bench, n=5).collect()}
+    # doc 1: 10 tokens; grams at pos 2..3 match ("what...of",
+    # "is...france") -> cover = positions 2..7 (6 tokens removed)
+    assert (out[1].n_tokens, out[1].n_removed, out[1].n_kept) == (10, 6, 4)
+    import hashlib
+    assert out[1].clean_md5 == hashlib.md5(
+        b"intro words trailing text").hexdigest()
+    # untouched doc keeps everything
+    assert out[2].n_removed == 0 and out[2].n_kept == out[2].n_tokens
+    # empty doc still emits a row
+    assert (out[3].n_tokens, out[3].n_kept) == (0, 0)
+
+
+def test_decontaminate_short_docs_and_benchmark_noop(spark):
+    from pdfplumber_rs_spark.functions.webclean import decontaminate
+
+    # docs shorter than n can never match; empty benchmark scrubs nothing
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "alpha beta")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "one two")], "doc_id long, text string")
+    out = decontaminate(docs, bench, n=5).collect()
+    assert all(r.n_removed == 0 for r in out)
