@@ -4441,7 +4441,7 @@ with toks as (
         "quantize": """
             with x as (
               select vec_id, cast(s.i - 1 as int) as pos,
-                     embedding[cast(s.i as int)] as val
+                     embedding[cast(s.i as int)]::double as val
               from embeddings,
               lateral unnest(generate_series(1, len(embedding))) as s(i)
             ), st as (

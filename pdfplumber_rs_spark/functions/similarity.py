@@ -486,8 +486,17 @@ def quantize_embeddings(df: DataFrame, dim: int,
     min/max aggregation (dim-sized result, broadcast back as two
     constant arrays via a 1-row crossJoin — never collected); the
     quantize pass is a per-row zip_with. Returns (vec_id, q:
-    array<int>)."""
-    exploded = df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    array<int>).
+
+    All arithmetic promotes float32 inputs to float64 BEFORE the
+    subtraction: engines differ in when they widen mixed float/double
+    expressions, and at an exact .5 rounding boundary that one-ulp
+    drift flips the code (caught by the sf0.1 sweep — 2 of 128,000
+    elements). Explicit casts make the IEEE sequence identical
+    everywhere."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("val"))
     stats = (exploded.groupBy("pos")
              .agg(F.min("val").alias("mn"), F.max("val").alias("mx")))
     packed = stats.groupBy().agg(
@@ -505,6 +514,6 @@ def quantize_embeddings(df: DataFrame, dim: int,
                                                        mx.alias("mx"))),
                     lambda x, s: F.when(
                         s["mx"] > s["mn"],
-                        F.round(255.0 * (x - s["mn"])
+                        F.round(255.0 * (x.cast("double") - s["mn"])
                                 / (s["mx"] - s["mn"]), 0).cast("int"))
                     .otherwise(F.lit(0))).alias("q")))
