@@ -3660,6 +3660,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (maintenance.compaction_plan,
+    the Iceberg rewrite_data_files binpack shape): documents play the
+    manifest (part=source, bytes=n_chars), 1000-byte target groups;
+    one window per partition key over the file inventory."""
+    from pdfplumber_rs_spark.functions.maintenance import compaction_plan
+
+    docs = _read(spark, sf_dir, "documents")
+    inv = docs.select(
+        F.col("source").alias("part"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+        .alias("path"),
+        F.col("n_chars").alias("bytes"))
+    return (compaction_plan(inv, target_bytes=1000)
+            .orderBy("part", "grp", "path"))
+
+
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (maintenance.partition_skew) over the
+    events table keyed by event_type, weighted by value — the
+    salt-or-not decision input; one agg + 1-row stats broadcast."""
+    from pdfplumber_rs_spark.functions.maintenance import partition_skew
+
+    ev = _read(spark, sf_dir, "events")
+    return (partition_skew(ev, "event_type", weight=F.col("value"))
+            .orderBy("key"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle (sampling.epoch_shuffle):
     epoch-1 permutation into 8 shards with within-shard positions —
@@ -3871,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
         "decontaminate": q_decontaminate,  # benchmark span scrubbing
+        "compaction_plan": q_compaction_plan,  # Iceberg binpack planning
+        "partition_skew": q_partition_skew,  # salt-or-not skew report
     }
 
 
@@ -7281,4 +7311,36 @@ with toks as (
                    md5(coalesce(ka.clean, '')) as clean_md5
             from t left join ka on t.doc_id = ka.doc_id
             order by t.doc_id""",
+        "compaction_plan": """
+            with inv as (
+              select source as part, 'f' || cast(doc_id as varchar) as path,
+                     n_chars as bytes
+              from documents
+            ), filled as (
+              select part, path, cast(bytes as bigint) as bytes,
+                     cast((sum(bytes) over (partition by part
+                        order by bytes desc, path
+                        rows between unbounded preceding and current row)
+                        - bytes) // 1000 as bigint) as grp
+              from inv
+            )
+            select part, path, bytes, grp,
+                   cast(sum(bytes) over (partition by part, grp) as bigint)
+                     as grp_bytes
+            from filled order by part, grp, path""",
+        "partition_skew": """
+            with per as (
+              select event_type as key, count(*) as rows,
+                     sum(value) as weight_sum
+              from events group by event_type
+            ), st as (
+              select sum(rows) as total_rows, max(weight_sum) as mx,
+                     avg(weight_sum) as mean
+              from per
+            )
+            select key, cast(rows as bigint) as rows,
+                   round(weight_sum, 6) as weight_sum,
+                   round(rows * 1.0 / total_rows, 6) as row_share,
+                   round(mx / mean, 6) as skew_factor
+            from per, st order by key""",
     }

@@ -49,6 +49,8 @@ ALLOW_BNLJ = {
     "datasheet", "bm25_batch",
     # r4j: pmi crossJoins the 1-row token/bigram totals
     "pmi",
+    # r5: skew report attaches the 1-row corpus max/mean stats
+    "partition_skew",
 }
 
 

@@ -311,3 +311,70 @@ def test_decontaminate_short_docs_and_benchmark_noop(spark):
         [(9, "one two")], "doc_id long, text string")
     out = decontaminate(docs, bench, n=5).collect()
     assert all(r.n_removed == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# maintenance.compaction_plan
+
+
+def test_compaction_plan_streaming_fill(spark):
+    from pdfplumber_rs_spark.functions.maintenance import compaction_plan
+
+    rows = [("p1", "a", 600), ("p1", "b", 500), ("p1", "c", 400),
+            ("p1", "d", 100), ("p2", "e", 50)]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    out = {(r.part, r.path): r
+           for r in compaction_plan(df, target_bytes=1000).collect()}
+    # p1 fill order (bytes desc): a(600) b(500) c(400) d(100)
+    # pre-fill cumsums: 0, 600, 1100, 1500 -> grps 0, 0, 1, 1
+    assert out[("p1", "a")].grp == 0 and out[("p1", "b")].grp == 0
+    assert out[("p1", "c")].grp == 1 and out[("p1", "d")].grp == 1
+    assert out[("p1", "a")].grp_bytes == 1100
+    assert out[("p1", "c")].grp_bytes == 500
+    # partitions never mix
+    assert out[("p2", "e")].grp == 0 and out[("p2", "e")].grp_bytes == 50
+
+
+def test_compaction_plan_oversized_file_alone(spark):
+    from pdfplumber_rs_spark.functions.maintenance import compaction_plan
+
+    df = spark.createDataFrame(
+        [("p", "big", 2500), ("p", "s1", 10), ("p", "s2", 10)],
+        "part string, path string, bytes long")
+    out = {r.path: r for r in
+           compaction_plan(df, target_bytes=1000).collect()}
+    # the oversized file is alone in grp 0; small files start after
+    # the skipped boundary ids (pre-fill cumsum 2500 -> grp 2)
+    assert out["big"].grp == 0 and out["big"].grp_bytes == 2500
+    assert out["s1"].grp == 2 and out["s2"].grp == 2
+    assert out["s1"].grp_bytes == 20
+
+
+# ---------------------------------------------------------------------------
+# maintenance.partition_skew
+
+
+def test_partition_skew_factor(spark):
+    from pdfplumber_rs_spark.functions.maintenance import partition_skew
+
+    # key 'hot' holds 6 of 8 rows -> max/mean = 6 / (8/3) = 2.25
+    rows = ([("hot",)] * 6) + [("a",), ("b",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in partition_skew(df, "k").collect()}
+    assert out["hot"].rows == 6 and out["hot"].row_share == 0.75
+    assert out["hot"].skew_factor == 2.25
+    # the factor is corpus-level: identical on every row
+    assert {r.skew_factor for r in out.values()} == {2.25}
+
+
+def test_partition_skew_weighted(spark):
+    from pdfplumber_rs_spark.functions.maintenance import partition_skew
+
+    from pyspark.sql import functions as F
+    rows = [("a", 10.0), ("a", 10.0), ("b", 1.0), ("c", 1.0)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    out = {r.key: r for r in
+           partition_skew(df, "k", weight=F.col("w")).collect()}
+    # weight sums: a=20, b=1, c=1 -> mean 22/3, max 20
+    assert out["a"].weight_sum == 20.0
+    assert abs(out["a"].skew_factor - 20 / (22 / 3)) < 1e-6
