@@ -96,3 +96,43 @@ def test_string_ops_deterministic_across_partitionings(spark):
                                     surt_key(F.col("text")).alias("s"))
     assert sorted(map(tuple, one.collect())) == \
         sorted(map(tuple, many.collect()))
+
+
+def test_round5_string_ops_total_on_adversarial_inputs(spark):
+    """Round-5 operators through the same adversarial corpus: total
+    (no exception), one row in = one out where the contract says so,
+    and cheap invariants hold on every input."""
+    from pdfplumber_rs_spark.functions.sampling import sliding_chunks
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+    from pdfplumber_rs_spark.functions.webclean import (
+        decontaminate, host_boilerplate_strip)
+
+    cases = _adversarial_strings()
+    df = spark.createDataFrame(
+        [(i, s, f"h{i % 7}") for i, s in enumerate(cases)],
+        "doc_id long, text string, host string").cache()
+    n = df.count()
+
+    bw = badwords_filter(df, ("xxx", "spam")).collect()
+    assert len(bw) == n
+    for r in bw:
+        assert r.kept == (r.n_bad_tokens == 0)
+
+    bp = host_boilerplate_strip(df, max_ratio=0.5, min_docs=2).collect()
+    assert len(bp) == n
+    for r in bp:
+        assert 0 <= r.n_kept <= r.n_lines
+
+    bp_tok = host_boilerplate_strip(df, max_ratio=0.5, min_docs=2,
+                                    line_tokens=5).collect()
+    assert len(bp_tok) == n
+
+    bench = df.limit(5)
+    dc = decontaminate(df, bench, n=5).collect()
+    assert len(dc) == n
+    for r in dc:
+        assert r.n_kept + r.n_removed == r.n_tokens
+
+    ch = sliding_chunks(df, chunk_size=8, stride=6).collect()
+    for r in ch:
+        assert 1 <= r.n_tokens <= 8 and r.start == r.chunk_id * 6
