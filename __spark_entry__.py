@@ -7231,12 +7231,15 @@ with toks as (
                    md5(coalesce(k.kept_text, '')) as kept_md5
             from l left join kept k on l.doc_id = k.doc_id
             order by l.doc_id""",
-        "mixture_plan": """
+        "mixture_plan": r"""
             with per as (
+              -- whitespace token count = functions.text.token_count
+              -- (the sampling module's n_tokens semantics, same as
+              -- the pack_sequences oracle) -- NOT alnum-run tokens
               select source, count(*) as n_docs,
-                     sum(len(list_filter(regexp_split_to_array(
-                       lower(text), '[^a-z0-9]+'), x -> x <> '')))
-                       as n_tokens
+                     sum(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> ''))) as n_tokens
               from documents group by source
             ), w as (
               select *, case source when 'src0' then 4.0

@@ -187,16 +187,22 @@ def minhash_verified_pairs(df: DataFrame, id_col: str = "doc_id",
                                    num_hashes, band_size)
     t = df.select(F.col(id_col).alias("id"),
                   token_set(F.col(text_col)).alias("toks"))
+    # the threshold tests the UNROUNDED ratio (matching the SQL
+    # oracle's WHERE clause); rounding is display-only — filtering the
+    # 6dp value would flip membership for pairs within 5e-7 of the
+    # boundary, the same half-boundary drift class quantize hit
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    raw = inter / F.greatest(union, F.lit(1))
     return (
         cands
         .join(t.select(F.col("id").alias("id_a"),
                        F.col("toks").alias("toks_a")), "id_a")
         .join(t.select(F.col("id").alias("id_b"),
                        F.col("toks").alias("toks_b")), "id_b")
+        .filter(raw >= threshold)
         .select("id_a", "id_b",
-                jaccard(F.col("toks_a"), F.col("toks_b"))
-                .alias("jaccard_sim"))
-        .filter(F.col("jaccard_sim") >= threshold)
+                F.round(raw, 6).alias("jaccard_sim"))
     )
 
 
@@ -229,6 +235,9 @@ def quality_dedup(df: DataFrame, score: Column | str,
     longest / best-quality member, not an arbitrary one; Penedo et al.
     2023 §3.3 dedups before filtering for exactly this reason). Ties
     break to the smaller id, so the output is deterministic.
+    PRECONDITION: ids must be numeric (the tie-break negates them
+    inside a max(struct)); hash string ids to a long first —
+    minhash_dedup is the sibling that accepts any orderable id.
 
     Same LINEAR-in-bucket-size shape as minhash_dedup: per bucket ONE
     max(struct(score, -id)) aggregation picks the representative (no

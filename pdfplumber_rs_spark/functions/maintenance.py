@@ -17,14 +17,26 @@ from pyspark.sql import functions as F
 def compaction_plan(files: DataFrame, target_bytes: int,
                     part_col: str = "part", path_col: str = "path",
                     bytes_col: str = "bytes") -> DataFrame:
-    """Streaming-fill compaction groups per partition — which small
-    files merge into which rewrite task (the planning half of
-    Iceberg's rewrite_data_files / binpack). Files order by (bytes
-    DESC, path) inside their partition and fill groups left to right:
-    a file joins the current group while the group's running total
-    stays under `target_bytes`, else it starts the next group. Files
-    already ≥ target_bytes land alone in their group. Deterministic —
-    the same inventory always yields the same plan.
+    """Byte-quota compaction groups per partition — which small files
+    merge into which rewrite task (the planning half of Iceberg's
+    rewrite_data_files / binpack). Files order by (bytes DESC, path)
+    inside their partition; a file's group is its PRE-fill running
+    byte sum integer-divided by `target_bytes` — i.e. group boundaries
+    sit at fixed byte quotas over the ordered inventory. Files already
+    ≥ target_bytes always land alone. Deterministic — the same
+    inventory always yields the same plan.
+
+    This fixed-quota rule is a one-pass closed form, NOT the greedy
+    restart-at-boundary fill: greedy resets its counter when a group
+    overshoots, which makes every boundary depend on the previous one
+    — inherently sequential, inexpressible as a window function. The
+    quota variant can therefore emit undersized groups right after an
+    overshooting file: target 1000, bytes [999, 999, 3, 3] has
+    pre-fill sums 0/999/1998/2001 → groups [0, 0, 1, 2], splitting
+    the two 3-byte files that greedy would pack together. The
+    fragmentation is bounded (one quota boundary per target_bytes of
+    inventory) and rewrite tasks tolerate small inputs; what matters
+    at manifest scale is determinism and one pass.
 
     Returns (part, path, bytes, grp, grp_bytes) where grp is 0-based
     per partition, monotone in fill order (ids may skip after an
@@ -33,10 +45,10 @@ def compaction_plan(files: DataFrame, target_bytes: int,
 
     Scale shape: ONE window per partition key (manifests are
     file-count-sized, millions of rows, not data-sized) computing the
-    running byte sum; group ids derive from the PRE-fill cumsum by
-    integer division — a closed form of the streaming fill, no
-    iteration, no driver collect. A second small agg attaches group
-    totals. Skewed partitions cost their own file count only."""
+    running byte sum; group ids are exact INTEGER division of that
+    long cumsum (no double rounding even past 2^53 cumulative bytes).
+    A second small agg attaches group totals. Skewed partitions cost
+    their own file count only."""
     w = (Window.partitionBy(part_col)
          .orderBy(F.col(bytes_col).desc(), F.col(path_col))
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -44,12 +56,11 @@ def compaction_plan(files: DataFrame, target_bytes: int,
         F.col(part_col).alias("part"),
         F.col(path_col).alias("path"),
         F.col(bytes_col).cast("long").alias("bytes"),
-        (F.sum(F.col(bytes_col)).over(w) - F.col(bytes_col))
-        .alias("before"),
+        (F.sum(F.col(bytes_col).cast("long")).over(w)
+         - F.col(bytes_col)).alias("before"),
     ).withColumn(
         "grp",
-        F.floor(F.col("before") / F.lit(float(target_bytes)))
-        .cast("long"),
+        F.expr(f"before div {int(target_bytes)}").cast("long"),
     ).drop("before")
     totals = filled.groupBy("part", "grp").agg(
         F.sum("bytes").alias("grp_bytes"))

@@ -354,10 +354,18 @@ def semdedup(corpus: DataFrame, n_cells: int | None = 8,
 
     Unlike embedding_dedup (LSH, representative-only, recall-bounded),
     this is the exact-within-cluster variant the paper measures."""
+    if on_mega_cell not in ("error", "skip"):
+        raise ValueError(
+            f"on_mega_cell must be 'error' or 'skip', got "
+            f"{on_mega_cell!r}")
     assigned, n_cells = _semdedup_assign(corpus, n_cells, id_col,
                                          vec_col, train_iters,
                                          target_cell_size)
     if max_cell_rows is not None:
+        # the guard's count() action would otherwise recompute the
+        # whole centroid-scoring assignment pass a second time when
+        # the self-join below reads `assigned` again
+        assigned = assigned.persist()
         mega = (assigned.groupBy("cell").count()
                 .filter(F.col("count") > max_cell_rows).collect())
         if mega:

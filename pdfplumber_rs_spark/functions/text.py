@@ -220,11 +220,20 @@ def badwords_filter(df, badwords: tuple[str, ...] | list[str] = (),
     broadcast exchange, so a 10^12-row scan pays exactly one pass.
     (For blocklists too large for a literal — 100k+ entries — use a
     broadcast join against exploded tokens instead; at C4's ~400-word
-    scale the literal is strictly cheaper.) Returns (doc_id,
-    n_bad_tokens, first_bad, kept)."""
-    lit = F.array(*[F.lit(w) for w in badwords])
-    bad = F.filter(word_tokens(F.col(text_col)),
-                   lambda t: F.array_contains(lit, t))
+    scale the literal is strictly cheaper.) Blocklist entries are
+    case-folded here to match the lowercased token stream; an entry
+    that is not a single alnum token (hyphenated, multi-word) can
+    never match and is rejected up front. Null text behaves as empty
+    (kept). Returns (doc_id, n_bad_tokens, first_bad, kept)."""
+    bad_entries = [w.lower() for w in badwords]
+    for w in bad_entries:
+        if not w.isalnum():
+            raise ValueError(
+                f"badwords entries must be single alnum tokens: {w!r}")
+    lit = F.array(*[F.lit(w) for w in bad_entries])
+    bad = F.filter(
+        word_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: F.array_contains(lit, t))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(bad).cast("long").alias("n_bad_tokens"),

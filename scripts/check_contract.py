@@ -62,8 +62,13 @@ def main() -> None:
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
-        if flt and not re.search(flt, name):
-            continue
+        if flt:
+            try:
+                hit = re.search(flt, name)
+            except re.error:  # not a regex — plain substring fallback
+                hit = flt in name
+            if not hit:
+                continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf).toPandas()

@@ -378,3 +378,42 @@ def test_partition_skew_weighted(spark):
     # weight sums: a=20, b=1, c=1 -> mean 22/3, max 20
     assert out["a"].weight_sum == 20.0
     assert abs(out["a"].skew_factor - 20 / (22 / 3)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round-5 code review)
+
+
+def test_badwords_filter_null_text_kept(spark):
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+
+    df = spark.createDataFrame([(1, None), (2, "spam here")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in badwords_filter(df, ("spam",)).collect()}
+    # null text behaves as empty: kept, zero hits (not dropped via a
+    # size(null) = -1 artifact)
+    assert out[1].kept and out[1].n_bad_tokens == 0
+    assert not out[2].kept
+
+
+def test_badwords_filter_casefolds_and_rejects_bad_entries(spark):
+    import pytest
+    from pdfplumber_rs_spark.functions.text import badwords_filter
+
+    df = spark.createDataFrame([(1, "SPAM spam Spam")],
+                               "doc_id long, text string")
+    (r,) = badwords_filter(df, ("Spam",)).collect()  # entry case-folds
+    assert not r.kept and r.n_bad_tokens == 3
+    with pytest.raises(ValueError, match="single alnum"):
+        badwords_filter(df, ("hate-speech",))
+
+
+def test_semdedup_rejects_unknown_mega_cell_mode(spark):
+    import pytest
+    from pdfplumber_rs_spark.functions.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="on_mega_cell"):
+        semdedup(df, n_cells=2, max_cell_rows=10, on_mega_cell="raise")
