@@ -3660,6 +3660,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dump incremental near-dup removal (dedup.
+    minhash_dedup_incremental): even doc_ids play the committed prior
+    corpus (their band table persisted from an earlier run), odd ids
+    the new increment; prior collisions always win."""
+    from pdfplumber_rs_spark.functions.dedup import (
+        minhash_bands, minhash_dedup_incremental)
+
+    docs = _read(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    prior_bands = minhash_bands(prior, num_hashes=8, band_size=4)
+    return (minhash_dedup_incremental(new, prior_bands,
+                                      num_hashes=8, band_size=4)
+            .orderBy("doc_id"))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (maintenance.compaction_plan,
     the Iceberg rewrite_data_files binpack shape): documents play the
@@ -3899,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
         "decontaminate": q_decontaminate,  # benchmark span scrubbing
+        "incremental_dedup": q_incremental_dedup,  # per-dump ingestion dedup
         "compaction_plan": q_compaction_plan,  # Iceberg binpack planning
         "partition_skew": q_partition_skew,  # salt-or-not skew report
     }
@@ -7314,6 +7332,45 @@ with toks as (
                    md5(coalesce(ka.clean, '')) as clean_md5
             from t left join ka on t.doc_id = ka.doc_id
             order by t.doc_id""",
+        "incremental_dedup": f"""
+        with toks as (
+          select doc_id, unnest({toks}) as tok from documents
+        ), sig8 as (
+          select doc_id, {minhash8_cols} from toks group by doc_id
+        ), bands as (
+            select doc_id, 0 as band,
+                   cast(h0 as varchar) || ',' || cast(h1 as varchar) || ','
+                   || cast(h2 as varchar) || ',' || cast(h3 as varchar) as key
+            from sig8
+            union all
+            select doc_id, 1 as band,
+                   cast(h4 as varchar) || ',' || cast(h5 as varchar) || ','
+                   || cast(h6 as varchar) || ',' || cast(h7 as varchar) as key
+            from sig8
+        ), prior_reps as (
+            select band, key, min(doc_id) as prior_rep
+            from bands where doc_id % 2 = 0 group by band, key
+        ), new_bands as (
+            select doc_id, band, key from bands where doc_id % 2 = 1
+        ), new_reps as (
+            select band, key, min(doc_id) as new_rep
+            from new_bands group by band, key
+        ), ranked as (
+            select nb.doc_id,
+                   case when pr.prior_rep is not null then 0 else 1 end
+                     as pri,
+                   coalesce(pr.prior_rep, nr.new_rep) as rep,
+                   row_number() over (partition by nb.doc_id order by
+                     case when pr.prior_rep is not null then 0 else 1 end,
+                     coalesce(pr.prior_rep, nr.new_rep)) as rn
+            from new_bands nb
+            join new_reps nr on nb.band = nr.band and nb.key = nr.key
+            left join prior_reps pr
+              on nb.band = pr.band and nb.key = pr.key
+        )
+        select doc_id, cast(rep as bigint) as keep_id
+        from ranked where rn = 1 and (pri = 0 or rep < doc_id)
+        order by doc_id""",
         "compaction_plan": """
             with inv as (
               select source as part, 'f' || cast(doc_id as varchar) as path,

@@ -226,6 +226,58 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_dedup_incremental(new: DataFrame, prior_bands: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 8,
+                              band_size: int = 4) -> DataFrame:
+    """Incremental near-dup removal: dedup a NEW crawl increment
+    against itself AND a prior corpus whose (doc_id, band, key) band
+    table was persisted by an earlier run — the production ingestion
+    shape (FineWeb dedups per dump; CCNet per snapshot). Prior
+    documents are never re-deduped — their verdicts are committed —
+    and a prior collision ALWAYS wins regardless of id ordering (the
+    published corpus is canonical); among new documents the usual
+    min-id representative rule applies. Returns (doc_id, keep_id) for
+    NEW documents that should be dropped.
+
+    Scale shape: identical to minhash_dedup plus one left join of the
+    new increment's bands against the prior bucket representatives —
+    all on the uniform (band, key) key, linear in bucket size (the
+    prior side collapses to ONE representative row per bucket before
+    joining, so a 10^6-member prior mega-bucket costs one row here).
+    The prior band table is corpus-sized and is never broadcast; at
+    real scale both sides bucket by (band, key) so re-ingestion joins
+    exchange-free."""
+    new_bands = minhash_bands(new, id_col, text_col, num_hashes,
+                              band_size)
+    prior_reps = prior_bands.groupBy("band", "key").agg(
+        F.min(id_col).alias("prior_rep"))
+    new_reps = new_bands.groupBy("band", "key").agg(
+        F.min("doc_id").alias("new_rep"))
+    # per bucket the winner is (priority, id): priority 0 = a prior
+    # doc exists (always beats new), 1 = new-only bucket; min(struct)
+    # then reduces a doc's buckets to its single best keeper
+    bucket_best = (
+        new_bands
+        .join(new_reps, ["band", "key"])
+        .join(prior_reps, ["band", "key"], "left")
+        .select(
+            "doc_id",
+            F.struct(
+                F.when(F.col("prior_rep").isNotNull(), F.lit(0))
+                .otherwise(F.lit(1)).alias("pri"),
+                F.coalesce("prior_rep", "new_rep").alias("rep"),
+            ).alias("w"))
+    )
+    best = bucket_best.groupBy("doc_id").agg(F.min("w").alias("w"))
+    return (
+        best.filter((F.col("w.pri") == 0)
+                    | (F.col("w.rep") < F.col("doc_id")))
+        .select("doc_id", F.col("w.rep").alias("keep_id"))
+    )
+
+
 def quality_dedup(df: DataFrame, score: Column | str,
                   id_col: str = "doc_id", text_col: str = "text",
                   num_hashes: int = 8, band_size: int = 4) -> DataFrame:

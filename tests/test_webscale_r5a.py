@@ -417,3 +417,54 @@ def test_semdedup_rejects_unknown_mega_cell_mode(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="on_mega_cell"):
         semdedup(df, n_cells=2, max_cell_rows=10, on_mega_cell="raise")
+
+
+# ---------------------------------------------------------------------------
+# dedup.minhash_dedup_incremental
+
+
+def test_incremental_dedup_prior_always_wins(spark):
+    from pdfplumber_rs_spark.functions.dedup import (
+        minhash_bands, minhash_dedup_incremental)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # prior corpus: doc 50 (note: HIGHER id than the new near-dup)
+    prior = spark.createDataFrame([(50, base)],
+                                  "doc_id long, text string")
+    # new increment: 3 is a near-dup of the prior doc (must drop to 50
+    # even though 3 < 50 — the published corpus is canonical); 7 and
+    # 9 are new-only near-dups of each other (min-id rule: 7 keeps);
+    # 11 is unique and survives
+    new = spark.createDataFrame([
+        (3, base),
+        (7, "one two three four five six seven eight"),
+        (9, "one two three four five six seven eight"),
+        (11, "completely different content about arrow record batches"),
+    ], "doc_id long, text string")
+    pb = minhash_bands(prior, num_hashes=8, band_size=4)
+    dropped = {r.doc_id: r.keep_id
+               for r in minhash_dedup_incremental(
+                   new, pb, num_hashes=8, band_size=4).collect()}
+    assert dropped[3] == 50       # prior wins despite larger id
+    assert dropped[9] == 7        # within-increment min-id rule
+    assert 7 not in dropped and 11 not in dropped
+    # prior documents are never re-deduped: output ids are new-only
+    assert set(dropped) <= {3, 9}
+
+
+def test_incremental_dedup_empty_prior_matches_batch(spark):
+    from pdfplumber_rs_spark.functions.dedup import (
+        minhash_bands, minhash_dedup, minhash_dedup_incremental)
+
+    docs = spark.createDataFrame([
+        (1, "red green blue yellow purple orange"),
+        (2, "red green blue yellow purple orange"),
+        (4, "unrelated text about shuffle partitions and joins"),
+    ], "doc_id long, text string")
+    empty_prior = minhash_bands(
+        docs.filter("doc_id < 0"), num_hashes=8, band_size=4)
+    inc = {(r.doc_id, r.keep_id) for r in minhash_dedup_incremental(
+        docs, empty_prior, num_hashes=8, band_size=4).collect()}
+    batch = {(r.doc_id, r.keep_id)
+             for r in minhash_dedup(docs).collect()}
+    assert inc == batch  # with no prior corpus it IS minhash_dedup
