@@ -3660,6 +3660,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → Markdown rendering (pipeline.html_markdown) over the
+    synthetic chrome pages: nav/header/aside/footer drop, the h1 +
+    content paragraphs + link/promo divs render as markdown blocks.
+    Closed-form oracle from documents.text words."""
+    from pdfplumber_rs_spark import pipeline as P
+    from pdfplumber_rs_spark.sources.corpus import html_page_corpus_table
+
+    corpus = html_page_corpus_table(spark, sf_dir)
+    md = P.html_markdown(corpus)
+    ids = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("https://host%02d.example.com/%08d.html",
+                        F.pmod(F.col("doc_id"), F.lit(7)).cast("int"),
+                        "doc_id").alias("url"),
+    )
+    return (
+        ids.join(md, "url", "left")
+        .select("doc_id",
+                F.coalesce("markdown", F.lit("")).alias("markdown"),
+                F.col("n_blocks").cast("int").alias("n_blocks"))
+        .orderBy("doc_id")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dump incremental near-dup removal (dedup.
     minhash_dedup_incremental): even doc_ids play the committed prior
@@ -3916,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
         "decontaminate": q_decontaminate,  # benchmark span scrubbing
+        "html_markdown": q_html_markdown,  # HTML -> Markdown rendering
         "incremental_dedup": q_incremental_dedup,  # per-dump ingestion dedup
         "compaction_plan": q_compaction_plan,  # Iceberg binpack planning
         "partition_skew": q_partition_skew,  # salt-or-not skew report
@@ -7332,6 +7358,29 @@ with toks as (
                    md5(coalesce(ka.clean, '')) as clean_md5
             from t left join ka on t.doc_id = ka.doc_id
             order by t.doc_id""",
+        "html_markdown": r"""
+            with w as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') as l
+              from documents
+            )
+            select doc_id,
+                   '# Document ' || cast(doc_id as varchar)
+                   || case when len(l) >= 1
+                        then chr(10) || chr(10)
+                             || array_to_string(l[1:8], ' ')
+                        else '' end
+                   || chr(10) || chr(10)
+                   || '[Link one here](/x) [Link two there](/y)'
+                   || chr(10) || chr(10) || 'Subscribe now'
+                   || case when len(l) >= 9
+                        then chr(10) || chr(10)
+                             || array_to_string(l[9:18], ' ')
+                        else '' end as markdown,
+                   cast(3 + (len(l) >= 1)::int + (len(l) >= 9)::int as int)
+                     as n_blocks
+            from w order by doc_id""",
         "incremental_dedup": f"""
         with toks as (
           select doc_id, unnest({toks}) as tok from documents

@@ -1383,6 +1383,39 @@ def html_main_content(df: DataFrame, min_words: int = 5,
     return df.select("url", "html").mapInArrow(kernel, HTML_MAIN_SCHEMA)
 
 
+HTML_MARKDOWN_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("markdown", StringType()),
+        StructField("n_blocks", IntegerType()),
+    ]
+)
+
+
+def html_markdown(df: DataFrame) -> DataFrame:
+    """HTML → Markdown rendering (the extraction pipeline's publishing
+    format: headings, lists, links, emphasis, blockquotes, fenced pre,
+    pipe tables; chrome subtrees dropped — the same content scope
+    extract_main_content scores). Arrow-batched per-row map over
+    (url, html) — no shuffle; malformed markup renders what parsed,
+    never a task failure."""
+    arrow_schema = _arrow_schema_for(HTML_MARKDOWN_SCHEMA)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernel.htmlstrip import html_to_markdown
+
+        for batch in batches:
+            d = batch.to_pydict()
+            out = []
+            for url, html in zip(d["url"], d["html"]):
+                r = html_to_markdown(html or b"")
+                out.append({"url": url, "markdown": r["markdown"],
+                            "n_blocks": r["n_blocks"]})
+            yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
+
+    return df.select("url", "html").mapInArrow(kernel, HTML_MARKDOWN_SCHEMA)
+
+
 HTML_LINKS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),

@@ -468,3 +468,59 @@ def test_incremental_dedup_empty_prior_matches_batch(spark):
     batch = {(r.doc_id, r.keep_id)
              for r in minhash_dedup(docs).collect()}
     assert inc == batch  # with no prior corpus it IS minhash_dedup
+
+
+# ---------------------------------------------------------------------------
+# kernel.htmlstrip.html_to_markdown / pipeline.html_markdown
+
+
+def test_html_to_markdown_structures():
+    from pdfplumber_rs_spark.kernel.htmlstrip import html_to_markdown
+
+    html = ("<html><head><title>t</title><style>p{}</style></head><body>"
+            "<nav><a href='/'>Home</a></nav>"
+            "<h1>Title</h1><h3>Sub</h3>"
+            "<p>Hello <b>bold</b> and <em>italic</em> text</p>"
+            "<ul><li>one</li><li>two <a href='/x'>link</a></li></ul>"
+            "<ol><li>first</li><li>second</li></ol>"
+            "<blockquote>quoted words</blockquote>"
+            "<pre>raw  spacing</pre>"
+            "<table><tr><th>a</th><th>b</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>"
+            "<footer>chrome</footer></body></html>")
+    r = html_to_markdown(html)
+    assert r["markdown"] == (
+        "# Title\n\n### Sub\n\n"
+        "Hello **bold** and *italic* text\n\n"
+        "- one\n- two [link](/x)\n1. first\n2. second\n\n"
+        "> quoted words\n\n"
+        "```\nraw  spacing\n```\n\n"
+        "| a | b |\n| --- | --- |\n| 1 | 2 |")
+    # nav/footer/head chrome renders nothing
+    assert "Home" not in r["markdown"] and "chrome" not in r["markdown"]
+
+
+def test_html_to_markdown_nested_lists_and_leniency():
+    from pdfplumber_rs_spark.kernel.htmlstrip import html_to_markdown
+
+    r = html_to_markdown(
+        "<ul><li>x<ul><li>nested</li></ul></li><li>y</li></ul>")
+    assert r["markdown"] == "- x\n  - nested\n- y"
+    # malformed / binary garbage is total, never raises
+    assert html_to_markdown(b"\xff\xfe<p unclosed")["n_blocks"] >= 0
+    assert html_to_markdown("")["markdown"] == ""
+    # unclosed anchor still renders as a link
+    r2 = html_to_markdown("<p>see <a href='/d'>docs")
+    assert r2["markdown"] == "see [docs](/d)"
+
+
+def test_html_markdown_pipeline_op(spark):
+    from pdfplumber_rs_spark import pipeline as P
+
+    df = spark.createDataFrame(
+        [("u1", b"<h1>T</h1><p>body text</p>"), ("u2", None)],
+        "url string, html binary")
+    out = {r.url: r for r in P.html_markdown(df).collect()}
+    assert out["u1"].markdown == "# T\n\nbody text"
+    assert out["u1"].n_blocks == 2
+    assert out["u2"].markdown == "" and out["u2"].n_blocks == 0
