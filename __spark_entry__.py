@@ -3660,6 +3660,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
+def q_segment_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence language segmentation (text.segment_langs, the
+    CCNet per-segment langid rescue for mixed-language pages): per-doc
+    dominant language, share, and mixed flag; sentence explode + two
+    doc-keyed aggs, no windows."""
+    from pdfplumber_rs_spark.functions.text import segment_langs
+
+    docs = _read(spark, sf_dir, "documents")
+    return segment_langs(docs).orderBy("doc_id")
+
+
 def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → Markdown rendering (pipeline.html_markdown) over the
     synthetic chrome pages: nav/header/aside/footer drop, the h1 +
@@ -3941,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
         "decontaminate": q_decontaminate,  # benchmark span scrubbing
+        "segment_langs": q_segment_langs,  # per-sentence langid rescue
         "html_markdown": q_html_markdown,  # HTML -> Markdown rendering
         "incremental_dedup": q_incremental_dedup,  # per-dump ingestion dedup
         "compaction_plan": q_compaction_plan,  # Iceberg binpack planning
@@ -7358,6 +7370,43 @@ with toks as (
                    md5(coalesce(ka.clean, '')) as clean_md5
             from t left join ka on t.doc_id = ka.doc_id
             order by t.doc_id""",
+        "segment_langs": rf"""
+            with s as (
+              select doc_id, list_filter(list_transform(
+                regexp_extract_all(coalesce(text, ''), '[^.!?]+[.!?]*'),
+                x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                x -> x <> '') as arr
+              from documents
+            ), seg as (
+              select doc_id, arr[cast(t.i as int)] as text
+              from s, lateral unnest(generate_series(1, len(arr))) as t(i)
+            ), scored as (
+              select doc_id, {{markers}} as lang from seg
+            ), counts as (
+              select doc_id, lang, count(*) as c
+              from scored group by doc_id, lang
+            ), per as (
+              select doc_id, sum(c) as n_segments, count(*) as n_langs
+              from counts group by doc_id
+            ), dom as (
+              select doc_id, lang, c from (
+                select doc_id, lang, c,
+                       row_number() over (partition by doc_id
+                         order by c desc, lang) as rn
+                from counts) where rn = 1
+            )
+            select d.doc_id,
+                   cast(coalesce(p.n_segments, 0) as bigint) as n_segments,
+                   cast(coalesce(p.n_langs, 0) as bigint) as n_langs,
+                   coalesce(dom.lang, 'und') as dominant_lang,
+                   coalesce(round(dom.c * 1.0
+                     / greatest(p.n_segments, 1), 6), 0.0)
+                     as dominant_frac,
+                   coalesce(p.n_langs > 1, false) as mixed
+            from documents d
+            left join per p on d.doc_id = p.doc_id
+            left join dom on d.doc_id = dom.doc_id
+            order by d.doc_id""".format(markers=_lang_markers_sql()),
         "html_markdown": r"""
             with w as (
               select doc_id,

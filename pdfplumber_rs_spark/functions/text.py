@@ -1252,3 +1252,51 @@ def tokenizer_fertility(df, id_col: str = "doc_id",
                         F.round(F.col("n_bytes")
                                 / F.greatest(F.col("n_bpe_tokens"),
                                              F.lit(1)), 6)))
+
+
+def segment_langs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-sentence language segmentation (CCNet, Wenzek et al. 2020:
+    language id runs on SEGMENTS so mixed-language pages — boilerplate
+    in one language, content in another, code-switched forums — can be
+    rescued per-part instead of dropped whole). Sentences come from
+    sentence_split; each scores with lang_guess; the document rolls up:
+
+      (doc_id, n_segments, n_langs, dominant_lang, dominant_frac,
+       mixed)
+
+    dominant_lang = the most frequent segment language (ties break to
+    the smaller language code, matching lang_guess's own rule);
+    dominant_frac its share of segments (6dp); mixed = more than one
+    distinct language among segments. Documents with no sentences
+    emit (0, 0, 'und', 0.0, false) — visible, not dropped.
+
+    Scale shape: sentence explode → pure codegen scoring (lang_guess's
+    single-appearance argmax struct, no 3^n when-fold) → TWO doc-keyed
+    aggregations ((doc, lang) counts with map-side partials, then the
+    doc rollup where dominance is ONE min(struct(-count, lang))) — no
+    windows, no joins beyond the final left join back to the doc
+    spine for empty documents."""
+    sents = sentence_split(df, id_col, text_col)
+    scored = sents.select(
+        "doc_id", lang_guess(F.col("sentence")).alias("lang"))
+    counts = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_segments"),
+        F.count("*").alias("n_langs"),
+        F.min(F.struct((-F.col("c")).alias("nc"),
+                       F.col("lang").alias("lang"))).alias("w"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_segments", F.lit(0)).cast("long")
+        .alias("n_segments"),
+        F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+        F.coalesce(F.col("w.lang"), F.lit("und")).alias("dominant_lang"),
+        F.coalesce(
+            F.round((-F.col("w.nc"))
+                    / F.greatest(F.col("n_segments"), F.lit(1)), 6),
+            F.lit(0.0)).alias("dominant_frac"),
+        F.coalesce(F.col("n_langs") > 1, F.lit(False)).alias("mixed"),
+    )

@@ -524,3 +524,39 @@ def test_html_markdown_pipeline_op(spark):
     assert out["u1"].markdown == "# T\n\nbody text"
     assert out["u1"].n_blocks == 2
     assert out["u2"].markdown == "" and out["u2"].n_blocks == 0
+
+
+# ---------------------------------------------------------------------------
+# text.segment_langs
+
+
+def test_segment_langs_mixed_document(spark):
+    from pdfplumber_rs_spark.functions.text import segment_langs
+
+    rows = [
+        # two English sentences + one German -> dominant en, mixed
+        (1, "the fast join is here. der schnelle und der baum ist gut!"
+            " the end is near."),
+        (2, ""),                                   # no sentences
+        (3, "no terminators just words the and is"),  # one segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_langs(df).collect()}
+    assert (out[1].n_segments, out[1].n_langs) == (3, 2)
+    assert out[1].dominant_lang == "en" and out[1].mixed
+    assert abs(out[1].dominant_frac - 0.666667) < 1e-6
+    assert (out[2].n_segments, out[2].dominant_lang, out[2].mixed) == (
+        0, "und", False)
+    assert out[3].n_segments == 1 and not out[3].mixed
+
+
+def test_segment_langs_dominance_tie_breaks_to_smaller_code(spark):
+    from pdfplumber_rs_spark.functions.text import segment_langs
+
+    # one English and one German sentence: 1-1 tie -> 'de' < 'en'
+    df = spark.createDataFrame(
+        [(1, "the fast join is here. der schnelle und der baum ist!")],
+        "doc_id long, text string")
+    (r,) = segment_langs(df).collect()
+    assert r.n_segments == 2 and r.dominant_lang == "de"
+    assert r.dominant_frac == 0.5 and r.mixed
