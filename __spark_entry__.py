@@ -3660,6 +3660,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8).orderBy("doc_id")
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-id evaluation against the labeled lang column
+    (text.langid_confusion): confusion cells + per-label recall — one
+    tiny (label, predicted) agg after a codegen scoring scan."""
+    from pdfplumber_rs_spark.functions.text import langid_confusion
+
+    docs = _read(spark, sf_dir, "documents")
+    return langid_confusion(docs).orderBy("label", "predicted")
+
+
 def q_segment_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence language segmentation (text.segment_langs, the
     CCNet per-segment langid rescue for mixed-language pages): per-doc
@@ -3952,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,  # data-recipe epochs per source
         "epoch_shuffle": q_epoch_shuffle,  # deterministic training order
         "decontaminate": q_decontaminate,  # benchmark span scrubbing
+        "langid_confusion": q_langid_confusion,  # langid eval vs labels
         "segment_langs": q_segment_langs,  # per-sentence langid rescue
         "html_markdown": q_html_markdown,  # HTML -> Markdown rendering
         "incremental_dedup": q_incremental_dedup,  # per-dump ingestion dedup
@@ -7370,6 +7381,24 @@ with toks as (
                    md5(coalesce(ka.clean, '')) as clean_md5
             from t left join ka on t.doc_id = ka.doc_id
             order by t.doc_id""",
+        "langid_confusion": """
+            with scored as (
+              select lang as label, {markers} as predicted
+              from documents
+            ), cell as (
+              select label, predicted, count(*) as n_docs
+              from scored group by label, predicted
+            ), totals as (
+              select label, sum(n_docs) as label_total
+              from cell group by label
+            )
+            select c.label, c.predicted,
+                   cast(c.n_docs as bigint) as n_docs,
+                   cast(t.label_total as bigint) as label_total,
+                   round(c.n_docs * 1.0 / t.label_total, 6) as recall
+            from cell c join totals t on c.label = t.label
+            order by c.label, c.predicted""".format(
+                markers=_lang_markers_sql()),
         "segment_langs": rf"""
             with s as (
               select doc_id, list_filter(list_transform(

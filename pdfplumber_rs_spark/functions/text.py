@@ -1300,3 +1300,36 @@ def segment_langs(df, id_col: str = "doc_id", text_col: str = "text"):
             F.lit(0.0)).alias("dominant_frac"),
         F.coalesce(F.col("n_langs") > 1, F.lit(False)).alias("mixed"),
     )
+
+
+def langid_confusion(df, label_col: str = "lang",
+                     id_col: str = "doc_id", text_col: str = "text"):
+    """Evaluation of the language-id component against labeled data —
+    the confusion matrix + per-label accuracy a pipeline owner watches
+    before trusting lang-based routing (mT5-style sampling, per-lang
+    perplexity buckets) at corpus scale. One row per (label,
+    predicted) pair that occurs:
+
+      (label, predicted, n_docs, label_total, recall)
+
+    recall = n_docs / label_total (6dp) — the diagonal rows are the
+    per-language recall; off-diagonal rows show where the guesser
+    leaks.
+
+    Scale shape: prediction is pure codegen (lang_guess's argmax
+    struct); ONE (label, predicted) aggregation with map-side partials
+    (output is |langs|² rows at most) plus a label-keyed total join —
+    both tiny. No windows, nothing corpus-sized after the scan."""
+    scored = df.select(
+        F.col(label_col).alias("label"),
+        lang_guess(F.col(text_col)).alias("predicted"))
+    cell = scored.groupBy("label", "predicted").agg(
+        F.count("*").alias("n_docs"))
+    totals = cell.groupBy("label").agg(
+        F.sum("n_docs").alias("label_total"))
+    return cell.join(totals, "label").select(
+        "label", "predicted",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("label_total").cast("long").alias("label_total"),
+        F.round(F.col("n_docs") / F.col("label_total"), 6)
+        .alias("recall"))

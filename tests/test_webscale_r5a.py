@@ -560,3 +560,26 @@ def test_segment_langs_dominance_tie_breaks_to_smaller_code(spark):
     (r,) = segment_langs(df).collect()
     assert r.n_segments == 2 and r.dominant_lang == "de"
     assert r.dominant_frac == 0.5 and r.mixed
+
+
+# ---------------------------------------------------------------------------
+# text.langid_confusion
+
+
+def test_langid_confusion_cells_and_recall(spark):
+    from pdfplumber_rs_spark.functions.text import langid_confusion
+
+    rows = [
+        ("en", "the fast join is here and the end is near"),
+        ("en", "the quick result is in the table"),
+        ("en", "der schnelle baum und der gute wald ist hier"),  # mislabeled
+        ("de", "der schnelle baum und der wald ist gut"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {(r.label, r.predicted): r
+           for r in langid_confusion(df).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "de")].n_docs == 1        # the leak is visible
+    assert out[("en", "en")].label_total == 3
+    assert abs(out[("en", "en")].recall - 0.666667) < 1e-6
+    assert out[("de", "de")].recall == 1.0
