@@ -27,6 +27,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str,
+                 key: str = "doc_id") -> DataFrame:
+    """_read + hash repartition on `key` when the scan is narrower than
+    the cluster. The testdata parquet files are single-row-group, so a
+    scan cannot split below one task no matter the split size — an
+    expression-heavy projection (regex quality features, md5
+    fingerprints, per-pair folds) then runs serially. This is the guide
+    §2.5 'one huge unsplittable file → repartition immediately after
+    the read' fix; on inputs that already scan wide it is a no-op.
+    Hash partitioning on the uniform id key (not round-robin) because a
+    keyless repartition first pays a LOCAL SORT of the whole input on
+    the single scan task (spark.sql.execution.sortBeforeRepartition,
+    guide §2.5) — measured serial cost larger than the win."""
+    df = _read(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n, F.col(key))
+    return df
+
+
 def _norm_tokens_sql(col: str) -> str:
     """DuckDB: distinct lowercase alnum tokens of a text column."""
     return (
@@ -1184,6 +1204,8 @@ def q_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.dedup import exact_duplicates
 
+    # deliberately NOT _read_spread: the md5 fingerprint is cheaper than
+    # the extra exchange a pre-spread would add (measured 0.96s -> 1.09s)
     docs = _read(spark, sf_dir, "documents")
     return exact_duplicates(docs).orderBy("fp")
 
@@ -1398,7 +1420,7 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfplumber_rs_spark.functions.text import quality_features
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_spread(spark, sf_dir, "documents")
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",

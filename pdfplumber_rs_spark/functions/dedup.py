@@ -217,9 +217,16 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     connected components — the standard web-dedup compromise.)
     Returns (doc_id, keep_id) for documents that should be dropped."""
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
-    reps = bands.groupBy("band", "key").agg(F.min("doc_id").alias("rep"))
+    # per-bucket representative via a window MIN instead of the former
+    # agg + self-join: the join's two branches were separate physical
+    # subtrees, so the whole signature lineage (8 md5 per token) ran
+    # TWICE; the window computes it once behind a single (band, key)
+    # exchange (guide §2.4 — remove shuffles/passes outright). Same
+    # value per row, same linear-in-bucket-size scale shape (WindowExec
+    # buffers one bucket at a time and spills gracefully).
+    rep = F.min("doc_id").over(Window.partitionBy("band", "key"))
     return (
-        bands.join(reps, ["band", "key"])
+        bands.withColumn("rep", rep)
         .groupBy("doc_id")
         .agg(F.min("rep").alias("keep_id"))
         .filter(F.col("keep_id") < F.col("doc_id"))

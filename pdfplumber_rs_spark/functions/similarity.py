@@ -43,6 +43,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     under ties. Columns: (query_id, neighbor_id, cos_sim, rank)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"))
+    # single-file (one row group) corpora scan as ONE task, serializing
+    # the per-pair dot-product fold; spread the corpus first (guide
+    # §2.5 "input skew: repartition immediately after the read") —
+    # only when the scan is narrower than the cluster. Hash on the id
+    # key: keyless round-robin would pay a serial local sort first
+    # (sortBeforeRepartition).
+    sc = corpus.sparkSession.sparkContext
+    if c.rdd.getNumPartitions() < sc.defaultParallelism:
+        c = c.repartition(sc.defaultParallelism, F.col("neighbor_id"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
     joined = c.crossJoin(F.broadcast(q)).filter(

@@ -133,8 +133,16 @@ def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio / mean-token-length —
     the classic boilerplate-vs-content signals."""
     n = F.length(text)
-    n_alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
-    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    # ASCII-set membership counts via translate (a per-codepoint char
+    # map) instead of regexp_replace: identical counts for any input —
+    # both treat exactly the listed ASCII codepoints as members — and
+    # ~7x cheaper (regex Matcher allocation per row dominated the
+    # quality query; guide §1.2 per-task work). count(members) =
+    # len(text) - len(text with members removed).
+    _ALNUM = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz0123456789")
+    n_alnum = n - F.length(F.translate(text, _ALNUM, ""))
+    n_punct = n - F.length(F.translate(text, ".,;:!?", ""))
     toks = token_count(text)
     stop = lang_score(text, "en")
     return {
