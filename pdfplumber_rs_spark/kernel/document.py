@@ -89,10 +89,18 @@ class Document:
             interp.chars, interp.paths, interp.images,
             self.options, self.warnings,
         )
-        from .docextras import page_annotations, page_hyperlinks
+        # lazy: the /Annots walk costs ~6% of a text-only page build and
+        # most callers (extract_text paths) never read these (guide §1.2
+        # — don't compute things you throw away)
+        def _extras(doc=self.doc, pd=pd, geom=geom):
+            from .docextras import page_annotations, page_hyperlinks
 
-        page.annotations = page_annotations(self.doc, pd, geom)
-        page.hyperlinks = page_hyperlinks(self.doc, pd, geom)
+            return (page_annotations(doc, pd, geom),
+                    page_hyperlinks(doc, pd, geom))
+
+        page._annotations = None
+        page._hyperlinks = None
+        page._extras_thunk = _extras
         doctop_offset = sum(self.page_heights[:index])
         if doctop_offset:
             for ch in page.chars:

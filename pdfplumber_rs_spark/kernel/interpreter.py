@@ -500,6 +500,41 @@ class Interpreter:
         vxs = vys = None
         if wmode == 1:
             vxs, vys = [], []
+        elif font is not None and font.cjk_codec is None:
+            # hot path (horizontal simple/identity-CID font, no CJK
+            # charset): per-glyph branches hoisted out of the loop —
+            # this loop runs once per shown glyph on every text page
+            cache_get = cache.get
+            codes_ap = codes.append
+            unis_ap = unis.append
+            w0s_ap = w0s.append
+            es_ap = es.append
+            fs_ap = fs.append
+            for code, _raw in pairs:
+                hit = cache_get(code)
+                if hit is None:
+                    w0 = font.get_width(code)
+                    uni = font.to_unicode(code)
+                    cache[code] = hit = (w0, uni)
+                w0, uni = hit
+                codes_ap(code)
+                unis_ap(uni)
+                w0s_ap(w0)
+                es_ap(te)
+                fs_ap(tf)
+                # bit-identical to the general path's advance expression
+                tx = ((w0 / 1000.0) * tfs + tc
+                      + (tw if code == 32 else 0.0)) * th
+                te = tx * a2 + te
+                tf = tx * b2 + tf
+            self.chars.append(
+                CharRun(
+                    fname, tfs, th, gs.rise, (a2, b2, c2, d2), gs.ctm,
+                    asc, desc, mcid, tag, gs.stroke_color, gs.fill_color,
+                    codes, unis, w0s, es, fs, None, None,
+                )
+            )
+            return (a2, b2, c2, d2, te, tf)
         for code, raw in pairs:
             if font is not None:
                 # per-font memo: width + unicode are pure functions of

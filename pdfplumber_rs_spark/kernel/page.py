@@ -93,8 +93,29 @@ class Page:
         self.curves = curves
         self.images = images
         self.warnings = warnings
-        self.annotations: list[dict] = []
-        self.hyperlinks: list[dict] = []
+        self._annotations: list[dict] | None = []
+        self._hyperlinks: list[dict] | None = []
+        self._extras_thunk = None  # () -> (annotations, hyperlinks), lazy
+
+    @property
+    def annotations(self) -> list[dict]:
+        if self._annotations is None:
+            self._annotations, self._hyperlinks = self._extras_thunk()
+        return self._annotations
+
+    @annotations.setter
+    def annotations(self, v: list[dict]) -> None:
+        self._annotations = v
+
+    @property
+    def hyperlinks(self) -> list[dict]:
+        if self._hyperlinks is None:
+            self._annotations, self._hyperlinks = self._extras_thunk()
+        return self._hyperlinks
+
+    @hyperlinks.setter
+    def hyperlinks(self, v: list[dict]) -> None:
+        self._hyperlinks = v
 
     def edges(self) -> list[dict]:
         return derive_edges(self.lines, self.rects, self.curves)

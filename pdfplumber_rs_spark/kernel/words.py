@@ -75,7 +75,28 @@ def iter_sort_chars(chars: list[dict], x_tol: float, y_tol: float,
     return out
 
 
-def _order_perm(chars: list[dict], y_tol: float):
+def _char_cols(chars: list[dict]):
+    """Extract the numeric/flag columns the vectorized ordering and
+    splitting passes need, ONE scan over the dicts (they were re-scanned
+    per pass before — np.fromiter over dict lookups was ~25% of
+    extract_words on dense pages)."""
+    import numpy as np
+
+    n = len(chars)
+    return {
+        "x0": np.fromiter((c["x0"] for c in chars), np.float64, n),
+        "x1": np.fromiter((c["x1"] for c in chars), np.float64, n),
+        "top": np.fromiter((c["top"] for c in chars), np.float64, n),
+        "bot": np.fromiter((c["bottom"] for c in chars), np.float64, n),
+        "doctop": np.fromiter((c["doctop"] for c in chars), np.float64, n),
+        "up": np.fromiter((bool(c["upright"]) for c in chars), np.bool_, n),
+        "blank": np.fromiter(
+            ((not c["text"]) or c["text"].isspace() for c in chars),
+            np.bool_, n),
+    }
+
+
+def _order_perm(chars: list[dict], y_tol: float, cols: dict | None = None):
     """Vectorized twin of iter_sort_chars for the default direction
     flags: returns the ordering PERMUTATION as a numpy index array.
     Semantics identical — consecutive upright runs (stream order), each
@@ -86,9 +107,12 @@ def _order_perm(chars: list[dict], y_tol: float):
     import numpy as np
 
     n = len(chars)
-    up = np.fromiter((bool(c["upright"]) for c in chars), np.bool_, n)
-    doctop = np.fromiter((c["doctop"] for c in chars), np.float64, n)
-    x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
+    if cols is not None:
+        up, doctop, x0 = cols["up"], cols["doctop"], cols["x0"]
+    else:
+        up = np.fromiter((bool(c["upright"]) for c in chars), np.bool_, n)
+        doctop = np.fromiter((c["doctop"] for c in chars), np.float64, n)
+        x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
     run_change = np.empty(n, np.bool_)
     run_change[0] = True
     run_change[1:] = up[1:] != up[:-1]
@@ -228,10 +252,15 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
             vertical_ttb=options.text_direction != "btt",
         )
     else:
-        ordered = [chars[i] for i in _order_perm(
-            chars, options.y_tolerance).tolist()]
+        raw_cols = _char_cols(chars)
+        perm = _order_perm(chars, options.y_tolerance, raw_cols)
+        ordered = [chars[i] for i in perm.tolist()]
+        if not options.keep_blank_chars:
+            # permute the already-extracted columns instead of re-
+            # scanning the reordered dicts (numpy fancy index ≪ fromiter)
+            cols = {k: v[perm] for k, v in raw_cols.items()}
     if not options.keep_blank_chars and len(ordered) >= 64:
-        return _extract_words_vectorized(ordered, options)
+        return _extract_words_vectorized(ordered, options, cols)
     words: list[dict] = []
     current: list[dict] = []
     bbox: list = [0.0, 0.0, 0.0, 0.0]

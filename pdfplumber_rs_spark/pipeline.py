@@ -358,6 +358,7 @@ def make_extract_kernel(options: ExtractOptions | None = None,
     page_start/page_end columns (giant-PDF split path). `include` prunes
     object sections at the kernel (manual projection pushdown)."""
     arrow_schema = _arrow_schema_for(page_schema(include))
+    flush_rows = 512 if include == () else 64
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -387,8 +388,11 @@ def make_extract_kernel(options: ExtractOptions | None = None,
                         include=include,
                     )
                 )
-                # keep batches bounded: flush every ~64 pages
-                if len(out) >= 64:
+                # keep batches bounded: the flush threshold trades per-
+                # batch Arrow framing overhead against memory — object-
+                # array rows (~40 KB/page) flush every 64 pages; pruned
+                # text-only rows (~100 B/page) can batch 8x larger
+                if len(out) >= flush_rows:
                     yield pa.RecordBatch.from_pylist(out, schema=arrow_schema)
                     out = []
             if out:
@@ -512,14 +516,17 @@ def split_giant_documents(df: DataFrame, max_bytes: int = 8 << 20,
     return small.unionByName(big_ranged)
 
 
-def kernel_parallelism(df: DataFrame, factor: int = 4) -> int:
+def kernel_parallelism(df: DataFrame, factor: int = 2) -> int:
     """Partition count for CPU-bound kernel stages. AQE sizes post-
     shuffle partitions by SHUFFLE BYTES, so a small-by-bytes corpus
     (5000 urls ≈ 10 MB) coalesces to ONE task and the parse kernel —
     1000× more expensive per byte than a shuffle — runs serially.
     Always pass an explicit count (AQE leaves user-specified
     repartition(n, …) alone); `factor`× overdecomposition keeps stragglers
-    from dominating when document cost varies."""
+    from dominating when document cost varies. factor=2 (round 6):
+    measured better than 4 on the uniform flagship corpus (7.42 s vs
+    7.92 s at sf1.0 — fewer tasks, less per-task Arrow framing) while
+    still giving the scheduler a 2× tail cushion."""
     return df.sparkSession.sparkContext.defaultParallelism * factor
 
 
