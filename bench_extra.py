@@ -98,5 +98,49 @@ def main() -> None:
                       round(sum(mins.values()), 3), "samples": times}))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and sys.argv[1:2] != ["sweep"]:
     main()
+
+
+def sweep() -> None:
+    """Time EVERY registered query at --sf (single pass, noop sink,
+    per-query wall seconds) — the round-6 all-operator examination."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sweep.json")
+    ap.add_argument("mode")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .appName("pdfplumber_rs_spark-sweep")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    times = {}
+    for name, fn in qs.items():
+        spark.sparkContext.setJobDescription(f"sweep {name}")
+        t0 = time.time()
+        try:
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            times[name] = f"ERR {type(ex).__name__}: {str(ex)[:120]}"
+        print(name, times[name], flush=True)
+    Path(args.out).write_text(json.dumps(times, indent=1))
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["sweep"]:
+    sweep()

@@ -35,10 +35,14 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id document per fingerprint (window top-1)."""
+    """Keep the lowest-id document per fingerprint (window top-1).
+    Round-6: window min instead of agg + left-semi join — the join's
+    branches fingerprinted every document twice; same survivors."""
     fp = df.withColumn("fp", fingerprint(F.col(text_col)))
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return fp.join(keep, ["fp", id_col], "left_semi").drop("fp")
+    keep = F.min(id_col).over(Window.partitionBy("fp"))
+    return (fp.withColumn("_keep", keep)
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("fp", "_keep"))
 
 
 def token_set(text: Column) -> Column:
@@ -258,16 +262,21 @@ def minhash_dedup_incremental(new: DataFrame, prior_bands: DataFrame,
     exchange-free."""
     new_bands = minhash_bands(new, id_col, text_col, num_hashes,
                               band_size)
+    # minhash_bands always emits 'doc_id'; accept a prior band table
+    # keyed either way so a non-default id_col doesn't raise
+    # UNRESOLVED_COLUMN (ADVICE r5) — output columns stay doc_id/keep_id
+    prior_id = id_col if id_col in prior_bands.columns else "doc_id"
     prior_reps = prior_bands.groupBy("band", "key").agg(
-        F.min(id_col).alias("prior_rep"))
-    new_reps = new_bands.groupBy("band", "key").agg(
-        F.min("doc_id").alias("new_rep"))
+        F.min(prior_id).alias("prior_rep"))
+    # new-side representative via window (round-6: the former
+    # agg + self-join re-ran the new increment's signature lineage
+    # twice); the prior side stays an aggregate — different source
+    new_rep = F.min("doc_id").over(Window.partitionBy("band", "key"))
     # per bucket the winner is (priority, id): priority 0 = a prior
     # doc exists (always beats new), 1 = new-only bucket; min(struct)
     # then reduces a doc's buckets to its single best keeper
     bucket_best = (
-        new_bands
-        .join(new_reps, ["band", "key"])
+        new_bands.withColumn("new_rep", new_rep)
         .join(prior_reps, ["band", "key"], "left")
         .select(
             "doc_id",
@@ -311,11 +320,14 @@ def quality_dedup(df: DataFrame, score: Column | str,
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size) \
         .join(df.select(F.col(id_col).alias("doc_id"),
                         score_col.cast("double").alias("q")), "doc_id")
-    reps = bands.groupBy("band", "key").agg(
-        F.max(F.struct(F.col("q").alias("q"),
-                       (-F.col("doc_id")).alias("neg_id"))).alias("w"))
+    # window representative instead of agg + self-join (round-6, same
+    # fix as minhash_dedup: the join branches re-ran the signature
+    # lineage twice); per-bucket winner value identical
+    rep_w = F.max(F.struct(F.col("q").alias("q"),
+                           (-F.col("doc_id")).alias("neg_id"))).over(
+        Window.partitionBy("band", "key"))
     best = (
-        bands.join(reps, ["band", "key"])
+        bands.withColumn("w", rep_w)
         .groupBy("doc_id", "q")
         .agg(F.max("w").alias("w"))
     )
@@ -710,10 +722,13 @@ def line_dedup(df: DataFrame, line_tokens: int = 10,
             ).otherwise(F.array().cast("array<string>"))
         ).alias("line_idx", "line"),
     ).withColumn("g", F.md5("line"))
-    winners = lines.groupBy("g").agg(
-        F.min(F.struct("doc_id", "line_idx")).alias("w"))
+    # corpus-first winner via window min(struct) instead of agg +
+    # self-join (round-6: the join branches exploded + hashed every
+    # line twice); same winner per line key
+    w_line = F.min(F.struct("doc_id", "line_idx")).over(
+        Window.partitionBy("g"))
     kept = (
-        lines.join(winners, "g")
+        lines.withColumn("w", w_line)
         .filter((F.col("doc_id") == F.col("w.doc_id"))
                 & (F.col("line_idx") == F.col("w.line_idx")))
         .select("doc_id", "line_idx", "line")
@@ -853,9 +868,10 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         "doc_id",
         F.posexplode("paras").alias("para_idx", "para"),
     ).withColumn("g", F.md5("para"))
-    winners = p.groupBy("g").agg(
-        F.min(F.struct("doc_id", "para_idx")).alias("w"))
-    kept = (p.join(winners, "g")
+    # window winner instead of agg + self-join (round-6, see line_dedup)
+    w_para = F.min(F.struct("doc_id", "para_idx")).over(
+        Window.partitionBy("g"))
+    kept = (p.withColumn("w", w_para)
             .filter((F.col("doc_id") == F.col("w.doc_id"))
                     & (F.col("para_idx") == F.col("w.para_idx")))
             .select("doc_id", "para_idx", "para"))

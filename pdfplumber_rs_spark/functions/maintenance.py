@@ -49,6 +49,10 @@ def compaction_plan(files: DataFrame, target_bytes: int,
     long cumsum (no double rounding even past 2^53 cumulative bytes).
     A second small agg attaches group totals. Skewed partitions cost
     their own file count only."""
+    if target_bytes <= 0:
+        # 0 would make the `before div 0` expression yield a null grp
+        # for every file with no error (ADVICE r5) — fail loudly
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
     w = (Window.partitionBy(part_col)
          .orderBy(F.col(bytes_col).desc(), F.col(path_col))
          .rowsBetween(Window.unboundedPreceding, 0))

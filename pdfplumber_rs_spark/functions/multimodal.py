@@ -368,10 +368,15 @@ def dhash_dedup(hashes: DataFrame, id_col: str = "media_id") -> DataFrame:
                      F.col("dhash_lo").bitwiseAND(0xFFFF).alias("key")),
         )).alias("bk"),
     ).select("media_id", "bk.band", "bk.key")
-    reps = bands.groupBy("band", "key").agg(
-        F.min("media_id").alias("rep"))
+    # window representative instead of agg + self-join: the join's two
+    # branches re-ran the upstream lineage (for image_dedup that means
+    # DECODING EVERY IMAGE TWICE) — round-6, same fix as minhash_dedup;
+    # values identical, still linear in bucket size
+    from pyspark.sql import Window
+
+    rep = F.min("media_id").over(Window.partitionBy("band", "key"))
     return (
-        bands.join(reps, ["band", "key"])
+        bands.withColumn("rep", rep)
         .groupBy("media_id")
         .agg(F.min("rep").alias("keep_id"))
         .filter(F.col("keep_id") < F.col("media_id"))

@@ -154,11 +154,20 @@ def _bucket_members(df: DataFrame, dim: int, n_planes: int,
         .withColumnRenamed("vec_id", "id")
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).alias("vec")).join(b, "id")
-    reps = v.groupBy("bucket").agg(
-        F.min("id").alias("rep_id"),
-        F.min_by("vec", "id").alias("rep_vec"),
+    # representative via window aggregates instead of agg + self-join:
+    # the join's two branches were separate physical subtrees, so the
+    # O(planes) bucket-signature fold ran twice per vector (round-6,
+    # guide §2.4 — same fix as minhash_dedup); values identical, still
+    # linear in bucket size
+    w = Window.partitionBy("bucket")
+    return (
+        v.select(
+            "id", "vec",
+            F.min("id").over(w).alias("rep_id"),
+            F.min_by("vec", "id").over(w).alias("rep_vec"),
+        )
+        .filter(F.col("id") > F.col("rep_id"))
     )
-    return v.join(reps, "bucket").filter(F.col("id") > F.col("rep_id"))
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame,

@@ -233,11 +233,18 @@ def badwords_filter(df, badwords: tuple[str, ...] | list[str] = (),
     that is not a single alnum token (hyphenated, multi-word) can
     never match and is rejected up front. Null text behaves as empty
     (kept). Returns (doc_id, n_bad_tokens, first_bad, kept)."""
+    import re as _re
+
     bad_entries = [w.lower() for w in badwords]
     for w in bad_entries:
-        if not w.isalnum():
+        # exactly the token alphabet ([a-z0-9]): str.isalnum() accepts
+        # non-ASCII alphanumerics ('café') that the [a-z0-9]-only token
+        # stream can never produce — such entries would pass validation
+        # but silently never match (ADVICE r5)
+        if not _re.fullmatch(r"[a-z0-9]+", w):
             raise ValueError(
-                f"badwords entries must be single alnum tokens: {w!r}")
+                f"badwords entries must be single alnum [a-z0-9] "
+                f"tokens: {w!r}")
     lit = F.array(*[F.lit(w) for w in bad_entries])
     bad = F.filter(
         word_tokens(F.coalesce(F.col(text_col), F.lit(""))),
