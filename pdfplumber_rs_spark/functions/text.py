@@ -1211,18 +1211,24 @@ def pmi_collocations(df, min_count: int = 5, top_n: int = 50,
     ONE (a, b)-keyed count agg; unigram counts are a vocab-sized agg
     broadcast back; totals ride 1-row broadcasts; the top-n is
     orderBy+limit (per-partition heaps)."""
-    w = word_tokens(F.col(text_col))
+    # materialize the token array as a COLUMN before indexing it:
+    # element_at(<expression array>, i) inside an interpreted transform
+    # lambda re-runs the whole split+filter once per position (the
+    # word_ngrams bug class, round 6); a bound column attribute is a
+    # cheap reference. Also lets the unigram explode reuse the array.
+    arr = df.select(word_tokens(F.col(text_col)).alias("w"))
+    wc = F.col("w")
     bi = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+        F.size(wc) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(wc) - 1),
                     lambda i: F.struct(
-                        F.element_at(w, i).alias("a"),
-                        F.element_at(w, i + 1).alias("b")))
+                        F.element_at(wc, i).alias("a"),
+                        F.element_at(wc, i + 1).alias("b")))
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    bigrams = df.select(F.explode(bi).alias("p")) \
+    bigrams = arr.select(F.explode(bi).alias("p")) \
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     cab = bigrams.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    uni = df.select(F.explode(w).alias("tok")) \
+    uni = arr.select(F.explode(wc).alias("tok")) \
         .groupBy("tok").agg(F.count("*").alias("c"))
     tot = uni.agg(F.sum("c").cast("double").alias("t"))
     btot = cab.agg(F.sum("c_ab").cast("double").alias("bt"))

@@ -55,13 +55,24 @@ def word_ngrams(text: Column, n: int) -> Column:
     [0, -1]) and F.slice then throws INVALID_PARAMETER_VALUE.START, so
     the index sequence must be guarded, not clamped."""
     toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda x: x != "")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+
+    # bind the token array to a lambda VARIABLE before indexing it:
+    # higher-order functions are interpreted, so a raw `toks`
+    # referenced inside the transform lambda re-runs the whole
+    # split+filter once PER POSITION (O(tokens²) per document —
+    # measured 0.4 ms per gram on 300-char docs, round 6); wrapping in
+    # a 1-element array and transforming binds `t` once per row and
+    # every inner reference is a cheap variable read. Values identical.
+    def _grams(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 def contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
@@ -1051,15 +1062,21 @@ def host_boilerplate_strip(pages: DataFrame, max_ratio: float = 0.5,
     else:
         toks = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"),
                         lambda x: x != "")
-        n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens)))
-        line_arr = F.when(
-            F.size(toks) > 0,
-            F.transform(
-                F.sequence(F.lit(0), n_lines.cast("int") - 1),
-                lambda i: F.array_join(
-                    F.slice(toks, i * line_tokens + 1, line_tokens),
-                    " ")),
-        ).otherwise(F.array().cast("array<string>"))
+
+        # bind-as-lambda-variable so the split runs once per row, not
+        # once per emitted line (word_ngrams bug class, round 6)
+        def _lines(tk: Column) -> Column:
+            n_lines = F.ceil(F.size(tk) / F.lit(float(line_tokens)))
+            return F.when(
+                F.size(tk) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_lines.cast("int") - 1),
+                    lambda i: F.array_join(
+                        F.slice(tk, i * line_tokens + 1, line_tokens),
+                        " ")),
+            ).otherwise(F.array().cast("array<string>"))
+
+        line_arr = F.element_at(F.transform(F.array(toks), _lines), 1)
     base = pages.select(F.col(host_col).alias("host"),
                         F.col(id_col).alias("doc_id"),
                         line_arr.alias("lines"))
