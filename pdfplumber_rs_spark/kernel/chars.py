@@ -18,11 +18,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def chars_from_events(runs: list, page_height: float) -> list[dict]:
-    """runs: list[interpreter.CharRun] for one page."""
+def chars_from_events(runs: list, page_height: float,
+                      want_cols: bool = False):
+    """runs: list[interpreter.CharRun] for one page.
+
+    want_cols=True additionally returns the positional numpy columns
+    ({x0, x1, top, bot, doctop, up}) that downstream vectorized passes
+    (dedupe prescreen, word ordering/splitting) would otherwise rebuild
+    from the dicts with np.fromiter — the arrays already exist here
+    (round 6). Caller contract: the columns are only valid while the
+    char LIST is unfiltered and positions unmutated (no rotation)."""
     runs = [r for r in runs if r.codes]
     if not runs:
-        return []
+        return ([], None) if want_cols else []
     nruns = len(runs)
     lens = np.fromiter((len(r.codes) for r in runs), np.int64, nruns)
     n = int(lens.sum())
@@ -143,6 +151,7 @@ def chars_from_events(runs: list, page_height: float) -> list[dict]:
     ctm_cache: dict[int, tuple] = {}
 
     out: list[dict] = []
+    out_append = out.append
     i = 0
     for r in runs:
         raw_ctm = r.ctm
@@ -155,22 +164,28 @@ def chars_from_events(runs: list, page_height: float) -> list[dict]:
         tag = r.tag
         sc = r.stroking_color
         nsc = r.non_stroking_color
-        for code, uni in zip(r.codes, r.unis):
+        j = i + len(r.codes)
+        # zip over per-run list slices: one tuple unpack per glyph
+        # instead of 7 list-index operations (hot loop, round 6)
+        for code, uni, x0v, topv, x1v, botv, szv, vtv, upv, dirv in zip(
+                r.codes, r.unis, min_x_l[i:j], top_l[i:j], max_x_l[i:j],
+                bottom_l[i:j], size_l[i:j], vert_l[i:j], upright_l[i:j],
+                dir_l[i:j]):
             if uni is None:
                 uni = "�"
-            out.append(
+            out_append(
                 {
                     "text": uni,
-                    "x0": min_x_l[i],
-                    "top": top_l[i],
-                    "x1": max_x_l[i],
-                    "bottom": bottom_l[i],
+                    "x0": x0v,
+                    "top": topv,
+                    "x1": x1v,
+                    "bottom": botv,
                     "fontname": fname,
-                    "size": size_l[i],
-                    "_wmode": 1 if vert_l[i] else 0,
-                    "doctop": top_l[i],
-                    "upright": upright_l[i],
-                    "direction": dir_l[i],
+                    "size": szv,
+                    "_wmode": 1 if vtv else 0,
+                    "doctop": topv,
+                    "upright": upv,
+                    "direction": dirv,
                     "stroking_color": sc,
                     "non_stroking_color": nsc,
                     "ctm": ctm,
@@ -179,5 +194,11 @@ def chars_from_events(runs: list, page_height: float) -> list[dict]:
                     "tag": tag,
                 }
             )
-            i += 1
+        i = j
+    if want_cols:
+        cols = {
+            "x0": min_x, "x1": max_x, "top": top, "bot": bottom,
+            "doctop": top.copy(), "up": upright,
+        }
+        return out, cols
     return out

@@ -105,6 +105,11 @@ class Document:
         if doctop_offset:
             for ch in page.chars:
                 ch["doctop"] += doctop_offset
+            if page._char_cols is not None:
+                # keep the positional columns aligned (same IEEE add)
+                page._char_cols["doctop"] = (
+                    page._char_cols["doctop"] + doctop_offset
+                )
         return page
 
     def pages(self):

@@ -96,6 +96,10 @@ class Page:
         self._annotations: list[dict] | None = []
         self._hyperlinks: list[dict] | None = []
         self._extras_thunk = None  # () -> (annotations, hyperlinks), lazy
+        # positional numpy columns aligned with self.chars (or None);
+        # set by build_page, consumed by extract_words — derived data,
+        # never required (crop/filter paths leave it None)
+        self._char_cols = None
 
     @property
     def annotations(self) -> list[dict]:
@@ -121,7 +125,7 @@ class Page:
         return derive_edges(self.lines, self.rects, self.curves)
 
     def extract_words(self, options: WordOptions | None = None) -> list[dict]:
-        return extract_words(self.chars, options)
+        return extract_words(self.chars, options, cols=self._char_cols)
 
     def search(self, pattern: str, regex: bool = True, case: bool = True) -> list[dict]:
         """P6: regex/literal search over the page's char stream
@@ -228,8 +232,10 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
     """CharRuns/paths -> Page with normalized coordinates."""
     needs_rotation = geom.rotation != 0
 
-    chars = chars_from_events(char_events, raw_page_height)
+    chars, char_cols = chars_from_events(char_events, raw_page_height,
+                                         want_cols=True)
     if needs_rotation:
+        char_cols = None  # positions mutate below; columns go stale
         rot = geom.rotation
         for ch in chars:
             _rotate_bbox(ch, raw_page_height, geom)
@@ -244,11 +250,18 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
     for ch in chars:
         del ch["_wmode"]
 
-    chars = apply_bidi_directions(chars, 3.0)
+    chars = apply_bidi_directions(chars, 3.0)  # mutates direction only
     if options.unicode_norm is not None:
-        chars = normalize_chars(chars, options.unicode_norm)
+        chars = normalize_chars(chars, options.unicode_norm)  # text only
     if options.dedupe is not None:
-        chars = dedupe_chars(chars, options.dedupe.tolerance, options.dedupe.extra_attrs)
+        n_before = len(chars)
+        chars = dedupe_chars(chars, options.dedupe.tolerance,
+                             options.dedupe.extra_attrs, cols=char_cols)
+        if len(chars) != n_before:
+            # dedupe dropped chars: the positional columns no longer
+            # align with the list (dedupe only ever removes, so equal
+            # length ⇔ nothing removed)
+            char_cols = None
 
     all_lines: list[dict] = []
     all_rects: list[dict] = []
@@ -310,7 +323,9 @@ def build_page(page_number: int, geom: PageGeometry, raw_page_height: float,
             _rotate_bbox(img, raw_page_height, geom)
         images.append(img)
 
-    return Page(
+    page = Page(
         page_number, geom.display_width, geom.display_height, geom.rotation,
         chars, all_lines, all_rects, all_curves, images, warnings,
     )
+    page._char_cols = char_cols
+    return page

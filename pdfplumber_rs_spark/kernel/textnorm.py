@@ -49,7 +49,8 @@ def normalize_chars(chars: list[dict], form: str | None) -> list[dict]:
     return chars
 
 
-def _dedupe_collision_flags(chars, t, extra_attrs, default_attrs):
+def _dedupe_collision_flags(chars, t, extra_attrs, default_attrs,
+                            cols=None):
     """Vectorized prescreen: True where a char COULD be within tolerance
     of another char with the same base key (same or 3×3-adjacent grid
     cell). Chars not flagged can never be dropped — and can never drop
@@ -73,8 +74,11 @@ def _dedupe_collision_flags(chars, t, extra_attrs, default_attrs):
         gids[i] = gid
     if len(seen) >= 1 << 20:
         return None
-    x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
-    top = np.fromiter((c["top"] for c in chars), np.float64, n)
+    if cols is not None and len(cols["x0"]) == n:
+        x0, top = cols["x0"], cols["top"]
+    else:
+        x0 = np.fromiter((c["x0"] for c in chars), np.float64, n)
+        top = np.fromiter((c["top"] for c in chars), np.float64, n)
     if not (np.isfinite(x0).all() and np.isfinite(top).all()):
         return None
     bx = np.floor(x0 / t)
@@ -101,7 +105,8 @@ def _dedupe_collision_flags(chars, t, extra_attrs, default_attrs):
 
 
 def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
-                 extra_attrs: tuple[str, ...] = ("fontname", "size")) -> list[dict]:
+                 extra_attrs: tuple[str, ...] = ("fontname", "size"),
+                 cols: dict | None = None) -> list[dict]:
     """Drop a char if an earlier kept char has identical text, matching
     extra attrs, and |dx0| <= tol and |dtop| <= tol (dedupe.rs:50-88)."""
     # spatial hash on (text, attrs, x0//tol, top//tol): a match within
@@ -114,7 +119,7 @@ def dedupe_chars(chars: list[dict], tolerance: float = 1.0,
         # 9-probe dict walk below never runs at all
         try:
             flags = _dedupe_collision_flags(chars, t, extra_attrs,
-                                            default_attrs_pre)
+                                            default_attrs_pre, cols=cols)
         except (TypeError, ValueError):  # odd coord types: full pass
             flags = None
         if flags is not None:

@@ -236,14 +236,15 @@ def _extract_words_vectorized(ordered: list[dict],
     return words
 
 
-def extract_words(chars: list[dict], options: WordOptions | None = None) -> list[dict]:
+def extract_words(chars: list[dict], options: WordOptions | None = None,
+                  cols: dict | None = None) -> list[dict]:
     if options is None:
         options = WordOptions()
     if not chars:
         return []
-    cols = None
     if options.use_text_flow:
         ordered = list(chars)
+        cols = None
     elif options.text_direction in ("rtl", "btt") or len(chars) < 64:
         # reversal flags / tiny pages: the sequential reference path
         ordered = iter_sort_chars(
@@ -251,10 +252,23 @@ def extract_words(chars: list[dict], options: WordOptions | None = None) -> list
             horizontal_ltr=options.text_direction != "rtl",
             vertical_ttb=options.text_direction != "btt",
         )
+        cols = None
     else:
-        raw_cols = _char_cols(chars)
+        import numpy as np
+
+        if cols is not None and len(cols["x0"]) == len(chars):
+            # page-provided positional columns (built once by
+            # chars_from_events); only the text-dependent blank flag
+            # is derived here
+            raw_cols = dict(cols)
+            raw_cols["blank"] = np.fromiter(
+                ((not c["text"]) or c["text"].isspace() for c in chars),
+                np.bool_, len(chars))
+        else:
+            raw_cols = _char_cols(chars)
         perm = _order_perm(chars, options.y_tolerance, raw_cols)
         ordered = [chars[i] for i in perm.tolist()]
+        cols = None
         if not options.keep_blank_chars:
             # permute the already-extracted columns instead of re-
             # scanning the reordered dicts (numpy fancy index ≪ fromiter)
